@@ -1,0 +1,95 @@
+"""Full-text search over the literal dictionary: postings + BM25.
+
+Reference counterpart: DuckDB's FTS extension over ``literals``
+(reference main.py:218-220) queried with
+``fts_main_literals.match_bm25(hash, q, conjunctive:=1)``
+(reference query.py:187-210). Semantics preserved:
+
+- tokenization: lowercase, split on ``[^a-z0-9]+`` (mirror of the
+  reference FTS settings ``ignore='[^a-zA-Z0-9]+', lower=1``; we do not
+  stem — SURVEY.md §6, so oracles can reproduce matches in plain SQL);
+- conjunctive match is *within one literal*: every query term must occur
+  in the same literal row, whose subjects are then found via ``o``;
+- score is BM25 (k1=1.2, b=0.75) over the literal corpus.
+
+Spark-first design: postings are a ``(lit, token, tf)`` DataFrame built
+with built-in functions only (explode over split — JVM codegen, no
+Python). A query filters postings to its handful of tokens (parquet/row
+filter, prunable), joins the tiny per-token df stats with a broadcast,
+and reduces per literal. At 100 TB the postings table is written
+bucketed by token so a query touches only its tokens' buckets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tokens_col(col):
+    """Array of non-empty lowercase tokens for a string column."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def tokenize_query(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
+@dataclass
+class FtsIndex:
+    postings: DataFrame  # lit: long, token: string, tf: long
+    token_df: DataFrame  # token: string, df: long
+    doc_len: DataFrame  # lit: long, dl: long
+    n_docs: int
+    avgdl: float
+
+    def match(self, text: str, conjunctive: bool = True) -> DataFrame:
+        """Literals matching ``text`` → (lit, score). BM25-scored."""
+        terms = tokenize_query(text)
+        if not terms:
+            return self.postings.sparkSession.createDataFrame([], "lit long, score double")
+        n = self.n_docs
+        hits = (
+            self.postings.filter(F.col("token").isin(terms))
+            .join(F.broadcast(self.token_df.filter(F.col("token").isin(terms))), "token")
+            .join(self.doc_len, "lit")
+        )
+        # BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+        idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+            F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(self.avgdl))
+        )
+        scored = hits.groupBy("lit").agg(
+            F.count_distinct("token").alias("nmatch"),
+            F.sum(idf * tf_part).alias("score"),
+        )
+        if conjunctive:
+            scored = scored.filter(F.col("nmatch") == len(terms))
+        return scored.select("lit", "score")
+
+
+def build_fts_index(literals: DataFrame) -> FtsIndex:
+    """Index ``(hash, value)`` literals. One scan, one shuffle (groupBy
+    token+lit), map-side combine via partial aggregation."""
+    toks = literals.select(
+        F.col("hash").alias("lit"), F.explode(tokens_col("value")).alias("token")
+    )
+    postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf"))
+    doc_len = toks.groupBy("lit").agg(F.count("*").alias("dl"))
+    token_df = postings.groupBy("token").agg(F.count("*").alias("df"))
+    stats = doc_len.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    return FtsIndex(
+        postings=postings.persist(),
+        token_df=token_df.persist(),
+        doc_len=doc_len.persist(),
+        n_docs=stats["n"] or 0,
+        avgdl=float(stats["avgdl"] or 1.0),
+    )

@@ -1,0 +1,588 @@
+"""The bikidata JSON query API compiled to Spark DataFrame plans.
+
+Reference counterpart: ``query(opts)`` in reference query.py:620-886 —
+a JSON dict with ``filters`` (boolean set algebra over subject sets),
+``size/start`` paging, ``order`` (label-aware sort API), ``aggregates``
+(facets), ``paths`` (recursive ancestor chains) and hydration projection
+``only_properties``/``exclude_properties``.
+
+Design (Spark-first, 100 TB-minded):
+- every filter compiles to a DataFrame of subject ids (longs); the
+  boolean algebra is DataFrame ``union / intersect / subtract`` which
+  Catalyst lowers to semi/anti joins — no driver-side sets;
+- term → id constants are embedded as ``xxhash64(lit(term))`` expressions
+  so Catalyst constant-folds them; Python never hashes;
+- scores (fts/semantic) ride in a separate (s, score) frame, combined by
+  max, only consulted at page-ordering time (reference query.py:680-729);
+- only the final page (≤ ``size`` rows) is ever collected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..operators.fts import FtsIndex, build_fts_index
+
+RDFS_LABEL_IRI = "<http://www.w3.org/2000/01/rdf-schema#label>"
+MAX_PATH_DEPTH = 24
+SAMPLE_SEED = 42
+
+
+def H(term: str) -> Column:
+    """Constant-foldable 64-bit id of a term (reference query.py:224-227)."""
+    return F.xxhash64(F.lit(term))
+
+
+def _isin_terms(col: Column, terms: list[str]) -> Column:
+    return reduce(lambda a, b: a | b, [col == H(t) for t in terms])
+
+
+def parse_hops_and_prop(p_str: str) -> tuple[int, str | None, str]:
+    """Parse 'fts', 'fts 2', 'fts <iri>', 'fts 2 <iri>' and the
+    '<iri> N' n-hop forms (reference query.py:90-107)."""
+    toks = (p_str or "").split()
+    hops, prop = 0, None
+    if len(toks) >= 2:
+        if toks[1].isdigit():
+            hops = int(toks[1])
+            if len(toks) >= 3 and toks[2].startswith("<") and toks[2].endswith(">"):
+                prop = toks[2]
+        elif toks[1].startswith("<") and toks[1].endswith(">"):
+            prop = toks[1]
+    return hops, prop, toks[0] if toks else ""
+
+
+def _normalize_order_rules(order_rules):
+    """dict | [dict] | [[dict]] → flat [dict] (reference query.py:230-242)."""
+    if not order_rules:
+        return []
+    if isinstance(order_rules, dict):
+        return [order_rules]
+    if isinstance(order_rules, list) and order_rules and isinstance(order_rules[0], list):
+        return order_rules[0]
+    return order_rules
+
+
+@dataclass
+class Engine:
+    """A query engine over one dictionary-encoded graph."""
+
+    graph: Graph
+    # optional subject embeddings for `semantic` filters: (s: long, vec: array<float>)
+    embeddings: DataFrame | None = None
+    # embedding provider for text queries; defaults to a deterministic stub
+    embed_fn: object = None
+    _fts: FtsIndex | None = field(default=None, repr=False)
+
+    # ---- indexes -------------------------------------------------------
+    @property
+    def fts(self) -> FtsIndex:
+        if self._fts is None:
+            self._fts = build_fts_index(self.graph.literals())
+        return self._fts
+
+    # ---- single-filter compilation ------------------------------------
+    def _walk_up(self, base: DataFrame, hops: int) -> DataFrame:
+        """n-hop parents chain: new subject appears as the object of a
+        parent triple (reference query.py:110-119). Iterative self-joins;
+        AQE handles skew at scale."""
+        out = base
+        for _ in range(hops):
+            parents = self.graph.triples.select(
+                F.col("s").alias("_ps"), F.col("o").alias("_po")
+            )
+            out = (
+                out.join(parents, out.s == F.col("_po"))
+                .select(F.col("_ps").alias("s"))
+            )
+        return out.distinct()
+
+    def _g_cond(self, g: str) -> Column | None:
+        if not g:
+            return None
+        return _isin_terms(F.col("g"), g.split(" "))
+
+    def filter_subjects(self, q: dict) -> tuple[DataFrame | None, DataFrame | None]:
+        """Compile one filter to (subjects, scores|None). Mirrors
+        reference q_to_sql (query.py:122-218)."""
+        t = self.graph.triples
+        p = str(q.get("p", "")).strip(" ")
+        o = str(q.get("o", "")).strip(" ")
+        g = str(q.get("g", "")).strip(" ")
+        hops, p_prop, p_head = parse_hops_and_prop(p)
+        gc = self._g_cond(g)
+
+        def with_g(df):
+            return df.filter(gc) if gc is not None else df
+
+        if p == "" and (o.startswith("<") or o.startswith("_:")):
+            # subjects that point at this object
+            base = with_g(t.filter(F.col("o") == H(o))).select("s")
+            return base.distinct(), None
+
+        if p == "id":
+            if o.startswith(("random", "sample")):
+                parts = o.split(" ")
+                n = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+                subj = with_g(t).select("s").distinct()
+                return subj.orderBy(F.rand(SAMPLE_SEED)).limit(n), None
+            terms = o.split(" ") if " " in o and o.startswith("<") else [o]
+            base = with_g(t.filter(_isin_terms(F.col("s"), terms))).select("s")
+            return base.distinct(), None
+
+        if p_head == "semantic":
+            return self._semantic_filter(q, o, gc)
+
+        if p_head == "regex":
+            # reference uses SQL `similar to` = anchored full-match regex
+            lits = self.graph.literals().filter(
+                F.col("value").rlike(f"^(?:{o})$")
+            ).select(F.col("hash").alias("_lit"))
+            base = t.join(lits, t.o == F.col("_lit")).drop("_lit")
+            if p_prop:
+                base = base.filter(F.col("p") == H(p_prop))
+            base = with_g(base).select("s")
+            return self._walk_up(base, hops), None
+
+        if p_head == "fts":
+            scored = self.fts.match(o, conjunctive=True)  # (lit, score)
+            base = t.join(scored, t.o == scored.lit)
+            if p_prop:
+                base = base.filter(F.col("p") == H(p_prop))
+            base = with_g(base)
+            subj = self._walk_up(base.select("s"), hops)
+            # score per *final* subject: propagate through the walk by
+            # re-joining is overkill; reference scores the T0 subject and
+            # unions per-s max (query.py:680-692). With hops=0 (the
+            # common case) these coincide.
+            if hops == 0:
+                scores = base.groupBy("s").agg(F.max("score").alias("score"))
+            else:
+                scores = None
+            return subj, scores
+
+        if p.startswith("<"):
+            cond = F.col("p") == H(p_head)
+            if o:
+                terms = o.split(" ") if (o.startswith("<") and " " in o) else [o]
+                cond = cond & _isin_terms(F.col("o"), terms)
+            base = with_g(t.filter(cond)).select("s")
+            return self._walk_up(base, hops), None
+
+        return None, None
+
+    def _semantic_filter(self, q, o, gc):
+        """Vector search: subjects whose embedding is within cosine
+        distance 0.5 of the query (reference query.py:166-170).
+        Broadcast the single query vector; JVM-side zip_with/aggregate."""
+        if self.embeddings is None:
+            raise ValueError("semantic filter requires an embeddings table")
+        qvec = q.get("vector")
+        if qvec is None:
+            from ..functions.embed import fake_embedding
+
+            fn = self.embed_fn or fake_embedding
+            dim = len(self.embeddings.select("vec").first()["vec"])
+            qvec = fn(o, dim)
+        spark = self.graph.spark
+        qdf = spark.createDataFrame([([float(x) for x in qvec],)], "qvec array<double>")
+        emb = self.embeddings.crossJoin(F.broadcast(qdf))
+        dot = F.aggregate(
+            F.zip_with("vec", "qvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        norm = lambda c: F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        sim = dot / (norm(F.col("vec")) * norm(F.col("qvec")))
+        scored = (
+            emb.withColumn("distance", F.lit(1.0) - sim)
+            .filter(F.col("distance") < 0.5)
+            .select("s", (F.lit(1.0) / F.col("distance")).alias("score"))
+        )
+        t = self.graph.triples
+        if gc is not None:
+            scored = scored.join(t.filter(gc).select("s").distinct(), "s", "left_semi")
+        return scored.select("s").distinct(), scored.select("s", "score")
+
+    # ---- filter algebra ------------------------------------------------
+    def subjects(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
+        """Combine filters with UNION/INTERSECT/EXCEPT in listed order,
+        EXCEPT clauses last (reference query.py:629-669). Returns
+        (s_results, s_by_score|None)."""
+        combined = None
+        excepts = []
+        score_frames = []
+        for q in opts.get("filters", []):
+            op = q.get("op", "should")
+            subj, scores = self.filter_subjects(q)
+            if subj is None:
+                continue
+            if scores is not None:
+                score_frames.append(scores)
+            if combined is None:
+                combined = subj
+            elif op in ("should", "or"):
+                combined = combined.union(subj)
+            elif op in ("must", "and"):
+                combined = combined.intersect(subj)
+            elif op == "not":
+                excepts.append(subj)
+        if combined is None:
+            return None, None
+        for e in excepts:
+            combined = combined.subtract(e)
+        combined = combined.distinct()
+        s_by_score = None
+        if score_frames:
+            all_scores = reduce(lambda a, b: a.union(b), score_frames)
+            s_by_score = all_scores.groupBy("s").agg(F.max("score").alias("score"))
+        return combined, s_by_score
+
+    def subjects_values(self, opts: dict) -> DataFrame:
+        """Filtered subject set as lexical forms — column ``s``."""
+        s_results, _ = self.subjects(opts)
+        if s_results is None:
+            return self.graph.spark.createDataFrame([], "s string")
+        return self._subject_values(s_results).select(F.col("s_value").alias("s"))
+
+    # ---- ordering / paging --------------------------------------------
+    def _subject_values(self, s_results: DataFrame) -> DataFrame:
+        terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
+        return s_results.join(terms, s_results.s == terms.hash).select("s", "s_value")
+
+    def _order_key_frame(self, s_results: DataFrame, rule: dict) -> DataFrame:
+        """(s, sort_label, num_prefix) per the sort-api rule
+        (reference query.py:316-465)."""
+        by = (rule.get("by") or "label").lower()
+        langs = rule.get("lang") or ["de", "en"]
+        mode = (rule.get("mode") or "lex").lower()
+        clean = rule.get("clean") or {"trim": True, "lower": mode == "lex"}
+        natural = bool(rule.get("natural", False))
+
+        t = self.graph.triples
+        lits = self.graph.literals().select(F.col("hash").alias("_lh"), F.col("value").alias("_lv"))
+
+        if by == "label":
+            prop = RDFS_LABEL_IRI
+            lab = s_results.join(t, "s").filter(F.col("p") == H(prop))
+        elif by == "property":
+            prop = rule.get("prop")
+            if not prop:
+                raise ValueError("order.by='property' requires 'prop'")
+            lab = s_results.join(t, "s").filter(F.col("p") == H(prop))
+        elif by == "object_label":
+            via = rule.get("via")
+            if not via:
+                raise ValueError("order.by='object_label' requires 'via'")
+            objs = (
+                s_results.join(t, "s")
+                .filter(F.col("p") == H(via))
+                .select("s", F.col("o").alias("_obj"))
+            )
+            t2 = t.select(F.col("s").alias("_obj"), F.col("p").alias("_p2"), F.col("o").alias("_o2"))
+            lab = (
+                objs.join(t2, "_obj")
+                .filter(F.col("_p2") == H(RDFS_LABEL_IRI))
+                .select("s", F.col("_o2").alias("o"))
+            )
+        else:
+            raise ValueError(f"Unsupported order.by={by!r}")
+
+        lab = lab.join(lits, lab.o == F.col("_lh")).select("s", F.col("_lv").alias("lbl"))
+
+        # language preference rank (reference query.py:245-258): stored
+        # lexical forms look like '"text"@de' / '"text"'.
+        rank_expr = None
+        whens = []
+        r = 1
+        for lg in langs:
+            whens.append((F.col("lbl").endswith(f'"@{lg}'), r))
+            r += 1
+        whens.append((~F.col("lbl").rlike('"@[A-Za-z-]+$'), r))
+        r += 1
+        rank_expr = F.lit(r)
+        for cond, val in reversed(whens):
+            rank_expr = F.when(cond, F.lit(val)).otherwise(rank_expr)
+
+        raw_text = F.regexp_extract(F.col("lbl"), '^"(.+)"', 1)
+        expr = raw_text
+        c = clean or {}
+        if c.get("remove_quotes", False):
+            expr = F.regexp_replace(expr, '^"|"$', "")
+        if c.get("collapse_space", False):
+            expr = F.regexp_replace(expr, r"\s+", " ")
+        if c.get("strip_punct", False):
+            expr = F.regexp_replace(expr, "^[^0-9A-Za-z]+", "")
+        if c.get("trim", True):
+            expr = F.trim(expr)
+        if mode == "lex" and c.get("lower", True):
+            expr = F.lower(expr)
+
+        ranked = lab.select("s", rank_expr.alias("lang_rank"), expr.alias("sort_label"))
+        w = Window.partitionBy("s").orderBy(F.col("lang_rank").asc(), F.col("sort_label").asc())
+        pref = (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("s", "sort_label")
+        )
+        if natural:
+            pref = pref.withColumn(
+                "num_prefix",
+                F.nullif(F.regexp_extract(F.col("sort_label"), r"^(\d+)", 1), F.lit("")).try_cast(
+                    "long"
+                ),
+            )
+        return pref
+
+    def page(self, opts: dict) -> DataFrame:
+        """Ordered page of subjects: (pos, s, s_value). Deterministic:
+        ties always break on the subject's lexical form (the reference
+        breaks ties on the hash, which is engine-arbitrary; the lexical
+        form is the portable equivalent). Paging uses sort+offset+limit —
+        Spark plans it as TakeOrderedAndProject (no full global sort
+        materialization); ``pos`` is then assigned on the ≤size-row page."""
+        size = int(opts.get("size", 999) or 999)
+        start = int(opts.get("start", 0) or 0)
+        s_results, s_by_score = self.subjects(opts)
+        if s_results is None:
+            return self.graph.spark.createDataFrame([], "pos int, s long, s_value string")
+        sv = self._subject_values(s_results)
+        order_rules = _normalize_order_rules(opts.get("order"))
+        if order_rules:
+            rule = order_rules[0]
+            direction = (rule.get("dir") or "asc").lower()
+            nulls = (rule.get("nulls") or "last").lower()
+            natural = bool(rule.get("natural", False))
+            keys = self._order_key_frame(s_results, rule)
+            df = sv.join(keys, "s", "left")
+            null_key = F.col("sort_label").isNull().cast("int")
+            if nulls == "first":
+                null_key = -null_key
+            order_cols = [null_key.asc()]
+            if natural:
+                order_cols += [
+                    F.col("num_prefix").isNull().cast("int").asc(),
+                    F.col("num_prefix").desc() if direction == "desc" else F.col("num_prefix").asc(),
+                ]
+            order_cols += [
+                F.col("sort_label").desc() if direction == "desc" else F.col("sort_label").asc(),
+                F.col("s_value").asc(),
+            ]
+        elif s_by_score is not None:
+            df = sv.join(s_by_score, "s", "left")
+            order_cols = [F.col("score").desc_nulls_last(), F.col("s_value").asc()]
+        else:
+            df = sv
+            order_cols = [F.col("s_value").asc()]
+        ordered = df.orderBy(*order_cols)
+        paged = ordered.offset(start).limit(size) if start else ordered.limit(size)
+        # re-assert the order on the collected page (≤ size rows, one part)
+        out = paged.coalesce(1).withColumn("pos", F.row_number().over(Window.orderBy(*order_cols)))
+        return out.select("pos", "s", "s_value")
+
+    # ---- aggregates ----------------------------------------------------
+    def facet(self, s_results: DataFrame | None, agg: str) -> DataFrame:
+        """Facet counts over the (filtered or whole-corpus) subject set
+        (reference query.py:744-753, 824-832) → (count, val)."""
+        t = self.graph.triples
+        if s_results is not None:
+            t = t.join(s_results.select("s"), "s", "left_semi")
+        terms = self.graph.terms.select("hash", F.col("value").alias("val"))
+        if agg == "properties":
+            grouped = t.groupBy("p").agg(F.count("*").alias("count"))
+            return grouped.join(terms, grouped.p == terms.hash).select("count", "val")
+        if agg == "graphs":
+            grouped = t.groupBy("g").agg(F.count("*").alias("count"))
+            return grouped.join(terms, grouped.g == terms.hash).select("count", "val")
+        grouped = (
+            t.filter(F.col("p") == H(str(agg)))
+            .groupBy("o")
+            .agg(F.count("s").alias("count"))
+        )
+        return grouped.join(terms, grouped.o == terms.hash).select("count", "val")
+
+    # ---- paths ---------------------------------------------------------
+    def paths(self, subjects: DataFrame, prop: str) -> DataFrame:
+        """Ancestor chains via `prop` edges: (s, pos, ancestor) with
+        pos=1 the parent (reference query.py:802-822 recursive CTE →
+        bounded iterative join; page-sized frontier, so each step is a
+        broadcast-sized join against the edge set)."""
+        edges = (
+            self.graph.triples.filter(F.col("p") == H(prop))
+            .select(F.col("s").alias("child"), F.col("o").alias("parent"))
+        )
+        cur = subjects.select(F.col("s").alias("src"), F.col("s").alias("cur"))
+        rows = []
+        for depth in range(1, MAX_PATH_DEPTH + 1):
+            cur = (
+                cur.join(edges, cur.cur == edges.child)
+                .select("src", F.col("parent").alias("cur"))
+            )
+            cur = cur.localCheckpoint(eager=True)
+            if cur.isEmpty():
+                break
+            rows.append(cur.select("src", F.lit(depth).alias("pos"), F.col("cur").alias("ancestor")))
+        if not rows:
+            return self.graph.spark.createDataFrame([], "src long, pos int, ancestor long")
+        return reduce(lambda a, b: a.union(b), rows)
+
+    def paths_values(self, opts: dict, prop: str) -> DataFrame:
+        """Ancestor chains for the filtered subject set, as lexical
+        forms: (s, pos, ancestor)."""
+        s_results, _ = self.subjects(opts)
+        if s_results is None:
+            return self.graph.spark.createDataFrame([], "s string, pos int, ancestor string")
+        prows = self.paths(s_results, prop)
+        terms = self.graph.terms
+        sv = terms.select(F.col("hash").alias("src"), F.col("value").alias("s"))
+        av = terms.select(F.col("hash").alias("ancestor"), F.col("value").alias("ancestor_v"))
+        return (
+            prows.join(sv, "src")
+            .join(av, "ancestor")
+            .select("s", F.col("pos").cast("int").alias("pos"), F.col("ancestor_v").alias("ancestor"))
+        )
+
+    # ---- full query (reference-shaped result) -------------------------
+    def query(self, opts: dict) -> dict:
+        """Reference-compatible entry point (query.py:620-886): returns
+        {results: {iri: {prop: [vals]}}, total, size, start, aggregates}.
+        Only page-sized data is collected."""
+        size = int(opts.get("size", 999) or 999)
+        start = int(opts.get("start", 0) or 0)
+        s_results, _ = self.subjects(opts)
+        total = s_results.count() if s_results is not None else 0
+        aggregates = {}
+        for agg in opts.get("aggregates", []):
+            if s_results is None and agg not in ("properties", "graphs"):
+                continue
+            rows = self.facet(s_results, agg).orderBy(F.col("count").desc(), F.col("val")).collect()
+            aggregates[agg] = [(r["count"], r["val"]) for r in rows]
+
+        results: dict = {}
+        if s_results is not None:
+            page = self.page(opts).collect()
+            page_hashes = [r["s"] for r in page]
+            hash_to_val = {r["s"]: r["s_value"] for r in page}
+            if page_hashes:
+                t = self.graph.triples.filter(F.col("s").isin(page_hashes))
+                only_p = opts.get("only_properties") or []
+                excl_p = opts.get("exclude_properties") or []
+                if only_p:
+                    t = t.filter(_isin_terms(F.col("p"), list(only_p)))
+                elif excl_p:
+                    t = t.filter(~_isin_terms(F.col("p"), list(excl_p)))
+                terms = self.graph.terms
+                pv = terms.select(F.col("hash").alias("p"), F.col("value").alias("p_val"))
+                ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
+                gv = terms.select(F.col("hash").alias("g"), F.col("value").alias("g_val"))
+                hydrated = (
+                    t.join(F.broadcast(pv), "p")
+                    .join(ov, "o")
+                    .join(F.broadcast(gv), "g")
+                    .select("s", "p_val", "o_val", "g_val")
+                    .collect()
+                )
+                for row in hydrated:
+                    sv = hash_to_val[row["s"]]
+                    ent = results.setdefault(sv, {"id": sv, "graph": []})
+                    ent.setdefault(row["p_val"], [])
+                    if row["o_val"] not in ent[row["p_val"]]:
+                        ent[row["p_val"]].append(row["o_val"])
+                    if row["g_val"] and row["g_val"] not in ent["graph"]:
+                        ent["graph"].append(row["g_val"])
+                # paths for the page
+                for pad in opts.get("paths", []):
+                    subj_df = self.graph.spark.createDataFrame(
+                        [(h,) for h in page_hashes], "s long"
+                    )
+                    prows = self.paths(subj_df, str(pad))
+                    tv = terms.select(F.col("hash").alias("ancestor"), F.col("value").alias("a_val"))
+                    pcol = prows.join(tv, "ancestor").select("src", "pos", "a_val").collect()
+                    chains: dict = {}
+                    for r in pcol:
+                        chains.setdefault(r["src"], []).append((r["pos"], r["a_val"]))
+                    for h, chain in chains.items():
+                        sv = hash_to_val.get(h)
+                        if sv is None:
+                            continue
+                        ordered = [v for _, v in sorted(chain)]
+                        results.setdefault(sv, {"id": sv, "graph": []}).setdefault(
+                            "_paths", {}
+                        )[pad] = ordered
+
+        back = {"results": results, "total": total, "size": size, "start": start}
+        if aggregates:
+            back["aggregates"] = aggregates
+        return back
+
+    # ---- small introspection API (reference query.py:13-87) -----------
+    def total(self) -> int:
+        return self.graph.triples.select("s").distinct().count()
+
+    def properties(self) -> DataFrame:
+        """(val, count) distinct-subject count per property
+        (reference query.py:20-27)."""
+        t = self.graph.triples
+        g = t.groupBy("p").agg(F.count_distinct("s").alias("count"))
+        iris = self.graph.iris().select("hash", F.col("value").alias("val"))
+        return g.join(iris, g.p == iris.hash).select("val", "count")
+
+    def count_by_property(self, prop: str) -> DataFrame:
+        """object-value → distinct-subject count for one property
+        (reference query.py:30-35)."""
+        t = self.graph.triples.filter(F.col("p") == H(prop))
+        g = t.groupBy("o").agg(F.count_distinct("s").alias("count"))
+        terms = self.graph.terms.select("hash", F.col("value").alias("val"))
+        return g.join(terms, g.o == terms.hash).select("val", "count")
+
+    def spo(
+        self,
+        s: str | None = None,
+        p: str | None = None,
+        o: str | None = None,
+        g: str | None = None,
+        size: int = 1000,
+        start: int = 0,
+    ) -> DataFrame:
+        """Triple-pattern fetch → (s, p, o) strings
+        (reference query.py:60-87)."""
+        t = self.graph.triples
+        for col, term in (("s", s), ("p", p), ("o", o), ("g", g)):
+            if term is not None and term != "":
+                t = t.filter(F.col(col) == H(term))
+        terms = self.graph.terms
+        sv = terms.select(F.col("hash").alias("s"), F.col("value").alias("s_val"))
+        pv = terms.select(F.col("hash").alias("p"), F.col("value").alias("p_val"))
+        ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
+        out = (
+            t.join(sv, "s")
+            .join(F.broadcast(pv), "p")
+            .join(ov, "o")
+            .select(F.col("s_val").alias("s"), F.col("p_val").alias("p"), F.col("o_val").alias("o"))
+            .orderBy("s", "p", "o")
+        )
+        if start:
+            out = out.offset(start)
+        return out.limit(size)
+
+    def sp(self, s_list: list[str], p: str | None) -> dict:
+        """Batched lookup: {subject: [object values]}
+        (reference query.py:38-57)."""
+        if not isinstance(s_list, list):
+            raise TypeError("s must be a list of strings")
+        t = self.graph.triples.filter(_isin_terms(F.col("s"), s_list))
+        if p:
+            t = t.filter(F.col("p") == H(p))
+        terms = self.graph.terms
+        sv = terms.select(F.col("hash").alias("s"), F.col("value").alias("s_val"))
+        ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
+        rows = t.join(sv, "s").join(ov, "o").select("s_val", "o_val").collect()
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["s_val"], []).append(r["o_val"])
+        return out
