@@ -19,7 +19,31 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from bikidata_spark import Engine, from_string_quads
+from bikidata_spark.functions.text import (
+    LANG_PROFILES,
+    STOPWORDS_EN,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from bikidata_spark.operators import dedup as dd
+from bikidata_spark.operators import events as ev
+from bikidata_spark.operators import similarity as sim
 from bikidata_spark.sources.rdfize import RDFS_LABEL, rdfize_sql, string_quads
+
+# pipeline-op hyperparameters (shared between Spark calls and oracles)
+MINHASH_NUM_HASHES = 16
+MINHASH_K = 3
+MINHASH_J = (1, 5)  # jaccard >= 1/5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4
+NGRAM_N = 4
+NGRAM_J = (3, 20)  # jaccard >= 3/20
+EMB_MIN_SIM = 0.3
+ANN_K = 10
+ANN_NQ = 5  # queries: vec_id < 5
 
 # ---------------------------------------------------------------------------
 # engine cache (one graph per sf_dir per process)
@@ -41,6 +65,17 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
         eng = Engine(graph, embeddings=emb)
         _ENGINES[sf_dir] = eng
     return eng
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and truncate to micros (the data
+    has no sub-microsecond precision)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +279,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rdf_semantic"] = semantic_run
 
+    # --- training-data pipeline ops ------------------------------------
+    def docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    q["pipe_dedup_exact"] = lambda spark, sf: dd.exact_dedup(docs(spark, sf), "doc_id", "text")
+    q["pipe_dedup_minhash"] = lambda spark, sf: dd.minhash_lsh_pairs(
+        docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
+    )
+    q["pipe_dedup_simhash"] = lambda spark, sf: dd.simhash_pairs(
+        docs(spark, sf), "doc_id", "text", SIMHASH_BITS, SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS
+    )
+    q["pipe_dedup_ngram"] = lambda spark, sf: dd.ngram_jaccard_pairs(
+        docs(spark, sf), "doc_id", "text", NGRAM_N, *NGRAM_J
+    )
+    q["pipe_dedup_embedding"] = lambda spark, sf: sim.embedding_neardup_pairs(
+        embs(spark, sf), "vec_id", "embedding", EMB_MIN_SIM
+    )
+    q["pipe_ann_topk"] = lambda spark, sf: sim.cosine_topk(
+        embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
+    )
+    q["pipe_ann_lsh"] = lambda spark, sf: sim.lsh_ann_topk(
+        embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
+    )
+    q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
+    q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
+    q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")
+    q["pipe_text_fingerprint"] = lambda spark, sf: fingerprint(docs(spark, sf), "doc_id", "text")
+
+    def events_df(spark, sf_dir):
+        return load_events(spark, sf_dir)
+
+    q["pipe_events_hourly"] = lambda spark, sf: ev.hourly_agg(events_df(spark, sf)).withColumn(
+        "total", F.col("total").cast("string")
+    )
+    q["pipe_events_json"] = lambda spark, sf: ev.json_prop_sum(events_df(spark, sf))
+    q["pipe_events_topk_users"] = lambda spark, sf: ev.topk_users(events_df(spark, sf))
+    q["pipe_events_sessionize"] = lambda spark, sf: ev.sessionize(events_df(spark, sf))
+
     return q
 
 
@@ -414,5 +490,156 @@ WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM e
 SELECT '<e/documents/' || CAST(e.vec_id AS STRING) || '>' AS s
 FROM embeddings e, q
 WHERE 1.0 - list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv) < 0.5
+"""
+
+    # --- pipeline-op oracles (mirror the Spark operators exactly) ------
+    TOKLIST = (
+        "toklist AS (SELECT doc_id, text, "
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts "
+        "FROM documents)"
+    )
+    TOKS = "toks AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS ord FROM toklist)"
+
+    def shingle_cte(k: int) -> str:
+        joins, cols = [], ["a.t"]
+        for i in range(1, k):
+            al = chr(ord("a") + i)
+            joins.append(f"JOIN toks {al} ON {al}.doc_id = a.doc_id AND {al}.ord = a.ord + {i}")
+            cols.append(f"{al}.t")
+        expr = " || ' ' || ".join(cols)
+        return f"sh AS (SELECT DISTINCT a.doc_id AS id, {expr} AS s FROM toks a {' '.join(joins)})"
+
+    def h32(seed: int, col: str = "s") -> str:
+        return f"CAST(CAST(('0x' || substr(md5('{seed}:' || {col}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+    SIZES = "sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)"
+
+    o["pipe_dedup_exact"] = (
+        "SELECT md5(text) AS key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY md5(text)"
+    )
+
+    nh = MINHASH_NUM_HASHES
+    jn, jd = MINHASH_J
+    o["pipe_dedup_minhash"] = f"""
+WITH {TOKLIST}, {TOKS}, {shingle_cte(MINHASH_K)},
+sig AS (SELECT id, {', '.join(f'min({h32(i)}) AS h{i}' for i in range(nh))} FROM sh GROUP BY id),
+bands AS ({' UNION ALL '.join(f'SELECT id, {i} AS band, h{i} AS sig FROM sig' for i in range(nh))}),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+{SIZES},
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i FROM cands c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+WHERE {jd} * i.i >= {jn} * (na.n + nb.n - i.i)
+"""
+
+    h60 = "CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)"
+    bits = SIMHASH_BITS
+    chunks = SIMHASH_CHUNKS
+    width = bits // chunks
+    mask = (1 << width) - 1
+    o["pipe_dedup_simhash"] = f"""
+WITH {TOKLIST}, {TOKS},
+tf AS (SELECT doc_id AS id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+sums AS (SELECT id, {', '.join(f'SUM(tf * ((({h60} >> {j}) & 1) * 2 - 1)) AS b{j}' for j in range(bits))} FROM tf GROUP BY id),
+sig AS (SELECT id, CAST({' + '.join(f'(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)' for j in range(bits))} AS BIGINT) AS sh FROM sums),
+chunks AS ({' UNION ALL '.join(f'SELECT id, sh, {c} AS c, (sh >> {c * width}) & {mask} AS v FROM sig' for c in range(chunks))}),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS INT) AS hamming
+FROM cands WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+    gn, gd = NGRAM_J
+    o["pipe_dedup_ngram"] = f"""
+WITH {TOKLIST}, {TOKS}, {shingle_cte(NGRAM_N)}, {SIZES},
+inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+SELECT i.id_a, i.id_b FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+WHERE {gd} * i.i >= {gn} * (na.n + nb.n - i.i)
+"""
+
+    EMB_D = "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    o["pipe_dedup_embedding"] = f"""
+WITH {EMB_D}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) > {EMB_MIN_SIM}
+"""
+    o["pipe_ann_topk"] = f"""
+WITH {EMB_D}, q AS (SELECT * FROM e WHERE vec_id < {ANN_NQ}),
+scored AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor, list_cosine_similarity(e.v, q.v) AS sim
+           FROM e, q WHERE e.vec_id != q.vec_id)
+SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
+    # pipe_ann_lsh: approximate-by-design → rows-only driver check
+
+    o["pipe_text_tokens"] = f"""
+WITH {TOKLIST}
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM toklist
+"""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    o["pipe_text_quality"] = f"""
+WITH {TOKLIST}
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(NULLIF(length(text), 0) AS DOUBLE) AS alpha_ratio,
+       CAST(len(list_filter(ts, x -> x IN ({stop_list}))) AS DOUBLE) / CAST(NULLIF(len(ts), 0) AS DOUBLE) AS stop_ratio,
+       (len(ts) >= 5 AND length(text) >= 20 AND len(list_filter(ts, x -> x IN ({stop_list}))) > 0) AS quality_ok
+FROM toklist
+"""
+    score_exprs = []
+    for lang, words in LANG_PROFILES.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(f"CAST(len(list_filter(ts, x -> x IN ({wl}))) AS BIGINT) AS score_{lang}")
+    langs = list(LANG_PROFILES)
+    case_parts = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"] + [f"score_{lang} >= score_{other}" for other in langs[i + 1 :]]
+        case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    o["pipe_text_langid"] = f"""
+WITH {TOKLIST},
+scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM toklist)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+       CASE {' '.join(case_parts)} ELSE 'und' END AS pred_lang
+FROM scored
+"""
+    o["pipe_text_fingerprint"] = f"""
+WITH {TOKLIST}
+SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toklist
+"""
+
+    o["pipe_events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS total
+FROM events GROUP BY 1, 2
+"""
+    o["pipe_events_json"] = """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+    o["pipe_events_topk_users"] = """
+WITH counts AS (SELECT event_type, user_id, COUNT(*) AS n_events FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n_events, CAST(rank AS INT) AS rank FROM (
+  SELECT event_type, user_id, n_events,
+         row_number() OVER (PARTITION BY event_type ORDER BY n_events DESC, user_id ASC) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+    o["pipe_events_sessionize"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+FROM sessions GROUP BY 1, 2
 """
     return o

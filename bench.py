@@ -1,0 +1,128 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The graph build is timed as its own entry
+(the reference counts index build separately from query serving).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from bikidata_spark import Engine, from_string_quads
+from bikidata_spark.operators import dedup as dd
+from bikidata_spark.operators import events as ev
+from bikidata_spark.operators import similarity as sim
+from bikidata_spark.functions.text import lang_id, quality_score
+from bikidata_spark.session import get_spark
+from bikidata_spark.sources.rdfize import string_quads
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bikidata-bench")
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # index build: string quads → dictionary-encoded graph, materialized
+    graph = None
+
+    def build():
+        nonlocal graph
+        graph = from_string_quads(string_quads(spark, sf_dir)).cache()
+        graph.triples.count()
+        graph.terms.count()
+
+    timed("q_build_index", build)
+    eng = Engine(graph)
+
+    timed("q_fts_index", lambda: eng.fts)
+
+    timed(
+        "q_boolean_filter",
+        lambda: eng.subjects_values(
+            {
+                "filters": [
+                    {"p": "<p/mktsegment>", "o": '"BUILDING"'},
+                    {"op": "must", "p": "<p/nation>", "o": "<e/nation/5>"},
+                    {"op": "not", "p": "<p/acctbal>", "o": '"0.00"'},
+                ]
+            }
+        ).count(),
+    )
+    timed(
+        "q_fts_search",
+        lambda: eng.page({"filters": [{"p": "fts", "o": "customer 000000013"}], "size": 50}).collect(),
+    )
+    timed(
+        "q_property_hop",
+        lambda: eng.subjects_values({"filters": [{"p": "<p/nation> 1", "o": "<e/nation/5>"}]}).count(),
+    )
+    timed(
+        "q_order_page",
+        lambda: eng.page(
+            {
+                "filters": [{"p": "<p/type>", "o": "<c/customer>"}],
+                "order": [{"by": "label", "dir": "desc"}],
+                "size": 25,
+                "start": 100,
+            }
+        ).collect(),
+    )
+    timed(
+        "q_facet",
+        lambda: eng.facet(
+            eng.subjects({"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}]})[0],
+            "<p/nation>",
+        ).collect(),
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = entrymod.load_events(spark, sf_dir)
+
+    timed("q_dedup_minhash", lambda: dd.minhash_lsh_pairs(docs, "doc_id", "text").count())
+    timed("q_dedup_exact", lambda: dd.exact_dedup(docs, "doc_id", "text").count())
+    timed(
+        "q_ann_topk",
+        lambda: sim.cosine_topk(embs, embs.filter(F.col("vec_id") < 5)).count(),
+    )
+    timed(
+        "q_text_analysis",
+        lambda: lang_id(docs, "doc_id", "text")
+        .join(quality_score(docs, "doc_id", "text"), "doc_id")
+        .count(),
+    )
+    timed("q_events_sessionize", lambda: ev.sessionize(events).count())
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bikidata_spark_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All built from JVM-side ``pyspark.sql.functions`` (whole-stage codegen;
+no Python in the hot path). Tokenization matches the engine-wide
+contract (SURVEY.md §6): lowercase, split on ``[^a-z0-9]+``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.fts import TOKEN_SPLIT_RE, tokens_col
+
+# deterministic stopword profiles for the language-ID heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+}
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars) — whitespace/punct token counting."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: length, alpha ratio, stopword ratio,
+    mean token length — the standard cheap pre-filters for LLM corpus
+    cleaning. All integer counts + one exact division at the end."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")).alias("alpha_ratio"),
+        (n_stop.cast("double") / F.nullif(n_tok, F.lit(0)).cast("double")).alias("stop_ratio"),
+        (
+            (n_tok >= 5)
+            & (n_chars >= 20)
+            & (n_stop > 0)
+        ).alias("quality_ok"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID. Deterministic argmax with a fixed
+    profile order for ties ('en' > 'de' > 'fr' > 'es' > 'und')."""
+    toks = tokens_col(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    order = list(LANG_PROFILES)
+    # first-match CASE: a profile wins if nonzero and >= every later one
+    pred = F.lit("und")
+    for lang in reversed(order):
+        later = order[order.index(lang) + 1 :]
+        cond = scores[lang] > 0
+        for other in later:
+            cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in order],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized document fingerprint: md5 of the token stream — the
+    canonical near-exact dedup key (whitespace/punct/case-insensitive)."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("fp"),
+    )

@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection, all
+as compositions of built-in DataFrame ops (JVM codegen end-to-end; no
+Python UDFs). Every similarity decision uses integer cross-multiplied
+thresholds (``den*inter >= num*union``) so results are bit-deterministic
+and reproducible by the DuckDB oracles.
+
+Scale notes (100 TB):
+- candidate generation is always an equi-join on a short key (band
+  signature / minhash value / shingle) — never an all-pairs product;
+- verification joins are candidate-driven (pairs → their shingles), so
+  work is proportional to candidates, not to the corpus square;
+- md5 here is the cross-engine-mirrorable stand-in; swapping in
+  xxhash64 halves the hash cost when oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .fts import tokens_col
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: (key, keep_id, n_dups). Survivor is
+    the minimum id per md5(text) — one hash-partitioned groupBy."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("key"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct k-token shingles per doc: (id, s)."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("s")
+    )
+
+
+def _h32(col, seed: int):
+    """Deterministic 32-bit hash shared with the oracle: first 8 hex
+    chars of md5('{seed}:' || value)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature — one groupBy with n min()
+    aggregates (map-side partial agg; single shuffle on id)."""
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [F.min(_h32(F.col("s"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    jaccard_num: int = 1,
+    jaccard_den: int = 5,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) via MinHash LSH (r=1: a pair is a
+    candidate when ANY minhash matches — high recall for low-jaccard
+    corpora) verified by exact shingle Jaccard >= num/den."""
+    sh = shingles(df, id_col, text_col, k).persist()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    bands = sig.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(num_hashes)])).alias(
+            "band", "sig"
+        ),
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    b = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("id").alias("id_a"), "s")
+    shb = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        cands.join(sha, "id_a")
+        .join(shb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.lit(jaccard_den) * F.col("i")
+            >= F.lit(jaccard_num) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select("id_a", "id_b")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, sh) — tf-weighted SimHash over tokens. Token base hash is 60
+    md5 bits; bit j of the signature is the sign of the tf-weighted sum
+    of (2*bit_j(h) - 1). Pure integer math → oracle-mirrorable."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t")
+    )
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = tf.groupBy("id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.cast("long").alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming) with hamming(simhash) <=
+    max_hamming. Candidates must share at least one of ``chunks``
+    (bits/chunks)-bit chunks (pigeonhole: any pair within max_hamming <
+    chunks+1 shares one) — equi-join, no all-pairs."""
+    sig = simhash(df, id_col, text_col, bits)
+    width = bits // chunks
+    mask = (1 << width) - 1
+    ch = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("c", "v"),
+    )
+    a = ch.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "c", "v")
+    b = ch.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "c", "v")
+    cands = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    jaccard_num: int = 3,
+    jaccard_den: int = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs (id_a < id_b) >= num/den. Inverted
+    index join on shared n-grams; integer threshold math."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.lit(jaccard_den) * F.col("i")
+            >= F.lit(jaccard_num) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline, a random-hyperplane
+LSH-bucketed variant as the scale path, and cosine near-dup pairs.
+Cosine math is computed with built-in higher-order functions
+(``zip_with`` + ``aggregate`` — JVM, no Python) using the same formula
+DuckDB's ``list_cosine_similarity`` uses (dot / sqrt(nx*ny)) so oracle
+comparisons are bit-stable.
+
+Scale notes: brute force is O(Q·N·d) — fine for small Q (re-rank, eval);
+the LSH path buckets vectors by hyperplane sign pattern so each query
+only scans its bucket (recall < 1, tunable by number of planes/probes).
+At 1000 executors the bucketed table is written partitioned by bucket,
+making a probe a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine_sim(a, b):
+    """dot/sqrt(nx*ny) — DuckDB list_cosine_similarity's formula."""
+    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, neighbor, rank). Broadcast
+    the query set (small side), rank with a per-query window; ties break
+    on neighbor id for determinism. Self-matches excluded."""
+    from pyspark.sql import Window
+
+    v = _as_double(vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
+    q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", F.col("nid").alias("neighbor"), cosine_sim(F.col("nv"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_bucket(vec_col, planes: int, dim: int):
+    """Deterministic LSH bucket id: sign pattern against ``planes``
+    pseudo-random hyperplanes derived from md5(plane:dim_index) — no
+    stored model, reproducible anywhere."""
+    bucket = F.lit(0)
+    for j in range(planes):
+        w = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"{j}:{d}")), 1, 8), 16, 10).cast("double")
+                    / F.lit(float(2**31))
+                    - F.lit(1.0)
+                )
+                for d in range(dim)
+            ]
+        )
+        bucket = bucket + F.when(_dot(vec_col, w) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signs, brute-force within
+    the query's bucket. (qid, neighbor, rank). Recall < 1 by design."""
+    from pyspark.sql import Window
+
+    dim = len(vectors.select(vec_col).first()[0])
+    v = _as_double(vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
+    q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    vb = v.withColumn("bucket", hyperplane_bucket(F.col("nv"), planes, dim))
+    qb = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), planes, dim))
+    scored = (
+        vb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", F.col("nid").alias("neighbor"), cosine_sim(F.col("nv"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.3,
+) -> DataFrame:
+    """Cosine near-dup pairs (id_a < id_b, sim > min_sim). Test-scale
+    implementation is the exact all-pairs product; the scale path is
+    lsh bucketing first (see lsh_ann_topk) then exact verify within
+    buckets."""
+    v = _as_double(vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_sim(F.col("va"), F.col("vb")) > min_sim)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,141 @@
+"""Engine query-API tests on the sf0.001 RDF-ized corpus.
+
+Mirrors the reference's usage patterns (reference README / examples:
+filter dicts with should/must/not, fts, paging, aggregates)."""
+
+from __future__ import annotations
+
+
+def subjects(engine, opts):
+    return {r["s"] for r in engine.subjects_values(opts).collect()}
+
+
+def test_property_object_filter(engine):
+    subs = subjects(engine, {"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}]})
+    assert subs and all(s.startswith("<e/customer/") for s in subs)
+
+
+def test_id_filter(engine):
+    assert subjects(engine, {"filters": [{"p": "id", "o": "<e/customer/1>"}]}) == {
+        "<e/customer/1>"
+    }
+
+
+def test_must_is_intersection(engine):
+    a = subjects(engine, {"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}]})
+    b = subjects(engine, {"filters": [{"p": "<p/nation>", "o": "<e/nation/5>"}]})
+    both = subjects(
+        engine,
+        {
+            "filters": [
+                {"p": "<p/mktsegment>", "o": '"BUILDING"'},
+                {"op": "must", "p": "<p/nation>", "o": "<e/nation/5>"},
+            ]
+        },
+    )
+    assert both == a & b
+
+
+def test_not_is_difference(engine):
+    allc = subjects(engine, {"filters": [{"p": "<p/type>", "o": "<c/customer>"}]})
+    b = subjects(engine, {"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}]})
+    diff = subjects(
+        engine,
+        {
+            "filters": [
+                {"p": "<p/type>", "o": "<c/customer>"},
+                {"op": "not", "p": "<p/mktsegment>", "o": '"BUILDING"'},
+            ]
+        },
+    )
+    assert diff == allc - b
+
+
+def test_fts_conjunctive(engine):
+    subs = subjects(engine, {"filters": [{"p": "fts", "o": "customer 000000013"}]})
+    assert subs == {"<e/customer/13>"}
+
+
+def test_fts_hop_travels_up(engine):
+    subs = subjects(engine, {"filters": [{"p": "fts 1", "o": "customer 000000013"}]})
+    # ancestors of customer 13: its orders (via <p/customer>) point at it
+    assert subs and all(s.startswith("<e/orders/") for s in subs)
+
+
+def test_regex_full_match(engine):
+    subs = subjects(engine, {"filters": [{"p": "regex", "o": '"Customer#0000000.."'}]})
+    assert len(subs) == 100
+
+
+def test_paging_deterministic(engine):
+    opts = {"filters": [{"p": "<p/type>", "o": "<c/customer>"}], "size": 5, "start": 0}
+    p1 = [r["s_value"] for r in engine.page(opts).collect()]
+    p2 = [r["s_value"] for r in engine.page(opts).collect()]
+    assert p1 == p2 and len(p1) == 5
+    nxt = [
+        r["s_value"]
+        for r in engine.page({**opts, "start": 5}).collect()
+    ]
+    assert not (set(p1) & set(nxt))
+
+
+def test_order_by_label_desc(engine):
+    opts = {
+        "filters": [{"p": "<p/type>", "o": "<c/customer>"}],
+        "order": [{"by": "label", "dir": "desc"}],
+        "size": 3,
+    }
+    rows = engine.page(opts).collect()
+    labels = [r["s_value"] for r in rows]
+    # highest label in the sf0.001 corpus (data is seeded/deterministic)
+    assert labels[0] == "<e/customer/149>"
+
+
+def test_full_query_shape(engine):
+    r = engine.query(
+        {
+            "filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}],
+            "size": 3,
+            "aggregates": ["<p/nation>"],
+        }
+    )
+    assert r["total"] > 3
+    assert len(r["results"]) == 3
+    ent = next(iter(r["results"].values()))
+    assert ent["id"].startswith("<e/customer/")
+    assert "<p/nation>" in ent
+    assert r["aggregates"]["<p/nation>"]
+
+
+def test_paths(engine):
+    r = engine.query(
+        {
+            "filters": [{"p": "id", "o": "<e/customer/1>"}],
+            "paths": ["<p/parent>"],
+            "size": 1,
+        }
+    )
+    ent = r["results"]["<e/customer/1>"]
+    chain = ent["_paths"]["<p/parent>"]
+    assert len(chain) == 2  # nation, region
+    assert chain[0].startswith("<e/nation/") and chain[1].startswith("<e/region/")
+
+
+def test_sp_and_spo(engine):
+    d = engine.sp(["<e/customer/1>"], "<p/mktsegment>")
+    assert list(d) == ["<e/customer/1>"]
+    rows = engine.spo("<e/customer/1>", None, None).collect()
+    assert len(rows) >= 5
+
+
+def test_total_and_properties(engine):
+    assert engine.total() > 100
+    props = {r["val"]: r["count"] for r in engine.properties().collect()}
+    assert props["<p/type>"] > 100
+
+
+def test_semantic_filter_returns_self(engine):
+    qvec = [float(x) for x in engine.embeddings.filter("s = xxhash64('<e/documents/0>')").first()["vec"]]
+    subj, scores = engine._semantic_filter({"vector": qvec}, "", None)
+    ids = {r["s"] for r in subj.collect()}
+    assert len(ids) >= 1  # at least the identical vector
