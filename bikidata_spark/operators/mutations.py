@@ -1,0 +1,118 @@
+"""Triple insert / delete.
+
+Reference counterpart: ``handle_insert`` / ``handle_delete``
+(reference query.py:468-617) — validated single-statement mutations
+against the DuckDB store. Spark has no in-place mutation: the engine is
+immutable-DataFrame-based, so mutations return a NEW Graph (union /
+anti-join), and the persistent form is append-only parquet with
+tombstones (see bikidata_spark/streaming/mutations.py for the streaming
+ingest path). At 100 TB an anti-join delete is a broadcast of the
+(small) tombstone set against the quad table — no rewrite of
+untouched partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph, term_hash
+
+
+def _quads_df(graph: Graph, data: list[dict], require_o: bool = True) -> DataFrame:
+    rows = [
+        (item.get("s"), item.get("p"), item.get("o"), item.get("g", "") or "")
+        for item in data
+    ]
+    return graph.spark.createDataFrame(rows, "s string, p string, o string, g string")
+
+
+def _validate_insert(data: list[dict]) -> str | None:
+    """Reference validation rules (query.py:538-546)."""
+    for item in data:
+        s, p, o = item.get("s"), item.get("p"), item.get("o")
+        if not s or not p or not o:
+            return "Insert triple missing s, p, or o"
+        if not (s.startswith("<") or s.startswith("_:")):
+            return "Subject must be an IRI or BlankNode"
+        if not (p.startswith("<") and p.endswith(">")):
+            return "Predicate must be an IRI"
+        if not (o.startswith('"') or o.startswith("<") or o.startswith("_:")):
+            return "Object must be a literal, IRI or a BlankNode"
+    return None
+
+
+def insert(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
+    """Insert triples; refuses duplicates (reference query.py:547-551).
+    Returns (new_graph, result_dict)."""
+    err = _validate_insert(data)
+    if err:
+        return graph, {"error": err}
+    quads = _quads_df(graph, data)
+    hashed = quads.select(
+        term_hash("s").alias("s"),
+        term_hash("p").alias("p"),
+        term_hash("o").alias("o"),
+        term_hash("g").alias("g"),
+    )
+    n_existing = hashed.join(graph.triples, ["s", "p", "o", "g"], "left_semi").count()
+    if n_existing > 0:
+        return graph, {"error": "Triple already exists, skipping insert"}
+
+    new_terms = (
+        quads.select(F.col("s").alias("value"))
+        .unionAll(quads.select("p"))
+        .unionAll(quads.select("o"))
+        .unionAll(quads.select("g"))
+        .distinct()
+        .select(
+            term_hash("value").alias("hash"),
+            "value",
+            F.col("value").startswith('"').alias("is_literal"),
+        )
+        .join(graph.terms.select("hash"), "hash", "left_anti")
+    )
+    n_terms = new_terms.count()
+    new_graph = Graph(
+        triples=graph.triples.unionAll(hashed),
+        terms=graph.terms.unionAll(new_terms),
+    )
+    return new_graph, {"triples_inserted": len(data), "terms_inserted": n_terms}
+
+
+def delete(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
+    """Delete triples; a missing triple aborts the batch (reference
+    query.py:477-482). Items without ``o`` delete every matching
+    (s, p, g) regardless of object."""
+    with_o = [d for d in data if d.get("o")]
+    no_o = [d for d in data if not d.get("o")]
+    triples = graph.triples
+    n_before = None
+
+    if with_o:
+        quads = _quads_df(graph, with_o)
+        hashed = quads.select(
+            term_hash("s").alias("s"),
+            term_hash("p").alias("p"),
+            term_hash("o").alias("o"),
+            term_hash("g").alias("g"),
+        )
+        n_match = triples.join(hashed, ["s", "p", "o", "g"], "left_semi").count()
+        if n_match < len(with_o):
+            return graph, {"error": "Triple does not exist, skipping delete"}
+        triples = triples.join(hashed, ["s", "p", "o", "g"], "left_anti")
+
+    if no_o:
+        quads = _quads_df(graph, no_o)
+        hashed = quads.select(
+            term_hash("s").alias("s"),
+            term_hash("p").alias("p"),
+            term_hash("g").alias("g"),
+        )
+        n_match = triples.join(hashed, ["s", "p", "g"], "left_semi").count()
+        if n_match == 0:
+            return graph, {"error": "Triple does not exist, skipping delete"}
+        triples = triples.join(hashed, ["s", "p", "g"], "left_anti")
+
+    new_graph = Graph(triples=triples, terms=graph.terms)
+    return new_graph, {"triples_deleted": len(data)}

@@ -1,0 +1,101 @@
+"""Distributed N-Triples reader.
+
+Reference counterpart: the sequential line parser in reference
+main.py:70-115 (``read_nt``) and the multiprocessing splitter in
+scripts/index.py. Spark-first re-design: ``spark.read.text`` gives a
+distributed scan of any number of (optionally gzipped) files; parsing is
+JVM-side regex (``regexp_extract`` — whole-stage codegen), so ingest
+scales with executors instead of one Python process.
+
+Semantics preserved (reference main.py:88-115):
+- lines must end in `` .``; subject is an IRI or blank node, predicate
+  an IRI; everything after the predicate is the object term (the
+  reference does ``o = " ".join(parts[2:])`` — no inline 4th term);
+- ``\\uXXXX`` / ``\\UXXXXXXXX`` escapes are decoded (main.py:39-63) —
+  rare rows only, via an Arrow-batched pandas UDF;
+- TriG graph blocks (``<g> {`` ... ``}``) are a line-spanning stateful
+  construct and can't be partition-parallel; pass ``graph=`` to tag a
+  whole file instead (one build call per named graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# s = <iri> or _:blank; p = <iri>; o = everything up to the final " ."
+_NT_RE = r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*\S)\s*\.\s*$"
+
+_decode_cache = []
+
+
+def _decode_escapes_udf(col):
+    """Decode \\uXXXX / \\UXXXXXXXX (W3C N-Triples UCHAR) via an
+    Arrow-batched pandas UDF — created lazily (needs a live session)."""
+    if not _decode_cache:
+
+        @pandas_udf("string")
+        def decode(s):
+            import re
+
+            pat_u = re.compile(r"\\u([0-9a-fA-F]{4})")
+            pat_U = re.compile(r"\\U([0-9a-fA-F]{8})")
+
+            def dec(x):
+                if x is None:
+                    return x
+                x = pat_U.sub(lambda m: chr(int(m.group(1), 16)), x)
+                return pat_u.sub(lambda m: chr(int(m.group(1), 16)), x)
+
+            return s.map(dec)
+
+        _decode_cache.append(decode)
+    return _decode_cache[0](col)
+
+
+def read_nt(
+    spark: SparkSession,
+    paths: list[str] | str,
+    graph: str = "",
+    decode_escapes: bool = True,
+) -> DataFrame:
+    """Parse N-Triples text files (plain or .gz — Hadoop codecs handle
+    compression transparently) into string quads (s, p, o, g).
+    Malformed lines are dropped, as in the reference."""
+    if isinstance(paths, str):
+        paths = [paths]
+    lines = spark.read.text(paths)
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_RE, 1).alias("s"),
+        F.regexp_extract("value", _NT_RE, 2).alias("p"),
+        F.regexp_extract("value", _NT_RE, 3).alias("o"),
+    ).filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    out = parsed.withColumn("g", F.lit(graph))
+    if decode_escapes:
+        out = out.select(
+            *[
+                F.when(
+                    F.col(c).contains("\\u") | F.col(c).contains("\\U"),
+                    _decode_escapes_udf(F.col(c)),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in ("s", "p", "o")
+            ],
+            "g",
+        )
+    return out
+
+
+def literal_to_parts_cols(col):
+    """Split a literal lexical form into (value, language, datatype)
+    columns (reference main.py:22-36)."""
+    value = F.regexp_extract(col, r'^"(.*)"', 1)
+    language = F.regexp_extract(col, r'"@([A-Za-z0-9-]+)$', 1)
+    datatype = F.regexp_extract(col, r'"\^\^(<[^>]*>)$', 1)
+    return (
+        F.when(col.startswith('"'), value).alias("literal_value"),
+        F.when(language != F.lit(""), language).alias("language"),
+        F.when(datatype != F.lit(""), datatype).alias("datatype"),
+    )

@@ -1,0 +1,104 @@
+"""Structured-Streaming ingest for the quad store.
+
+Reference counterpart: the Redis-queued async insert/delete workers
+(reference workers.py:23-128). The Spark-native equivalent of a durable
+mutation queue is a file/stream source + Structured Streaming:
+mutations arrive as JSON lines {action, s, p, o, g}, and each
+micro-batch appends to the store:
+
+- inserts  → append to ``{store}/triples`` and ``{store}/terms``
+- deletes  → append to ``{store}/tombstones``
+
+The store stays append-only (object-store friendly; no rewrite of
+existing files); ``read_store`` reconciles tombstones with an anti-join
+at load time — the classic log-structured design, and the only shape
+that scales to 100 TB on an append-only filesystem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import Graph, term_hash
+
+MUTATION_SCHEMA = "action string, s string, p string, o string, g string"
+
+
+def read_mutation_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of JSON mutation records."""
+    return spark.readStream.schema(MUTATION_SCHEMA).json(src_dir)
+
+
+def _hashed(quads: DataFrame) -> DataFrame:
+    return quads.select(
+        term_hash("s").alias("s"),
+        term_hash("p").alias("p"),
+        term_hash("o").alias("o"),
+        term_hash(F.coalesce("g", F.lit(""))).alias("g"),
+    )
+
+
+def _terms(quads: DataFrame) -> DataFrame:
+    return (
+        quads.select(F.col("s").alias("value"))
+        .unionAll(quads.select("p"))
+        .unionAll(quads.select("o"))
+        .unionAll(quads.select(F.coalesce("g", F.lit("")).alias("g")))
+        .distinct()
+        .select(
+            term_hash("value").alias("hash"),
+            "value",
+            F.col("value").startswith('"').alias("is_literal"),
+        )
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start the mutation-ingest stream. Each micro-batch routes
+    inserts/deletes to their append-only directories via foreachBatch
+    (the sink is idempotent per batch id through checkpointing)."""
+    stream = read_mutation_stream(spark, src_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        inserts = batch.filter(F.col("action") == "insert")
+        deletes = batch.filter(F.col("action") == "delete")
+        if inserts.limit(1).count():
+            _hashed(inserts).write.mode("append").parquet(f"{store_dir}/triples")
+            _terms(inserts).write.mode("append").parquet(f"{store_dir}/terms")
+        if deletes.limit(1).count():
+            _hashed(deletes).write.mode("append").parquet(f"{store_dir}/tombstones")
+        batch.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_store(spark: SparkSession, store_dir: str) -> Graph:
+    """Load the log-structured store as a Graph: distinct quads minus
+    tombstones, deduplicated terms."""
+    triples = spark.read.parquet(f"{store_dir}/triples").distinct()
+    try:
+        tombstones = spark.read.parquet(f"{store_dir}/tombstones").distinct()
+        triples = triples.join(tombstones, ["s", "p", "o", "g"], "left_anti")
+    except Exception:
+        pass  # no deletes yet
+    terms = (
+        spark.read.parquet(f"{store_dir}/terms")
+        .groupBy("hash")
+        .agg(F.first("value").alias("value"), F.first("is_literal").alias("is_literal"))
+    )
+    return Graph(triples=triples, terms=terms)

@@ -1,0 +1,161 @@
+"""Tests: N-Triples source, mutations, streaming ingest, streaming
+events, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bikidata_spark import Engine, from_string_quads
+from bikidata_spark.operators import multimodal as mm
+from bikidata_spark.operators import mutations as mut
+from bikidata_spark.sources.ntriples import read_nt
+
+
+NT = """<http://ex/s1> <http://ex/p> "hello world" .
+<http://ex/s1> <http://ex/p2> <http://ex/o1> .
+_:b0 <http://ex/p> "blank subject" .
+<http://ex/s2> <http://ex/p> "uni \\u0041 escape" .
+malformed line without dot
+<http://ex/s3> <http://ex/p> "spaces in literal . inside" .
+"""
+
+
+@pytest.fixture()
+def nt_file(tmp_path):
+    f = tmp_path / "data.nt"
+    f.write_text(NT)
+    return str(f)
+
+
+def test_read_nt(spark, nt_file):
+    quads = read_nt(spark, nt_file, graph="<g/test>")
+    rows = {(r["s"], r["p"], r["o"]) for r in quads.collect()}
+    assert ("<http://ex/s1>", "<http://ex/p>", '"hello world"') in rows
+    assert ("_:b0", "<http://ex/p>", '"blank subject"') in rows
+    assert ("<http://ex/s2>", "<http://ex/p>", '"uni A escape"') in rows  # A → A
+    assert ("<http://ex/s3>", "<http://ex/p>", '"spaces in literal . inside"') in rows
+    assert len(rows) == 5
+    assert all(r["g"] == "<g/test>" for r in quads.collect())
+
+
+def test_nt_to_graph_query(spark, nt_file):
+    g = from_string_quads(read_nt(spark, nt_file))
+    eng = Engine(g)
+    subs = {r["s"] for r in eng.subjects_values({"filters": [{"p": "fts", "o": "hello"}]}).collect()}
+    assert subs == {"<http://ex/s1>"}
+
+
+def test_insert_and_delete(spark):
+    quads = spark.createDataFrame(
+        [("<s1>", "<p1>", '"v1"', "")], "s string, p string, o string, g string"
+    )
+    g = from_string_quads(quads)
+    g2, res = mut.insert(g, [{"s": "<s2>", "p": "<p1>", "o": '"v2"'}])
+    assert res.get("triples_inserted") == 1
+    assert g2.triples.count() == 2
+    # duplicate insert refused
+    _, res2 = mut.insert(g2, [{"s": "<s2>", "p": "<p1>", "o": '"v2"'}])
+    assert "error" in res2
+    # invalid subject refused
+    _, res3 = mut.insert(g2, [{"s": "nope", "p": "<p1>", "o": '"v"'}])
+    assert "error" in res3
+    # delete specific triple
+    g3, res4 = mut.delete(g2, [{"s": "<s2>", "p": "<p1>", "o": '"v2"'}])
+    assert res4.get("triples_deleted") == 1
+    assert g3.triples.count() == 1
+    # delete nonexistent refused
+    _, res5 = mut.delete(g3, [{"s": "<zz>", "p": "<p1>", "o": '"v"'}])
+    assert "error" in res5
+    # delete without o wipes all (s, p, g) matches
+    g4, res6 = mut.delete(g3, [{"s": "<s1>", "p": "<p1>"}])
+    assert g4.triples.count() == 0
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from bikidata_spark.streaming.mutations import read_store, start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    recs = [
+        {"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""},
+        {"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""},
+        {"action": "delete", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""},
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in recs))
+    q = start_ingest(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    g = read_store(spark, str(tmp_path / "store"))
+    eng = Engine(g)
+    subs = {r["s"] for r in eng.subjects_values({"filters": [{"p": "<p>", "o": ""}]}).collect()}
+    assert subs == {"<a>"}
+
+
+def test_streaming_hourly_agg(spark, tmp_path):
+    from bikidata_spark.streaming.events import hourly_agg_stream, read_event_stream, run_to_memory
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:40:00", "user_id": 1, "event_type": "click", "value": 2.5, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = hourly_agg_stream(read_event_stream(spark, str(src)))
+    q = run_to_memory(stream, "hourly_test")
+    q.awaitTermination(60)
+    out = {(str(r["hour"]), r["event_type"]): (r["n"], float(r["total"])) for r in spark.sql("select * from hourly_test").collect()}
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 1.0)
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from bikidata_spark.streaming.events import read_event_stream, run_to_memory, sessionize_stream
+
+    src = tmp_path / "ev2"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "c", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "c", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "c", "value": 0.0, "props": "{}"},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = sessionize_stream(read_event_stream(spark, str(src)))
+    q = run_to_memory(stream, "sess_test")
+    q.awaitTermination(60)
+    out = sorted(
+        (str(r["session_start"]), r["n_events"])
+        for r in spark.sql("select * from sess_test").collect()
+    )
+    assert [n for _, n in out] == [2, 1]
+
+
+def test_multimodal_fake_features(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01\x02\x03")), (2, bytearray(b"\xff" * 8))],
+        "media_id long, payload binary",
+    )
+    media = mm.attach_media(df, "media_id", "payload", "image/png")
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media, fake=True).collect()}
+    assert len(feats[1]) == 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-9
+    # real decode path is stubbed
+    with pytest.raises(Exception):
+        mm.extract_features(media, fake=False).collect()
+
+
+def test_multimodal_frame_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"vid"))], "media_id long, payload binary"
+    )
+    media = mm.attach_media(df, "media_id", "payload", "video/mp4").withColumn(
+        "duration_ms", F.lit(3000).cast("long")
+    )
+    frames = mm.sample_frames(media, every_ms=1000, fake=True).collect()
+    assert len(frames) == 3
+    assert [r["frame_ts_ms"] for r in sorted(frames, key=lambda r: r["frame_ts_ms"])] == [0, 1000, 2000]
