@@ -166,9 +166,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"filters": [{"p": f"fts {RDFS_LABEL}", "o": "customer 000000013"}]}
     )
     q["rdf_fts_hop"] = subj({"filters": [{"p": "fts 1", "o": "customer 000000013"}]})
+    q["rdf_fts_hop2"] = subj({"filters": [{"p": "fts 2", "o": "nation 5"}]})
     q["rdf_regex"] = subj({"filters": [{"p": "regex", "o": '"Customer#0000000.."'}]})
+    q["rdf_regex_prop"] = subj(
+        {"filters": [{"p": f"regex {RDFS_LABEL}", "o": '"Supplier#.*"'}]}
+    )
     q["rdf_property_hop"] = subj(
         {"filters": [{"p": "<p/nation> 1", "o": "<e/nation/5>"}]}
+    )
+    q["rdf_filter_graph_multi"] = subj(
+        {"filters": [{"p": "", "o": "<e/nation/5>", "g": "<g/customer> <g/supplier>"}]}
     )
 
     # --- aggregates -----------------------------------------------------
@@ -247,6 +254,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rdf_spo"] = spo_run
 
+    def sp_run(spark, sf_dir):
+        return _engine(spark, sf_dir).sp_df(
+            ["<e/customer/1>", "<e/customer/2>"], "<p/mktsegment>"
+        )
+
+    q["rdf_sp"] = sp_run
+
+    q["rdf_hydrate_only"] = lambda spark, sf_dir: _engine(spark, sf_dir).hydrate_df(
+        {
+            "filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}],
+            "only_properties": [RDFS_LABEL, "<p/nation>"],
+            "size": 2000,
+        }
+    )
+    q["rdf_hydrate_exclude"] = lambda spark, sf_dir: _engine(spark, sf_dir).hydrate_df(
+        {
+            "filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}],
+            "exclude_properties": ["<p/acctbal>"],
+            "size": 2000,
+        }
+    )
+
     def props_run(spark, sf_dir):
         return _engine(spark, sf_dir).properties()
 
@@ -309,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
     q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")
     q["pipe_text_fingerprint"] = lambda spark, sf: fingerprint(docs(spark, sf), "doc_id", "text")
+    q["pipe_dedup_fingerprint"] = lambda spark, sf: (
+        fingerprint(docs(spark, sf), "doc_id", "text")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
 
     def events_df(spark, sf_dir):
         return load_events(spark, sf_dir)
@@ -366,12 +400,22 @@ SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG}"""
         f"""SELECT DISTINCT T1.s FROM quads T0 JOIN quads T1 ON T1.o = T0.s
 WHERE {_fts_cond(['customer', '000000013'], 'T0.o')}"""
     )
+    o["rdf_fts_hop2"] = _with_quads(
+        f"""SELECT DISTINCT T2.s FROM quads T0 JOIN quads T1 ON T1.o = T0.s JOIN quads T2 ON T2.o = T1.s
+WHERE {_fts_cond(['nation', '5'], 'T0.o')}"""
+    )
     o["rdf_regex"] = _with_quads(
         """SELECT DISTINCT s FROM quads WHERE o LIKE '"%' AND regexp_full_match(o, '"Customer#0000000.."')"""
+    )
+    o["rdf_regex_prop"] = _with_quads(
+        f"""SELECT DISTINCT s FROM quads WHERE p = '{RDFS_LABEL}' AND o LIKE '"%' AND regexp_full_match(o, '"Supplier#.*"')"""
     )
     o["rdf_property_hop"] = _with_quads(
         """SELECT DISTINCT T1.s FROM quads T0 JOIN quads T1 ON T1.o = T0.s
 WHERE T0.p = '<p/nation>' AND T0.o = '<e/nation/5>'"""
+    )
+    o["rdf_filter_graph_multi"] = _with_quads(
+        "SELECT DISTINCT s FROM quads WHERE o = '<e/nation/5>' AND g IN ('<g/customer>', '<g/supplier>')"
     )
     o["rdf_facet_nation"] = _with_quads(
         f""", s_results AS (SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG})
@@ -476,6 +520,19 @@ SELECT src AS s, CAST(pos AS INT) AS pos, ancestor FROM anc""",
     o["rdf_spo"] = _with_quads(
         """SELECT s, p, o FROM (SELECT DISTINCT s, p, o FROM quads WHERE p = '<p/nation>' AND o = '<e/nation/5>')
 ORDER BY s, p, o LIMIT 1000"""
+    )
+    o["rdf_sp"] = _with_quads(
+        "SELECT s, o FROM quads WHERE s IN ('<e/customer/1>', '<e/customer/2>') AND p = '<p/mktsegment>'"
+    )
+    o["rdf_hydrate_only"] = _with_quads(
+        f""", s_results AS ({building})
+SELECT T.s, T.p, T.o FROM quads T JOIN s_results S ON T.s = S.s
+WHERE T.p IN ('{RDFS_LABEL}', '<p/nation>')"""
+    )
+    o["rdf_hydrate_exclude"] = _with_quads(
+        f""", s_results AS ({building})
+SELECT T.s, T.p, T.o FROM quads T JOIN s_results S ON T.s = S.s
+WHERE T.p != '<p/acctbal>'"""
     )
     o["rdf_properties"] = _with_quads(
         "SELECT p AS val, COUNT(DISTINCT s) AS count FROM quads GROUP BY p"
@@ -605,6 +662,11 @@ FROM scored
     o["pipe_text_fingerprint"] = f"""
 WITH {TOKLIST}
 SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toklist
+"""
+    o["pipe_dedup_fingerprint"] = f"""
+WITH {TOKLIST}
+SELECT md5(array_to_string(ts, ' ')) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM toklist GROUP BY 1
 """
 
     o["pipe_events_hourly"] = """

@@ -14,6 +14,28 @@ import hashlib
 import math
 
 
+def build_semantic(graph, dim: int = 64, hops: int = 2, embed_fn=None):
+    """Build the per-subject embedding table (s, vec) from entity text
+    (reference semantic.py:41-87: embeds the ``fts`` table rows in
+    batches). Spark-native: entity_text → Arrow-batched pandas UDF, so
+    embedding runs partition-parallel (the reference loops batches in
+    one process). With no codec/API in this container, the default
+    provider is the deterministic fake."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.fts import entity_text
+
+    fn = embed_fn or fake_embedding
+
+    @pandas_udf("array<double>")
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: fn(t or "", dim))
+
+    et = entity_text(graph, hops=hops)
+    return et.select("s", embed("text").alias("vec"))
+
+
 def fake_embedding(text: str, dim: int = 64) -> list[float]:
     """Deterministic unit-norm pseudo-embedding of ``text``."""
     out: list[float] = []

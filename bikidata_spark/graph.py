@@ -83,11 +83,10 @@ def from_string_quads(quads: DataFrame) -> Graph:
         term_hash("g").alias("g"),
     )
 
+    # single pass over the source: explode the four term positions,
+    # then one distinct shuffle (vs 4 unionAll re-scans of the source)
     terms = (
-        quads.select(F.col("s").alias("value"))
-        .unionAll(quads.select(F.col("p").alias("value")))
-        .unionAll(quads.select(F.col("o").alias("value")))
-        .unionAll(quads.select(F.col("g").alias("value")))
+        quads.select(F.explode(F.array("s", "p", "o", "g")).alias("value"))
         .distinct()
         .select(
             term_hash("value").alias("hash"),

@@ -78,7 +78,10 @@ def minhash_lsh_pairs(
     candidate when ANY minhash matches — high recall for low-jaccard
     corpora) verified by exact shingle Jaccard >= num/den."""
     sh = shingles(df, id_col, text_col, k).persist()
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # signatures from the SAME materialized shingle set (one scan)
+    sig = sh.groupBy("id").agg(
+        *[F.min(_h32(F.col("s"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
     bands = sig.select(
         "id",
         F.posexplode(F.array(*[F.col(f"h{i}") for i in range(num_hashes)])).alias(

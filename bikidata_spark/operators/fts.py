@@ -76,6 +76,38 @@ class FtsIndex:
         return scored.select("lit", "score")
 
 
+def entity_text(graph, hops: int = 2) -> DataFrame:
+    """Per-subject concatenation of its literal values, including
+    literals reachable through ``hops``-1 levels of child entities —
+    the reference's entity-grouped ``fts`` table (main.py:229-272:
+    temp_fts1 = own literals, temp_fts2 = literals of objects one hop
+    away). Returns (s, text). Feeds the semantic index build.
+
+    Values are sorted before aggregation so the concatenation is
+    deterministic under any partitioning."""
+    t = graph.triples
+    lits = graph.literals().select(F.col("hash").alias("_lh"), F.col("value").alias("_lv"))
+    own = t.join(lits, t.o == F.col("_lh")).select("s", "_lv")
+    layers = [own]
+    frontier = own
+    for _ in range(max(0, hops - 1)):
+        # literals of my objects: T.s --o--> child, child's literal text
+        child_text = frontier.select(F.col("s").alias("_child"), "_lv")
+        hop = (
+            t.join(child_text, t.o == F.col("_child"))
+            .select("s", "_lv")
+        )
+        layers.append(hop)
+        frontier = hop
+    from functools import reduce
+
+    all_lits = reduce(lambda a, b: a.unionAll(b), layers).distinct()
+    return (
+        all_lits.groupBy("s")
+        .agg(F.array_join(F.array_sort(F.collect_set("_lv")), "\n").alias("text"))
+    )
+
+
 def build_fts_index(literals: DataFrame) -> FtsIndex:
     """Index ``(hash, value)`` literals. One scan, one shuffle (groupBy
     token+lit), map-side combine via partial aggregation."""

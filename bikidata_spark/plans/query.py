@@ -481,9 +481,9 @@ class Engine:
                 ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
                 gv = terms.select(F.col("hash").alias("g"), F.col("value").alias("g_val"))
                 hydrated = (
-                    t.join(F.broadcast(pv), "p")
+                    t.join(pv, "p")
                     .join(ov, "o")
-                    .join(F.broadcast(gv), "g")
+                    .join(gv, "g")
                     .select("s", "p_val", "o_val", "g_val")
                     .collect()
                 )
@@ -561,7 +561,7 @@ class Engine:
         ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
         out = (
             t.join(sv, "s")
-            .join(F.broadcast(pv), "p")
+            .join(pv, "p")
             .join(ov, "o")
             .select(F.col("s_val").alias("s"), F.col("p_val").alias("p"), F.col("o_val").alias("o"))
             .orderBy("s", "p", "o")
@@ -569,6 +569,48 @@ class Engine:
         if start:
             out = out.offset(start)
         return out.limit(size)
+
+    def sp_df(self, s_list: list[str], p: str | None) -> DataFrame:
+        """DataFrame form of ``sp``: (s, o) for the given subjects and
+        optional predicate."""
+        t = self.graph.triples.filter(_isin_terms(F.col("s"), s_list))
+        if p:
+            t = t.filter(F.col("p") == H(p))
+        terms = self.graph.terms
+        sv = terms.select(F.col("hash").alias("s"), F.col("value").alias("s_val"))
+        ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
+        return (
+            t.join(sv, "s")
+            .join(ov, "o")
+            .select(F.col("s_val").alias("s"), F.col("o_val").alias("o"))
+        )
+
+    def hydrate_df(self, opts: dict) -> DataFrame:
+        """Page hydration as rows: (s, p, o) string triples of the
+        page's subjects with only/exclude property projection
+        (reference query.py:756-786)."""
+        page = self.page(opts).select("s")
+        t = self.graph.triples.join(page, "s", "left_semi")
+        only_p = opts.get("only_properties") or []
+        excl_p = opts.get("exclude_properties") or []
+        if only_p:
+            t = t.filter(_isin_terms(F.col("p"), list(only_p)))
+        elif excl_p:
+            t = t.filter(~_isin_terms(F.col("p"), list(excl_p)))
+        terms = self.graph.terms
+        sv = terms.select(F.col("hash").alias("s"), F.col("value").alias("s_val"))
+        pv = terms.select(F.col("hash").alias("p"), F.col("value").alias("p_val"))
+        ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
+        return (
+            t.join(sv, "s")
+            .join(pv, "p")
+            .join(ov, "o")
+            .select(
+                F.col("s_val").alias("s"),
+                F.col("p_val").alias("p"),
+                F.col("o_val").alias("o"),
+            )
+        )
 
     def sp(self, s_list: list[str], p: str | None) -> dict:
         """Batched lookup: {subject: [object values]}
