@@ -29,7 +29,7 @@ def build_semantic(graph, dim: int = 64, hops: int = 2, embed_fn=None):
     fn = embed_fn or fake_embedding
 
     @pandas_udf("array<double>")
-    def embed(texts: pd.Series) -> pd.Series:
+    def embed(texts):
         return texts.map(lambda t: fn(t or "", dim))
 
     et = entity_text(graph, hops=hops)

@@ -521,6 +521,14 @@ class Engine:
         return back
 
     # ---- small introspection API (reference query.py:13-87) -----------
+    def raw(self, sql: str) -> DataFrame:
+        """SQL escape hatch (reference ``raw()`` query.py:8-10 hands out
+        a DuckDB cursor; here the graph is exposed as temp views
+        ``triples``/``terms`` and the query runs through Catalyst)."""
+        self.graph.triples.createOrReplaceTempView("triples")
+        self.graph.terms.createOrReplaceTempView("terms")
+        return self.graph.spark.sql(sql)
+
     def total(self) -> int:
         return self.graph.triples.select("s").distinct().count()
 

@@ -1,0 +1,74 @@
+"""Tests: FTS index internals, entity text aggregation, semantic index
+build, raw SQL passthrough."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bikidata_spark import Engine, from_string_quads
+from bikidata_spark.functions.embed import build_semantic, fake_embedding
+from bikidata_spark.operators.fts import build_fts_index, entity_text, tokenize_query
+
+
+def _mini_graph(spark):
+    quads = spark.createDataFrame(
+        [
+            ("<e/1>", "<label>", '"alpha beta"', ""),
+            ("<e/1>", "<p/child>", "<e/2>", ""),
+            ("<e/2>", "<label>", '"gamma"', ""),
+            ("<e/3>", "<label>", '"alpha alpha"', ""),
+        ],
+        "s string, p string, o string, g string",
+    )
+    return from_string_quads(quads)
+
+
+def test_tokenize_query():
+    assert tokenize_query("Hello, World-42!") == ["hello", "world", "42"]
+
+
+def test_bm25_ranks_higher_tf(spark):
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals())
+    hits = {r["lit"]: r["score"] for r in idx.match("alpha").collect()}
+    assert len(hits) == 2
+    lit_map = {r["value"]: r["hash"] for r in g.literals().collect()}
+    # doc with tf=2 scores higher than tf=1
+    assert hits[lit_map['"alpha alpha"']] > hits[lit_map['"alpha beta"']]
+
+
+def test_conjunctive_requires_same_literal(spark):
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals())
+    assert idx.match("alpha gamma").count() == 0  # terms in different literals
+    assert idx.match("alpha beta").count() == 1
+
+
+def test_entity_text_includes_child_literals(spark):
+    g = _mini_graph(spark)
+    et = {r["s"]: r["text"] for r in entity_text(g, hops=2).collect()}
+    e1 = g.terms.filter(F.col("value") == "<e/1>").first()["hash"]
+    assert '"alpha beta"' in et[e1] and '"gamma"' in et[e1]  # own + child
+
+
+def test_build_semantic_deterministic(spark):
+    g = _mini_graph(spark)
+    emb = build_semantic(g, dim=16)
+    rows = {r["s"]: r["vec"] for r in emb.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    rows2 = {r["s"]: r["vec"] for r in build_semantic(g, dim=16).collect()}
+    assert rows == rows2
+
+
+def test_fake_embedding_unit_norm():
+    v = fake_embedding("hello", 32)
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    assert v == fake_embedding("hello", 32)
+    assert v != fake_embedding("other", 32)
+
+
+def test_raw_sql_passthrough(spark):
+    g = _mini_graph(spark)
+    eng = Engine(g)
+    n = eng.raw("SELECT COUNT(*) AS n FROM triples").first()["n"]
+    assert n == 4
