@@ -20,12 +20,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from bikidata_spark import Engine, from_string_quads
 from bikidata_spark.functions.text import (
+    EMAIL_RE,
     LANG_PROFILES,
+    PHONE_RE,
     STOPWORDS_EN,
     fingerprint,
     lang_id,
+    pii_scrub,
     quality_score,
     token_count,
+    vocabulary,
 )
 from bikidata_spark.operators import dedup as dd
 from bikidata_spark.operators import events as ev
@@ -343,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
     )
+    q["pipe_text_pii"] = lambda spark, sf: pii_scrub(docs(spark, sf), "doc_id", "text")
+    q["pipe_text_vocab"] = lambda spark, sf: vocabulary(docs(spark, sf), "text", 2)
 
     def events_df(spark, sf_dir):
         return load_events(spark, sf_dir)
@@ -669,6 +675,24 @@ SELECT md5(array_to_string(ts, ' ')) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS 
 FROM toklist GROUP BY 1
 """
 
+    o["pipe_text_pii"] = f"""
+WITH step1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM step1
+"""
+    o["pipe_text_vocab"] = f"""
+WITH {TOKLIST},
+tok AS (SELECT unnest(ts) AS token FROM toklist)
+SELECT token, COUNT(*) AS n FROM tok GROUP BY token HAVING COUNT(*) >= 2
+"""
     o["pipe_events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS total

@@ -79,6 +79,39 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out
 
 
+# deliberately simple patterns that behave identically in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[+]?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails/phone-like spans; report counts.
+    (id, clean_text, n_emails, n_phones) — a standard corpus-cleaning
+    stage; pure JVM regex."""
+    n_emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary: (token, n) for tokens occurring >= min_count
+    times. One explode + one map-side-combined groupBy."""
+    return (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized document fingerprint: md5 of the token stream — the
     canonical near-exact dedup key (whitespace/punct/case-insensitive)."""

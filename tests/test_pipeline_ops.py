@@ -142,3 +142,27 @@ def test_topk_users_deterministic_ties(spark):
         (1, 1),
         (2, 2),
     ]
+
+
+def test_pii_scrub(spark):
+    from bikidata_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or call +1 555 123 4567 ok"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
+    assert "bob@" not in out[1]["clean_text"]
+    assert out[2]["clean_text"] == "clean" and out[2]["n_emails"] == 0
+
+
+def test_vocabulary(spark):
+    from bikidata_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")], "doc_id long, text string"
+    )
+    v = {r["token"]: r["n"] for r in vocabulary(df, "text", 2).collect()}
+    assert v == {"apple": 2, "banana": 2}

@@ -159,3 +159,21 @@ def test_multimodal_frame_fanout(spark):
     frames = mm.sample_frames(media, every_ms=1000, fake=True).collect()
     assert len(frames) == 3
     assert [r["frame_ts_ms"] for r in sorted(frames, key=lambda r: r["frame_ts_ms"])] == [0, 1000, 2000]
+
+
+def test_streaming_nt_ingest(spark, tmp_path):
+    from bikidata_spark.streaming.mutations import read_store
+    from bikidata_spark.streaming.ntriples import start_nt_ingest
+
+    src = tmp_path / "ntsrc"
+    src.mkdir()
+    (src / "a.nt").write_text(
+        '<http://x/s1> <http://x/p> "streamed value" .\n'
+        '<http://x/s2> <http://x/p> <http://x/o> .\n'
+    )
+    q = start_nt_ingest(spark, str(src), str(tmp_path / "ntstore"), str(tmp_path / "ntckpt"))
+    q.awaitTermination(60)
+    g = read_store(spark, str(tmp_path / "ntstore"))
+    eng = Engine(g)
+    subs = {r["s"] for r in eng.subjects_values({"filters": [{"p": "fts", "o": "streamed"}]}).collect()}
+    assert subs == {"<http://x/s1>"}
