@@ -632,7 +632,23 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
   SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
 ) WHERE rank <= {ANN_K}
 """
-    # pipe_ann_lsh: approximate-by-design → rows-only driver check
+    # pipe_ann_lsh: approximate — but fully deterministic, so mirrored:
+    # same md5-derived hyperplanes, same bucket-restricted ranking
+    planes = sim.hyperplanes(4, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {w}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(planes)
+    )
+    o["pipe_ann_lsh"] = f"""
+WITH {EMB_D},
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+q AS (SELECT * FROM b WHERE vec_id < {ANN_NQ}),
+scored AS (SELECT q.vec_id AS qid, b.vec_id AS neighbor, list_cosine_similarity(b.v, q.v) AS sim
+           FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.vec_id)
+SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
 
     o["pipe_text_tokens"] = f"""
 WITH {TOKLIST}

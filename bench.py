@@ -32,6 +32,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bikidata-bench")
+    # untimed JVM/codegen warmup (standard practice: measure the engine,
+    # not JIT compilation of the first job)
+    spark.range(1_000_000).selectExpr("bit_xor(xxhash64(cast(id as string)))").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
     times: dict[str, float] = {}
 
     def timed(name, fn):

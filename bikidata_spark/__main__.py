@@ -1,0 +1,67 @@
+"""CLI — parity with ``python -m bikidata`` (reference __main__.py):
+
+    python -m bikidata_spark build  <store_dir> <file.nt|dir> [...]
+    python -m bikidata_spark query  <store_dir> '<json opts>'
+    python -m bikidata_spark total  <store_dir>
+
+``build`` ingests N-Triples (plain or .gz) into a parquet graph store;
+``query`` runs a JSON query (reference README's dict shape) against it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from .graph import from_string_quads, read_graph, write_graph
+from .plans.query import Engine
+from .session import get_spark
+from .sources.ntriples import read_nt
+
+SUFFIXES = (".gz", ".nt")
+
+
+def _collect_paths(args: list[str]) -> list[str]:
+    paths: list[str] = []
+    for a in args:
+        if os.path.isdir(a):
+            paths.extend(
+                os.path.join(a, x) for x in sorted(os.listdir(a)) if x.endswith(SUFFIXES)
+            )
+        else:
+            paths.append(a)
+    return paths
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cmd = argv[0]
+    spark = get_spark("bikidata-cli")
+    if cmd == "build":
+        store, files = argv[1], _collect_paths(argv[2:])
+        if not files:
+            print("No triples to index", file=sys.stderr)
+            return 1
+        graph = from_string_quads(read_nt(spark, files))
+        write_graph(graph, store)
+        n = read_graph(spark, store).triples.count()
+        print(json.dumps({"triples": n, "store": store}))
+        return 0
+    if cmd == "query":
+        store, opts = argv[1], json.loads(argv[2])
+        eng = Engine(read_graph(spark, store))
+        print(json.dumps(eng.query(opts), indent=2, default=str))
+        return 0
+    if cmd == "total":
+        eng = Engine(read_graph(spark, argv[1]))
+        print(json.dumps({"total": eng.total()}))
+        return 0
+    print(f"Unknown command {cmd!r}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -64,22 +64,28 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec_col, planes: int, dim: int):
-    """Deterministic LSH bucket id: sign pattern against ``planes``
-    pseudo-random hyperplanes derived from md5(plane:dim_index) — no
-    stored model, reproducible anywhere."""
-    bucket = F.lit(0)
+def hyperplanes(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from
+    md5(plane:dim_index) — no stored model, reproducible anywhere
+    (including inside an oracle SQL string)."""
+    import hashlib
+
+    out = []
     for j in range(planes):
-        w = F.array(
-            *[
-                (
-                    F.conv(F.substring(F.md5(F.lit(f"{j}:{d}")), 1, 8), 16, 10).cast("double")
-                    / F.lit(float(2**31))
-                    - F.lit(1.0)
-                )
-                for d in range(dim)
-            ]
-        )
+        w = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
+            w.append(h / float(2**31) - 1.0)
+        out.append(w)
+    return out
+
+
+def hyperplane_bucket(vec_col, planes: int, dim: int):
+    """LSH bucket id: sign pattern against the deterministic
+    hyperplanes (embedded as constant arrays — Catalyst folds them)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(hyperplanes(planes, dim)):
+        w = F.array(*[F.lit(x) for x in plane])
         bucket = bucket + F.when(_dot(vec_col, w) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 

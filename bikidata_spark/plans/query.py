@@ -78,6 +78,10 @@ class Engine:
     # embedding provider for text queries; defaults to a deterministic stub
     embed_fn: object = None
     _fts: FtsIndex | None = field(default=None, repr=False)
+    # persisted subject-set cache keyed by the filter spec (the Spark
+    # counterpart of the reference's Redis result cache, workers.py:89-107;
+    # a persisted DataFrame is shared by every downstream action)
+    _subject_cache: dict = field(default_factory=dict, repr=False)
 
     # ---- indexes -------------------------------------------------------
     @property
@@ -213,7 +217,27 @@ class Engine:
     def subjects(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
         """Combine filters with UNION/INTERSECT/EXCEPT in listed order,
         EXCEPT clauses last (reference query.py:629-669). Returns
-        (s_results, s_by_score|None)."""
+        (s_results, s_by_score|None).
+
+        With ``opts['use_cache']`` (default True, as in the reference
+        async worker) the combined subject set is persisted and reused
+        across calls with the same filter spec."""
+        use_cache = opts.get("use_cache", True)
+        key = None
+        if use_cache:
+            import json
+
+            key = json.dumps(opts.get("filters", []), sort_keys=True)
+            hit = self._subject_cache.get(key)
+            if hit is not None:
+                return hit
+        result = self._subjects_uncached(opts)
+        if use_cache and result[0] is not None:
+            result = (result[0].persist(), result[1])
+            self._subject_cache[key] = result
+        return result
+
+    def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
         combined = None
         excepts = []
         score_frames = []
