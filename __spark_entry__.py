@@ -572,9 +572,6 @@ WHERE 1.0 - list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DO
         expr = " || ' ' || ".join(cols)
         return f"sh AS (SELECT DISTINCT a.doc_id AS id, {expr} AS s FROM toks a {' '.join(joins)})"
 
-    def h32(seed: int, col: str = "s") -> str:
-        return f"CAST(CAST(('0x' || substr(md5('{seed}:' || {col}), 1, 8)) AS UBIGINT) AS BIGINT)"
-
     SIZES = "sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)"
 
     o["pipe_dedup_exact"] = (
@@ -583,9 +580,16 @@ WHERE 1.0 - list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DO
 
     nh = MINHASH_NUM_HASHES
     jn, jd = MINHASH_J
+    from bikidata_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    hb = "CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT)"
+    minh = ", ".join(
+        f"min(({a} * {hb} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(nh))
+    )
     o["pipe_dedup_minhash"] = f"""
 WITH {TOKLIST}, {TOKS}, {shingle_cte(MINHASH_K)},
-sig AS (SELECT id, {', '.join(f'min({h32(i)}) AS h{i}' for i in range(nh))} FROM sh GROUP BY id),
+sig AS (SELECT id, {minh} FROM sh GROUP BY id),
 bands AS ({' UNION ALL '.join(f'SELECT id, {i} AS band, h{i} AS sig FROM sig' for i in range(nh))}),
 cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
 {SIZES},

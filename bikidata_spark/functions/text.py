@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.fts import TOKEN_SPLIT_RE, tokens_col
+from ..session import ensure_parallelism
 
 # deterministic stopword profiles for the language-ID heuristic
 LANG_PROFILES: dict[str, list[str]] = {
@@ -24,6 +25,7 @@ STOPWORDS_EN = LANG_PROFILES["en"]
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, n_chars) — whitespace/punct token counting."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
@@ -35,6 +37,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: length, alpha ratio, stopword ratio,
     mean token length — the standard cheap pre-filters for LLM corpus
     cleaning. All integer counts + one exact division at the end."""
+    df = ensure_parallelism(df)
     toks = tokens_col(F.col(text_col))
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -57,6 +60,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-profile language ID. Deterministic argmax with a fixed
     profile order for ties ('en' > 'de' > 'fr' > 'es' > 'und')."""
+    df = ensure_parallelism(df)
     toks = tokens_col(F.col(text_col))
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
@@ -89,6 +93,7 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Redact emails/phone-like spans; report counts.
     (id, clean_text, n_emails, n_phones) — a standard corpus-cleaning
     stage; pure JVM regex."""
+    df = ensure_parallelism(df)
     n_emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0)))
     no_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
     n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
@@ -104,6 +109,7 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def vocabulary(df: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
     """Corpus vocabulary: (token, n) for tokens occurring >= min_count
     times. One explode + one map-side-combined groupBy."""
+    df = ensure_parallelism(df)
     return (
         df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
         .groupBy("token")
@@ -115,6 +121,7 @@ def vocabulary(df: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized document fingerprint: md5 of the token stream — the
     canonical near-exact dedup key (whitespace/punct/case-insensitive)."""
+    df = ensure_parallelism(df)
     toks = tokens_col(F.col(text_col))
     return df.select(
         F.col(id_col),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
 from .fts import tokens_col
 
 
@@ -27,13 +28,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: (key, keep_id, n_dups). Survivor is
     the minimum id per md5(text) — one hash-partitioned groupBy."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("key"))
+        ensure_parallelism(df)
+        .groupBy(F.md5(F.col(text_col)).alias("key"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Distinct k-token shingles per doc: (id, s)."""
+    df = ensure_parallelism(df)
     toks = tokens_col(F.col(text_col))
     sh = F.when(
         F.size(toks) >= k,
@@ -47,12 +50,29 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     )
 
 
-def _h32(col, seed: int):
-    """Deterministic 32-bit hash shared with the oracle: first 8 hex
-    chars of md5('{seed}:' || value)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
-    ).cast("long")
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash coefficients, mirrorable in
+    any SQL engine (plain integer arithmetic)."""
+    return [
+        (((i * 2654435761 + 1) % MINHASH_P) or 1, (i * 40503 + 17) % MINHASH_P)
+        for i in range(n)
+    ]
+
+
+def _hbase(col):
+    """Deterministic 32-bit base hash shared with the oracle: first 8
+    hex chars of md5(value). Computed ONCE per shingle; the n minhash
+    functions derive from it with (a*h + b) mod p — one md5 instead of
+    n md5s per shingle (the hash dominates signature cost at scale)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _huniv(base, a: int, b: int):
+    # a < 2^31, base < 2^32 -> a*base < 2^63: no ANSI long overflow
+    return (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_signatures(
@@ -60,8 +80,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{n-1}) MinHash signature — one groupBy with n min()
     aggregates (map-side partial agg; single shuffle on id)."""
-    sh = shingles(df, id_col, text_col, k)
-    aggs = [F.min(_h32(F.col("s"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sh = shingles(df, id_col, text_col, k).withColumn("hb", _hbase(F.col("s")))
+    aggs = [
+        F.min(_huniv(F.col("hb"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -78,9 +101,14 @@ def minhash_lsh_pairs(
     candidate when ANY minhash matches — high recall for low-jaccard
     corpora) verified by exact shingle Jaccard >= num/den."""
     sh = shingles(df, id_col, text_col, k).persist()
-    # signatures from the SAME materialized shingle set (one scan)
+    # signatures from the SAME materialized shingle set (one scan);
+    # one md5 base hash per shingle, n cheap (a*h+b) mod p derivations
+    hb = _hbase(F.col("s"))
     sig = sh.groupBy("id").agg(
-        *[F.min(_h32(F.col("s"), i)).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(_huniv(hb, a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
     )
     bands = sig.select(
         "id",
@@ -96,33 +124,33 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    sha = sh.select(F.col("id").alias("id_a"), "s")
-    shb = sh.select(F.col("id").alias("id_b"), "s")
-    inter = (
-        cands.join(sha, "id_a")
-        .join(shb, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(
-            F.lit(jaccard_den) * F.col("i")
-            >= F.lit(jaccard_num) * (F.col("na") + F.col("nb") - F.col("i"))
-        )
+    # verification: per-doc shingle-hash sets joined to the candidate
+    # pairs, intersection via array_intersect — candidate-driven work
+    # with NO candidates×postings explosion (the naive inter-join
+    # materializes |cands|·|shingles/doc| rows; this carries one ~50-int
+    # array per side instead). Shingles are already distinct per doc, so
+    # |array_intersect| is the exact overlap; xxhash64 keeps the arrays
+    # fixed-width (collision odds ~|shingles|²/2⁶⁵ — negligible, and the
+    # hash never crosses the oracle boundary: the oracle computes the
+    # same overlap directly on strings).
+    sets = sh.groupBy("id").agg(F.collect_set(F.xxhash64("s")).alias("ss"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("ss").alias("sb"))
+    i = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    na, nb = F.size(F.col("sa")), F.size(F.col("sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.lit(jaccard_den) * i >= F.lit(jaccard_num) * (na + nb - i))
         .select("id_a", "id_b")
     )
-    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, sh) — tf-weighted SimHash over tokens. Token base hash is 60
     md5 bits; bit j of the signature is the sign of the tf-weighted sum
     of (2*bit_j(h) - 1). Pure integer math → oracle-mirrorable."""
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t")
     )

@@ -11,11 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..session import ensure_parallelism
 
 
 def hourly_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour aggregate per event_type:
     (hour, event_type, n, total)."""
+    events = ensure_parallelism(events)
     return (
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -29,6 +31,7 @@ def hourly_agg(events: DataFrame) -> DataFrame:
 
 def json_prop_sum(events: DataFrame, json_col: str = "props", key: str = "k") -> DataFrame:
     """Extract a JSON integer property and sum per event_type."""
+    events = ensure_parallelism(events)
     return (
         events.groupBy("event_type")
         .agg(
@@ -41,6 +44,7 @@ def json_prop_sum(events: DataFrame, json_col: str = "props", key: str = "k") ->
 def topk_users(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k users by event count per event_type (ties → lower user_id):
     (event_type, user_id, n_events, rank)."""
+    events = ensure_parallelism(events)
     counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
     w = Window.partitionBy("event_type").orderBy(
         F.col("n_events").desc(), F.col("user_id").asc()
@@ -59,6 +63,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Batch twin of the streaming stateful operator; one window pass
     (partition by user), integer session ids — deterministic."""
+    events = ensure_parallelism(events)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.lit(gap_minutes * 60)
     with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))

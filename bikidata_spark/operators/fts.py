@@ -114,14 +114,19 @@ def build_fts_index(literals: DataFrame) -> FtsIndex:
     toks = literals.select(
         F.col("hash").alias("lit"), F.explode(tokens_col("value")).alias("token")
     )
-    postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf"))
-    doc_len = toks.groupBy("lit").agg(F.count("*").alias("dl"))
-    token_df = postings.groupBy("token").agg(F.count("*").alias("df"))
+    postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf")).persist()
+    # materialize now — "build" should pay the build cost, not the first
+    # query (persist alone is lazy). ONE tokenize scan: doc_len (dl =
+    # sum tf) and token_df both derive from the cached postings.
+    postings.count()
+    doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
+    token_df = postings.groupBy("token").agg(F.count("*").alias("df")).persist()
+    token_df.count()
     stats = doc_len.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     return FtsIndex(
-        postings=postings.persist(),
-        token_df=token_df.persist(),
-        doc_len=doc_len.persist(),
+        postings=postings,
+        token_df=token_df,
+        doc_len=doc_len,
         n_docs=stats["n"] or 0,
         avgdl=float(stats["avgdl"] or 1.0),
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -49,7 +51,7 @@ def cosine_topk(
     on neighbor id for determinism. Self-matches excluded."""
     from pyspark.sql import Window
 
-    v = _as_double(vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
+    v = _as_double(ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
     q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -103,7 +105,7 @@ def lsh_ann_topk(
     from pyspark.sql import Window
 
     dim = len(vectors.select(vec_col).first()[0])
-    v = _as_double(vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
+    v = _as_double(ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
     q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
     vb = v.withColumn("bucket", hyperplane_bucket(F.col("nv"), planes, dim))
     qb = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), planes, dim))
@@ -130,7 +132,7 @@ def embedding_neardup_pairs(
     implementation is the exact all-pairs product; the scale path is
     lsh bucketing first (see lsh_ann_topk) then exact verify within
     buckets."""
-    v = _as_double(vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
+    v = _as_double(ensure_parallelism(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (

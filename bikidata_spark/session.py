@@ -12,6 +12,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Fan a tiny input out to the session's parallelism.
+
+    A small parquet table arrives as ONE split, which would serialize
+    every expression-heavy operator downstream (shingling, hashing,
+    vector math) on a single core. At production scale inputs arrive in
+    hundreds of splits and this is a no-op — we never repartition DOWN,
+    so no shuffle is added where the source is already parallel."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app_name: str = "bikidata-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

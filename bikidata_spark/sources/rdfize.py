@@ -147,4 +147,8 @@ def string_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"<g/{table}>").alias("g"),
             ).select("s", F.col("po.p").alias("p"), F.col("po.o").alias("o"), "g")
         )
+    # no repartition here: the cached graph keeps the source's natural
+    # partitioning (measured: fanning tiny local inputs out to 32
+    # partitions taxes every downstream query with task overhead; real
+    # clusters get parallelism from the many input splits themselves)
     return reduce(lambda a, b: a.unionAll(b), dfs)
