@@ -6,7 +6,17 @@ plus large-scale training-data pipeline operators (dedup, similarity
 search, text analysis, multimodal plumbing).
 """
 
-from .graph import Graph, from_string_quads, read_graph, write_graph
+from .graph import Graph, build_from_iterator, from_string_quads, read_graph, write_graph
 from .plans.query import Engine
+from .serving import Serving, TimeoutError
 
-__all__ = ["Graph", "Engine", "from_string_quads", "read_graph", "write_graph"]
+__all__ = [
+    "Graph",
+    "Engine",
+    "Serving",
+    "TimeoutError",
+    "build_from_iterator",
+    "from_string_quads",
+    "read_graph",
+    "write_graph",
+]

@@ -97,6 +97,33 @@ def from_string_quads(quads: DataFrame) -> Graph:
     return Graph(triples=triples, terms=terms)
 
 
+def build_from_iterator(spark: SparkSession, rows, graph: str = "", batch_size: int = 100_000) -> Graph:
+    """Build a Graph from a Python iterator of ``(s, p, o)`` or
+    ``(s, p, o, g)`` string tuples (reference ``build_from_iterator``,
+    main.py:119-133). Driver-side iterators don't scale past memory, so
+    rows are staged into DataFrames in ``batch_size`` chunks — for real
+    corpora use :func:`bikidata_spark.sources.ntriples.read_nt` on files
+    instead."""
+    from itertools import islice
+
+    it = iter(rows)
+    frames = []
+    while True:
+        batch = list(islice(it, batch_size))
+        if not batch:
+            break
+        quads = [(r + (graph,) if len(r) == 3 else tuple(r)) for r in map(tuple, batch)]
+        frames.append(
+            spark.createDataFrame(quads, "s string, p string, o string, g string")
+        )
+    if not frames:
+        empty = spark.createDataFrame([], "s string, p string, o string, g string")
+        return from_string_quads(empty)
+    from functools import reduce
+
+    return from_string_quads(reduce(lambda a, b: a.unionAll(b), frames))
+
+
 def write_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
     """Persist a graph as parquet, triples sorted within files by (p, s)
     so Catalyst's parquet filter pushdown prunes row groups on property

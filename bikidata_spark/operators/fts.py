@@ -50,6 +50,18 @@ class FtsIndex:
     doc_len: DataFrame  # lit: long, dl: long
     n_docs: int
     avgdl: float
+    # set when read from a persisted store: postings/token_df carry a
+    # `bucket` partition column (pmod(xxhash64(token), num_buckets)) so
+    # a query's scan is pruned to its terms' buckets
+    num_buckets: int | None = None
+
+    def _term_postings(self, df: DataFrame, terms: list[str]) -> DataFrame:
+        cond = F.col("token").isin(terms)
+        if self.num_buckets:
+            buckets = sorted({_token_bucket(t, self.num_buckets) for t in terms})
+            # partition-pruned: only these directories are listed/read
+            cond = F.col("bucket").isin(buckets) & cond
+        return df.filter(cond)
 
     def match(self, text: str, conjunctive: bool = True) -> DataFrame:
         """Literals matching ``text`` → (lit, score). BM25-scored."""
@@ -58,8 +70,8 @@ class FtsIndex:
             return self.postings.sparkSession.createDataFrame([], "lit long, score double")
         n = self.n_docs
         hits = (
-            self.postings.filter(F.col("token").isin(terms))
-            .join(F.broadcast(self.token_df.filter(F.col("token").isin(terms))), "token")
+            self._term_postings(self.postings, terms)
+            .join(F.broadcast(self._term_postings(self.token_df, terms)), "token")
             .join(self.doc_len, "lit")
         )
         # BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
@@ -105,6 +117,60 @@ def entity_text(graph, hops: int = 2) -> DataFrame:
     return (
         all_lits.groupBy("s")
         .agg(F.array_join(F.array_sort(F.collect_set("_lv")), "\n").alias("text"))
+    )
+
+
+def _token_bucket(token: str, num_buckets: int) -> int:
+    """Bucket id for a token. ``zlib.crc32`` here is bit-identical to
+    Spark's ``crc32`` builtin used at write time, so query-time pruning
+    needs no Spark job."""
+    import zlib
+
+    return zlib.crc32(token.encode("utf8")) % num_buckets
+
+
+def _token_bucket_col(col, num_buckets: int):
+    return F.pmod(F.crc32(col.cast("binary")), F.lit(num_buckets)).cast("int")
+
+
+def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 64) -> None:
+    """Persist the index with postings and token stats hash-partitioned
+    by token bucket: a conjunctive query then reads only its terms'
+    bucket directories (partition pruning — the 100 TB layout where a
+    3-term query touches 3/64ths of the postings store)."""
+    (
+        index.postings.withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        index.token_df.withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/token_df")
+    )
+    index.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
+    stats = index.postings.sparkSession.createDataFrame(
+        [(index.n_docs, float(index.avgdl), num_buckets)],
+        "n_docs long, avgdl double, num_buckets int",
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def read_fts_index(spark, path: str) -> FtsIndex:
+    """Open a persisted index; ``match`` prunes bucket partitions."""
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    return FtsIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        token_df=spark.read.parquet(f"{path}/token_df"),
+        doc_len=spark.read.parquet(f"{path}/doc_len"),
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+        num_buckets=stats["num_buckets"],
     )
 
 

@@ -83,12 +83,40 @@ class Engine:
     # a persisted DataFrame is shared by every downstream action)
     _subject_cache: dict = field(default_factory=dict, repr=False)
 
+    def replace_graph(self, graph: Graph) -> None:
+        """Swap in a new (immutable) graph after a mutation; derived
+        indexes and cached subject sets are invalidated. Single
+        reference assignment — in-flight queries keep reading the old
+        graph's DataFrames safely."""
+        self.graph = graph
+        if self._fts is not None:
+            for df in (self._fts.postings, self._fts.token_df, self._fts.doc_len):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        self._fts = None
+        for cached, _ in self._subject_cache.values():
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        self._subject_cache = {}
+
     # ---- indexes -------------------------------------------------------
     @property
     def fts(self) -> FtsIndex:
         if self._fts is None:
             self._fts = build_fts_index(self.graph.literals())
         return self._fts
+
+    def load_fts(self, path: str) -> None:
+        """Use a persisted, token-bucketed FTS store (see
+        ``operators.fts.write_fts_index``) instead of building in-memory:
+        queries then partition-prune to their terms' buckets."""
+        from ..operators.fts import read_fts_index
+
+        self._fts = read_fts_index(self.graph.spark, path)
 
     # ---- single-filter compilation ------------------------------------
     def _walk_up(self, base: DataFrame, hops: int) -> DataFrame:

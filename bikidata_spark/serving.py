@@ -1,0 +1,138 @@
+"""Concurrent query serving — the Spark-first counterpart of the
+reference's Redis worker pool (reference workers.py:23-128).
+
+The reference fans queries out to N forked DuckDB workers through two
+Redis lists and caches JSON results by query hash. On Spark none of
+that machinery is needed: ONE SparkSession is thread-safe and its
+scheduler is already a shared executor pool, so "N workers" is a
+thread pool submitting jobs to the same session, and the FAIR
+scheduler gives per-query fairness instead of FIFO head-of-line
+blocking. What we keep from the reference is the API shape and
+semantics:
+
+- ``query_async(opts, timeout)``   (reference workers.py:113-127)
+- ``insert_async(s, p, o, g)``     (reference workers.py:130-131)
+- ``delete_async(s, p, o, g)``     (reference workers.py:134-142)
+- ``TimeoutError`` on expiry       (reference workers.py:109-110)
+- md5-of-opts result cache with TTL honoring ``use_cache``
+  (reference workers.py:96-107; 7-day expiry like the reference)
+- mutations are serialized while queries run concurrently (the
+  reference routes inserts/deletes through the single manager
+  process, reference workers.py:45-56)
+
+All functions are asyncio coroutines like the reference's; they wrap
+the blocking Spark call with ``run_in_executor`` on the instance's
+thread pool.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import json
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from .operators.mutations import delete as _delete
+from .operators.mutations import insert as _insert
+from .plans.query import Engine
+
+
+class TimeoutError(Exception):
+    pass
+
+
+CACHE_TTL_S = 60 * 60 * 24 * 7  # reference workers.py:105: ex=7 days
+
+
+class Serving:
+    """Async serving facade over an :class:`Engine`.
+
+    ``num_workers`` bounds concurrent driver-side query threads (the
+    Spark scheduler multiplexes their jobs over the executor pool; set
+    ``spark.scheduler.mode=FAIR`` for round-robin instead of FIFO).
+    """
+
+    def __init__(self, engine: Engine, num_workers: int = 4):
+        self.engine = engine
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_workers, thread_name_prefix="bikidata-serve"
+        )
+        self._cache: dict[str, tuple[float, str]] = {}
+        self._cache_lock = threading.Lock()
+        # mutations swap the engine's graph: one at a time, and no
+        # queries observe a half-swapped graph because the swap is a
+        # single reference assignment of an immutable Graph
+        self._mutate_lock = threading.Lock()
+
+    # ---- queries -------------------------------------------------------
+    def _query_blocking(self, opts: dict) -> dict:
+        query_hash = hashlib.md5(
+            json.dumps(opts, sort_keys=True).encode("utf8")
+        ).hexdigest()
+        use_cache = opts.get("use_cache", True)
+        if use_cache:
+            with self._cache_lock:
+                hit = self._cache.get(query_hash)
+                if hit and hit[0] > time.time():
+                    return json.loads(hit[1])
+        result = self.engine.query(opts)
+        if use_cache:
+            with self._cache_lock:
+                self._cache[query_hash] = (
+                    time.time() + CACHE_TTL_S,
+                    json.dumps(result, default=str),
+                )
+        return result
+
+    async def query_async(self, opts: dict, timeout: int = 60) -> dict:
+        loop = asyncio.get_running_loop()
+        fut = loop.run_in_executor(self._pool, self._query_blocking, dict(opts))
+        try:
+            return await asyncio.wait_for(fut, timeout=timeout)
+        except asyncio.TimeoutError:
+            raise TimeoutError("Query timed out") from None
+
+    # ---- mutations -----------------------------------------------------
+    def _mutate_blocking(self, action: str, data: list[dict], are_hashes: bool) -> dict:
+        if are_hashes:
+            return {"error": "are_hashes mutations are not supported on the Spark engine"}
+        with self._mutate_lock:
+            fn = _insert if action == "insert" else _delete
+            new_graph, result = fn(self.engine.graph, data)
+            if "error" not in result:
+                self.engine.replace_graph(new_graph)
+                with self._cache_lock:
+                    self._cache.clear()  # results may be stale now
+        return result
+
+    async def insert_async(
+        self, s: str, p: str, o: str, g: str = "", timeout: int = 60
+    ) -> dict:
+        return await self._mutate_async("insert", s, p, o, g, timeout, False)
+
+    async def delete_async(
+        self,
+        s: str,
+        p: str | None,
+        o: str | None,
+        g: str = "",
+        timeout: int = 60,
+        are_hashes: bool = False,
+    ) -> dict:
+        return await self._mutate_async("delete", s, p, o, g, timeout, are_hashes)
+
+    async def _mutate_async(self, action, s, p, o, g, timeout, are_hashes) -> dict:
+        data = [{"s": s, "p": p, "o": o, "g": g}]
+        loop = asyncio.get_running_loop()
+        fut = loop.run_in_executor(
+            self._pool, self._mutate_blocking, action, data, are_hashes
+        )
+        try:
+            return await asyncio.wait_for(fut, timeout=timeout)
+        except asyncio.TimeoutError:
+            raise TimeoutError("Query timed out") from None
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)

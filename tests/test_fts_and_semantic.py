@@ -72,3 +72,21 @@ def test_raw_sql_passthrough(spark):
     eng = Engine(g)
     n = eng.raw("SELECT COUNT(*) AS n FROM triples").first()["n"]
     assert n == 4
+
+
+def test_persisted_index_matches_inmemory(spark, tmp_path):
+    from bikidata_spark.operators.fts import read_fts_index, write_fts_index
+
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals())
+    write_fts_index(idx, str(tmp_path / "fts"), num_buckets=8)
+    persisted = read_fts_index(spark, str(tmp_path / "fts"))
+    for q in ("alpha", "alpha beta", "gamma", "nosuchtoken"):
+        a = sorted((r["lit"], round(r["score"], 9)) for r in idx.match(q).collect())
+        b = sorted((r["lit"], round(r["score"], 9)) for r in persisted.match(q).collect())
+        assert a == b, q
+    # the scan must be partition-pruned to the query's token buckets
+    import re
+
+    plan = persisted.match("alpha")._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
