@@ -17,9 +17,9 @@ import sys
 from .graph import from_string_quads, read_graph, write_graph
 from .plans.query import Engine
 from .session import get_spark
-from .sources.ntriples import read_nt
+from .sources.ntriples import read_nt, read_trig
 
-SUFFIXES = (".gz", ".nt")
+SUFFIXES = (".gz", ".nt", ".trig")
 
 
 def _collect_paths(args: list[str]) -> list[str]:
@@ -45,7 +45,13 @@ def main(argv: list[str]) -> int:
         if not files:
             print("No triples to index", file=sys.stderr)
             return 1
-        graph = from_string_quads(read_nt(spark, files))
+        trig = [f for f in files if f.endswith(".trig")]
+        nt = [f for f in files if not f.endswith(".trig")]
+        parts = [read_nt(spark, nt)] if nt else []
+        if trig:
+            parts.append(read_trig(spark, trig))
+        quads = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+        graph = from_string_quads(quads)
         write_graph(graph, store)
         n = read_graph(spark, store).triples.count()
         print(json.dumps({"triples": n, "store": store}))

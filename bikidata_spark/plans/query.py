@@ -119,20 +119,22 @@ class Engine:
         self._fts = read_fts_index(self.graph.spark, path)
 
     # ---- single-filter compilation ------------------------------------
-    def _walk_up(self, base: DataFrame, hops: int) -> DataFrame:
+    def _walk_up(self, base: DataFrame, hops: int, carry: tuple = ()) -> DataFrame:
         """n-hop parents chain: new subject appears as the object of a
         parent triple (reference query.py:110-119). Iterative self-joins;
-        AQE handles skew at scale."""
+        AQE handles skew at scale. ``carry`` columns ride along to the
+        ancestor rows (the reference selects ``T{parents}.s, score`` —
+        query.py:204 — so BM25 scores survive the walk); with carry the
+        result is NOT deduplicated (callers aggregate)."""
         out = base
         for _ in range(hops):
             parents = self.graph.triples.select(
                 F.col("s").alias("_ps"), F.col("o").alias("_po")
             )
-            out = (
-                out.join(parents, out.s == F.col("_po"))
-                .select(F.col("_ps").alias("s"))
+            out = out.join(parents, out.s == F.col("_po")).select(
+                F.col("_ps").alias("s"), *[F.col(c) for c in carry]
             )
-        return out.distinct()
+        return out if carry else out.distinct()
 
     def _g_cond(self, g: str) -> Column | None:
         if not g:
@@ -187,15 +189,12 @@ class Engine:
             if p_prop:
                 base = base.filter(F.col("p") == H(p_prop))
             base = with_g(base)
-            subj = self._walk_up(base.select("s"), hops)
-            # score per *final* subject: propagate through the walk by
-            # re-joining is overkill; reference scores the T0 subject and
-            # unions per-s max (query.py:680-692). With hops=0 (the
-            # common case) these coincide.
-            if hops == 0:
-                scores = base.groupBy("s").agg(F.max("score").alias("score"))
-            else:
-                scores = None
+            # scores ride the walk to the ancestor (reference query.py:204
+            # selects T{parents}.s, score); per-subject max like the
+            # reference's s_by_score aggregation (query.py:682-684)
+            walked = self._walk_up(base.select("s", "score"), hops, carry=("score",))
+            subj = walked.select("s").distinct()
+            scores = walked.groupBy("s").agg(F.max("score").alias("score"))
             return subj, scores
 
         if p.startswith("<"):

@@ -88,6 +88,74 @@ def read_nt(
     return out
 
 
+def read_trig(
+    spark: SparkSession,
+    paths: list[str] | str,
+    decode_escapes: bool = True,
+) -> DataFrame:
+    """Parse TriG files into string quads (s, p, o, g).
+
+    TriG's ``<graph> { ... }`` blocks are a line-spanning stateful
+    construct, so sub-file parallelism is impossible without a second
+    pass; like the reference (main.py:88-99) we scan lines in order,
+    but distribute at FILE granularity: ``wholetext`` read → one
+    Arrow-batched ``mapInPandas`` per file. Semantics mirror the
+    reference exactly, including the quirk that a ``}`` line does NOT
+    reset the current graph — only the next block header does. For
+    sub-file parallelism at 100 TB, convert TriG to N-Quads up front.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    files = spark.read.text(paths, wholetext=True)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_s, out_p, out_o, out_g = [], [], [], []
+            for content in pdf["value"]:
+                g = ""
+                for line in content.splitlines():
+                    line = line.rstrip()
+                    if not line.endswith(" ."):
+                        # block header: `<iri> {` (reference main.py:91-97)
+                        if line.endswith(" {") and line.startswith("<"):
+                            parts = line.split(" ")
+                            if len(parts) == 2:
+                                g = parts[0]
+                        continue
+                    body = line[:-2].strip()
+                    parts = body.split(" ")
+                    if len(parts) < 3:
+                        continue
+                    s, p, o = parts[0], parts[1], " ".join(parts[2:])
+                    if not ((s.startswith("<") and s.endswith(">")) or s.startswith("_:")):
+                        continue
+                    if not (p.startswith("<") and p.endswith(">")):
+                        continue
+                    out_s.append(s)
+                    out_p.append(p)
+                    out_o.append(o)
+                    out_g.append(g)
+            yield pd.DataFrame({"s": out_s, "p": out_p, "o": out_o, "g": out_g})
+
+    out = files.mapInPandas(parse, "s string, p string, o string, g string")
+    if decode_escapes:
+        out = out.select(
+            *[
+                F.when(
+                    F.col(c).contains("\\u") | F.col(c).contains("\\U"),
+                    _decode_escapes_udf(F.col(c)),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in ("s", "p", "o")
+            ],
+            "g",
+        )
+    return out
+
+
 def literal_to_parts_cols(col):
     """Split a literal lexical form into (value, language, datatype)
     columns (reference main.py:22-36)."""

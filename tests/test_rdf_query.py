@@ -139,3 +139,13 @@ def test_semantic_filter_returns_self(engine):
     subj, scores = engine._semantic_filter({"vector": qvec}, "", None)
     ids = {r["s"] for r in subj.collect()}
     assert len(ids) >= 1  # at least the identical vector
+
+
+def test_fts_hop_propagates_scores(engine):
+    # reference query.py:204 carries `score` to the ancestor subject
+    _, by_score = engine.subjects(
+        {"filters": [{"p": "fts 1", "o": "customer 000000013"}], "use_cache": False}
+    )
+    assert by_score is not None
+    rows = by_score.collect()
+    assert rows and all(r["score"] > 0 for r in rows)

@@ -177,3 +177,24 @@ def test_streaming_nt_ingest(spark, tmp_path):
     eng = Engine(g)
     subs = {r["s"] for r in eng.subjects_values({"filters": [{"p": "fts", "o": "streamed"}]}).collect()}
     assert subs == {"<http://x/s1>"}
+
+
+def test_read_trig_blocks_and_graph_persistence(spark, tmp_path):
+    from bikidata_spark.sources.ntriples import read_trig
+
+    f = tmp_path / "x.trig"
+    f.write_text(
+        "<http://g/one> {\n"
+        '<http://ex/a> <http://p/name> "Anna" .\n'
+        "}\n"
+        "<http://g/two> {\n"
+        '<http://ex/b> <http://p/name> "Bj\\u00f6rn" .\n'
+        "}\n"
+        '<http://ex/c> <http://p/name> "tail" .\n'
+    )
+    rows = {(r["s"], r["g"], r["o"]) for r in read_trig(spark, str(f)).collect()}
+    assert ("<http://ex/a>", "<http://g/one>", '"Anna"') in rows
+    # \\uXXXX escape decoded + graph tag from the second block
+    assert ("<http://ex/b>", "<http://g/two>", '"Björn"') in rows
+    # reference quirk: `}` does NOT reset the current graph
+    assert ("<http://ex/c>", "<http://g/two>", '"tail"') in rows
