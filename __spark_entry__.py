@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_ann_lsh"] = lambda spark, sf: sim.lsh_ann_topk(
         embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
     )
+    q["pipe_ann_ivf"] = lambda spark, sf: sim.ivf_ann_topk(
+        embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
+    )
     q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
     q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")
@@ -649,6 +652,29 @@ b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
 q AS (SELECT * FROM b WHERE vec_id < {ANN_NQ}),
 scored AS (SELECT q.vec_id AS qid, b.vec_id AS neighbor, list_cosine_similarity(b.v, q.v) AS sim
            FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.vec_id)
+SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+    # pipe_ann_ivf: deterministic IVF-Flat — same seed centroids
+    # (vec_id % 31 == 0), same argmin cell assignment, same nprobe=2
+    o["pipe_ann_ivf"] = f"""
+WITH {EMB_D},
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+assign AS (
+  SELECT nid, nv, cid AS cell FROM (
+    SELECT e.vec_id AS nid, e.v AS nv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c) WHERE crn = 1),
+probes AS (
+  SELECT qid, qv, cid AS cell FROM (
+    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c WHERE e.vec_id < {ANN_NQ}) WHERE crn <= 2),
+scored AS (
+  SELECT p.qid, a.nid AS neighbor, list_cosine_similarity(a.nv, p.qv) AS sim
+  FROM assign a JOIN probes p ON a.cell = p.cell AND a.nid != p.qid)
 SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
   SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
 ) WHERE rank <= {ANN_K}

@@ -117,6 +117,10 @@ def main() -> None:
         lambda: sim.cosine_topk(embs, embs.filter(F.col("vec_id") < 5)).count(),
     )
     timed(
+        "q_ann_ivf",
+        lambda: sim.ivf_ann_topk(embs, embs.filter(F.col("vec_id") < 5)).count(),
+    )
+    timed(
         "q_text_analysis",
         lambda: lang_id(docs, "doc_id", "text")
         .join(quality_score(docs, "doc_id", "text"), "doc_id")

@@ -122,6 +122,70 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_step: int = 31,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: (qid, neighbor, rank).
+
+    Inverted-file search: every vector is assigned to its nearest
+    centroid ("cell"); a query probes only its ``nprobe`` nearest
+    cells and brute-forces within them. Centroids here are the
+    deterministic seed set ``id % centroid_step == 0`` (a k-means
+    refinement would drop in without changing the query path, but a
+    fixed seed set keeps the operator reproducible anywhere, including
+    in an oracle SQL string). Ties in the argmin break on centroid id.
+
+    Scale path (100 TB): the assignment is one broadcast join against
+    the (tiny) centroid set; the assigned table is written partitioned
+    by ``cell`` so a query's scan prunes to its probed cells —
+    identical layout story to the LSH variant, but with data-adaptive
+    cells instead of data-oblivious hyperplanes."""
+    from pyspark.sql import Window
+
+    v = _as_double(
+        ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+    )
+    q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
+        F.col("nid").alias("cid"), F.col("nv").alias("cv")
+    )
+
+    wv = Window.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assign = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col("nv"), F.col("cv")))
+        .withColumn("crn", F.row_number().over(wv))
+        .filter(F.col("crn") == 1)
+        .select("nid", "nv", F.col("cid").alias("cell"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= nprobe)
+        .select("qid", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", F.col("nid").alias("neighbor"), cosine_sim(F.col("nv"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

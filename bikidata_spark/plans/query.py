@@ -121,19 +121,29 @@ class Engine:
     # ---- single-filter compilation ------------------------------------
     def _walk_up(self, base: DataFrame, hops: int, carry: tuple = ()) -> DataFrame:
         """n-hop parents chain: new subject appears as the object of a
-        parent triple (reference query.py:110-119). Iterative self-joins;
-        AQE handles skew at scale. ``carry`` columns ride along to the
-        ancestor rows (the reference selects ``T{parents}.s, score`` —
-        query.py:204 — so BM25 scores survive the walk); with carry the
-        result is NOT deduplicated (callers aggregate)."""
+        parent triple (reference query.py:110-119). Iterative self-joins.
+        ``carry`` columns ride along to the ancestor rows (the reference
+        selects ``T{parents}.s, score`` — query.py:204 — so BM25 scores
+        survive the walk); with carry the result is NOT deduplicated
+        (callers aggregate).
+
+        Scale: while the walked set is small, AQE turns each hop into a
+        broadcast-hash join — the quad table never shuffles (verified
+        via explain on the hop benchmarks). If a walk explodes past the
+        broadcast threshold, the join degrades to sort-merge and hub
+        objects skew it; AQE's skew-join splitting handles that without
+        manual salting. Deep walks checkpoint every 3 hops to keep the
+        re-planned lineage from growing unboundedly."""
         out = base
-        for _ in range(hops):
+        for i in range(hops):
             parents = self.graph.triples.select(
                 F.col("s").alias("_ps"), F.col("o").alias("_po")
             )
             out = out.join(parents, out.s == F.col("_po")).select(
                 F.col("_ps").alias("s"), *[F.col(c) for c in carry]
             )
+            if (i + 1) % 3 == 0 and i + 1 < hops:
+                out = out.localCheckpoint(eager=True)
         return out if carry else out.distinct()
 
     def _g_cond(self, g: str) -> Column | None:

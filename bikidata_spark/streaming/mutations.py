@@ -87,6 +87,40 @@ def start_ingest(
     return writer.start()
 
 
+def compact_store(spark: SparkSession, store_dir: str) -> dict:
+    """Fold the append-only log down: apply tombstones, drop duplicate
+    quads and term rows, rewrite triples sorted by (p, s) (row-group
+    pruning for property lookups), and truncate the tombstone log.
+
+    This is the periodic maintenance job of every log-structured design
+    (LSM compaction): reads stay fast because the anti-join against an
+    ever-growing tombstone set is paid once here instead of on every
+    load. Safe ordering: the compacted store is fully written to a
+    sibling directory before the old directories are swapped out."""
+    import os
+    import shutil
+
+    resolved = read_store(spark, store_dir)
+    tmp = f"{store_dir}/_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        resolved.triples.repartition("p")
+        .sortWithinPartitions("p", "s")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/triples")
+    )
+    resolved.terms.write.mode("overwrite").parquet(f"{tmp}/terms")
+    n_triples = spark.read.parquet(f"{tmp}/triples").count()
+    n_terms = spark.read.parquet(f"{tmp}/terms").count()
+
+    for sub in ("triples", "terms", "tombstones"):
+        shutil.rmtree(f"{store_dir}/{sub}", ignore_errors=True)
+    for sub in ("triples", "terms"):
+        os.rename(f"{tmp}/{sub}", f"{store_dir}/{sub}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"triples": n_triples, "terms": n_terms}
+
+
 def read_store(spark: SparkSession, store_dir: str) -> Graph:
     """Load the log-structured store as a Graph: distinct quads minus
     tombstones, deduplicated terms."""

@@ -166,3 +166,28 @@ def test_vocabulary(spark):
     )
     v = {r["token"]: r["n"] for r in vocabulary(df, "text", 2).collect()}
     assert v == {"apple": 2, "banana": 2}
+
+
+def test_ivf_ann_recall_vs_exact(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators import similarity as sim
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["neighbor"])
+        for r in sim.cosine_topk(embeddings, queries).collect()
+    }
+    ivf = {
+        (r["qid"], r["neighbor"])
+        for r in sim.ivf_ann_topk(embeddings, queries).collect()
+    }
+    assert len(ivf) == len(exact) == 50
+    # approximate, but probing 2/16 cells should still recover a fair share
+    assert len(ivf & exact) / len(exact) >= 0.3
+    # deterministic across runs
+    again = {
+        (r["qid"], r["neighbor"])
+        for r in sim.ivf_ann_topk(embeddings, queries).collect()
+    }
+    assert ivf == again

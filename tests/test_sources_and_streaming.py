@@ -198,3 +198,31 @@ def test_read_trig_blocks_and_graph_persistence(spark, tmp_path):
     assert ("<http://ex/b>", "<http://g/two>", '"Björn"') in rows
     # reference quirk: `}` does NOT reset the current graph
     assert ("<http://ex/c>", "<http://g/two>", '"tail"') in rows
+
+
+def test_compact_store_preserves_graph_and_drops_tombstones(spark, tmp_path):
+    from bikidata_spark.streaming.mutations import compact_store, read_store, start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    recs = [
+        {"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""},
+        {"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""},  # dup
+        {"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""},
+        {"action": "delete", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in recs))
+    store = str(tmp_path / "store")
+    q = start_ingest(spark, str(src), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+
+    before = {(r["s"], r["p"], r["o"]) for r in read_store(spark, store).triples.collect()}
+    stats = compact_store(spark, store)
+    after_graph = read_store(spark, store)
+    after = {(r["s"], r["p"], r["o"]) for r in after_graph.triples.collect()}
+    assert after == before and stats["triples"] == 1
+    # tombstone log is gone and raw triple files hold no deleted rows
+    import os
+
+    assert not os.path.exists(f"{store}/tombstones")
+    assert spark.read.parquet(f"{store}/triples").count() == 1
