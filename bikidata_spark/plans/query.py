@@ -57,6 +57,22 @@ def parse_hops_and_prop(p_str: str) -> tuple[int, str | None, str]:
     return hops, prop, toks[0] if toks else ""
 
 
+def _parse_size_start(opts: dict) -> tuple[int, int]:
+    """size=0 is meaningful (aggregates-only query, reference
+    examples.ipynb cell 4: ``{"size": 0, ..., "aggregates": [...]}``);
+    only unparseable values fall back to the defaults
+    (reference query.py:621-628 try/except)."""
+    try:
+        size = int(opts.get("size", 999))
+    except (TypeError, ValueError):
+        size = 999
+    try:
+        start = int(opts.get("start", 0))
+    except (TypeError, ValueError):
+        start = 0
+    return size, start
+
+
 def _normalize_order_rules(order_rules):
     """dict | [dict] | [[dict]] → flat [dict] (reference query.py:230-242)."""
     if not order_rules:
@@ -407,8 +423,7 @@ class Engine:
         form is the portable equivalent). Paging uses sort+offset+limit —
         Spark plans it as TakeOrderedAndProject (no full global sort
         materialization); ``pos`` is then assigned on the ≤size-row page."""
-        size = int(opts.get("size", 999) or 999)
-        start = int(opts.get("start", 0) or 0)
+        size, start = _parse_size_start(opts)
         s_results, s_by_score = self.subjects(opts)
         if s_results is None:
             return self.graph.spark.createDataFrame([], "pos int, s long, s_value string")
@@ -513,8 +528,7 @@ class Engine:
         """Reference-compatible entry point (query.py:620-886): returns
         {results: {iri: {prop: [vals]}}, total, size, start, aggregates}.
         Only page-sized data is collected."""
-        size = int(opts.get("size", 999) or 999)
-        start = int(opts.get("start", 0) or 0)
+        size, start = _parse_size_start(opts)
         s_results, _ = self.subjects(opts)
         total = s_results.count() if s_results is not None else 0
         aggregates = {}
@@ -525,7 +539,7 @@ class Engine:
             aggregates[agg] = [(r["count"], r["val"]) for r in rows]
 
         results: dict = {}
-        if s_results is not None:
+        if s_results is not None and size > 0:
             page = self.page(opts).collect()
             page_hashes = [r["s"] for r in page]
             hash_to_val = {r["s"]: r["s_value"] for r in page}

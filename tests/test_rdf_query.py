@@ -149,3 +149,13 @@ def test_fts_hop_propagates_scores(engine):
     assert by_score is not None
     rows = by_score.collect()
     assert rows and all(r["score"] > 0 for r in rows)
+
+
+def test_size_zero_is_aggregates_only(engine):
+    # reference examples.ipynb: {"size": 0, "filters": [...], "aggregates": [...]}
+    r = engine.query({"size": 0, "filters": [{"p": "<p/type>"}], "aggregates": ["<p/type>"]})
+    assert r["results"] == {} and r["size"] == 0
+    assert r["total"] > 0 and r["aggregates"]["<p/type>"]
+    # malformed size falls back to the default, like the reference's try/except
+    r2 = engine.query({"size": "bogus", "filters": [{"p": "id", "o": "<e/nation/5>"}]})
+    assert r2["size"] == 999 and len(r2["results"]) == 1
