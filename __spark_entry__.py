@@ -71,6 +71,24 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     return eng
 
 
+_STEM_ENGINES: dict[str, Engine] = {}
+
+
+def _stem_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine whose FTS index stems tokens (the reference's default
+    indexing mode uses a porter stemmer; ours is the deterministic
+    porter-1a subset — see operators/fts.py)."""
+    se = _STEM_ENGINES.get(sf_dir)
+    if se is None:
+        from bikidata_spark.operators.fts import build_fts_index
+
+        base = _engine(spark, sf_dir)
+        se = Engine(base.graph)
+        se._fts = build_fts_index(base.graph.literals(), stem=True)
+        _STEM_ENGINES[sf_dir] = se
+    return se
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read nanos as long and truncate to micros (the data
@@ -169,6 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rdf_fts_prop"] = subj(
         {"filters": [{"p": f"fts {RDFS_LABEL}", "o": "customer 000000013"}]}
     )
+    def fts_stemmed(spark, sf_dir):
+        return _stem_engine(spark, sf_dir).subjects_values(
+            {"filters": [{"p": "fts", "o": "customers 000000013"}]}
+        )
+
+    q["rdf_fts_stemmed"] = fts_stemmed
     q["rdf_fts_hop"] = subj({"filters": [{"p": "fts 1", "o": "customer 000000013"}]})
     q["rdf_fts_hop2"] = subj({"filters": [{"p": "fts 2", "o": "nation 5"}]})
     q["rdf_regex"] = subj({"filters": [{"p": "regex", "o": '"Customer#0000000.."'}]})
@@ -404,6 +428,16 @@ SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG}"""
     )
     o["rdf_fts_prop"] = _with_quads(
         f"SELECT DISTINCT s FROM quads WHERE p = '{RDFS_LABEL}' AND {_fts_cond(['customer', '000000013'])}"
+    )
+    # stemmed: query "customers 000000013" → terms stemmed in Python,
+    # literal tokens stemmed with the identical SQL CASE rule
+    from bikidata_spark.operators.fts import stem_sql, stem_token, tokenize_query as _tok
+
+    _stem_terms = [stem_token(t) for t in _tok("customers 000000013")]
+    _stem_arr = "[" + ", ".join(f"'{t}'" for t in _stem_terms) + "]"
+    o["rdf_fts_stemmed"] = _with_quads(
+        f"""SELECT DISTINCT s FROM quads WHERE o LIKE '"%' AND len(list_filter({_stem_arr},
+ t -> NOT list_contains(list_transform(string_split_regex(lower(o), '[^a-z0-9]+'), x -> {stem_sql('x')}), t))) = 0"""
     )
     o["rdf_fts_hop"] = _with_quads(
         f"""SELECT DISTINCT T1.s FROM quads T0 JOIN quads T1 ON T1.o = T0.s

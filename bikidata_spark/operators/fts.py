@@ -32,15 +32,58 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def tokens_col(col):
+def tokens_col(col, stem: bool = False):
     """Array of non-empty lowercase tokens for a string column."""
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+    if stem:
+        toks = F.transform(toks, _stem_col)
+    return toks
 
 
-def tokenize_query(text: str) -> list[str]:
+def _stem_col(t):
+    """Plural stemming, porter step-1a subset (the reference indexes
+    with ``stemmer='porter'`` by default, main.py:218-220; this is the
+    deterministic subset expressible identically in any SQL engine —
+    no lookbehind, no backrefs, so DuckDB/RE2 oracles can mirror it):
+    sses→ss, ies→i, ss stays, trailing s drops."""
+    n = F.length(t)
+    return (
+        F.when(t.rlike("sses$"), t.substr(F.lit(1), n - 2))
+        .when(t.rlike("ies$"), t.substr(F.lit(1), n - 2))
+        .when(t.rlike("ss$"), t)
+        .when(t.rlike(".s$"), t.substr(F.lit(1), n - 1))
+        .otherwise(t)
+    )
+
+
+def stem_token(t: str) -> str:
+    """Python twin of :func:`_stem_col` for query-side terms."""
+    if t.endswith("sses") or t.endswith("ies"):
+        return t[:-2]
+    if t.endswith("ss"):
+        return t
+    if len(t) >= 2 and t.endswith("s"):
+        return t[:-1]
+    return t
+
+
+def stem_sql(expr: str) -> str:
+    """The same rule as a dialect-neutral SQL CASE over ``expr``
+    (used verbatim inside DuckDB oracle strings)."""
+    return (
+        f"CASE WHEN regexp_matches({expr}, 'sses$') THEN substr({expr}, 1, length({expr}) - 2) "
+        f"WHEN regexp_matches({expr}, 'ies$') THEN substr({expr}, 1, length({expr}) - 2) "
+        f"WHEN regexp_matches({expr}, 'ss$') THEN {expr} "
+        f"WHEN regexp_matches({expr}, '.s$') THEN substr({expr}, 1, length({expr}) - 1) "
+        f"ELSE {expr} END"
+    )
+
+
+def tokenize_query(text: str, stem: bool = False) -> list[str]:
     import re
 
-    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    return [stem_token(t) for t in toks] if stem else toks
 
 
 @dataclass
@@ -54,6 +97,8 @@ class FtsIndex:
     # `bucket` partition column (pmod(xxhash64(token), num_buckets)) so
     # a query's scan is pruned to its terms' buckets
     num_buckets: int | None = None
+    # tokens were stemmed at build time; query terms get the same rule
+    stem: bool = False
 
     def _term_postings(self, df: DataFrame, terms: list[str]) -> DataFrame:
         cond = F.col("token").isin(terms)
@@ -65,7 +110,7 @@ class FtsIndex:
 
     def match(self, text: str, conjunctive: bool = True) -> DataFrame:
         """Literals matching ``text`` → (lit, score). BM25-scored."""
-        terms = tokenize_query(text)
+        terms = tokenize_query(text, self.stem)
         if not terms:
             return self.postings.sparkSession.createDataFrame([], "lit long, score double")
         n = self.n_docs
@@ -155,8 +200,8 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 64) -> None:
     )
     index.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
     stats = index.postings.sparkSession.createDataFrame(
-        [(index.n_docs, float(index.avgdl), num_buckets)],
-        "n_docs long, avgdl double, num_buckets int",
+        [(index.n_docs, float(index.avgdl), num_buckets, index.stem)],
+        "n_docs long, avgdl double, num_buckets int, stem boolean",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -171,14 +216,16 @@ def read_fts_index(spark, path: str) -> FtsIndex:
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         num_buckets=stats["num_buckets"],
+        stem=bool(stats["stem"]) if "stem" in stats.asDict() else False,
     )
 
 
-def build_fts_index(literals: DataFrame) -> FtsIndex:
+def build_fts_index(literals: DataFrame, stem: bool = False) -> FtsIndex:
     """Index ``(hash, value)`` literals. One scan, one shuffle (groupBy
-    token+lit), map-side combine via partial aggregation."""
+    token+lit), map-side combine via partial aggregation. ``stem=True``
+    applies the porter-subset plural stemmer (reference default)."""
     toks = literals.select(
-        F.col("hash").alias("lit"), F.explode(tokens_col("value")).alias("token")
+        F.col("hash").alias("lit"), F.explode(tokens_col(F.col("value"), stem)).alias("token")
     )
     postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf")).persist()
     # materialize now — "build" should pay the build cost, not the first
@@ -195,4 +242,5 @@ def build_fts_index(literals: DataFrame) -> FtsIndex:
         doc_len=doc_len,
         n_docs=stats["n"] or 0,
         avgdl=float(stats["avgdl"] or 1.0),
+        stem=stem,
     )

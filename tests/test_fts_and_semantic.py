@@ -90,3 +90,18 @@ def test_persisted_index_matches_inmemory(spark, tmp_path):
 
     plan = persisted.match("alpha")._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+
+
+def test_stemmed_index_matches_plural_queries(spark):
+    from bikidata_spark.operators.fts import stem_token
+
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals(), stem=True)
+    # "alphas" stems to "alpha" and matches both alpha literals
+    assert idx.match("alphas").count() == 2
+    # plain index: no match for the plural form
+    assert build_fts_index(g.literals()).match("alphas").count() == 0
+    # rule sanity: porter step-1a subset
+    assert [stem_token(t) for t in ("ponies", "glasses", "grass", "cats", "s")] == [
+        "poni", "glass", "grass", "cat", "s",
+    ]
