@@ -375,6 +375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
     )
     q["pipe_text_pii"] = lambda spark, sf: pii_scrub(docs(spark, sf), "doc_id", "text")
+
+    def corpus_clean(spark, sf_dir):
+        from bikidata_spark.operators.pipeline import clean_corpus
+
+        return clean_corpus(docs(spark, sf_dir), "doc_id", "text")
+
+    q["pipe_corpus_clean"] = corpus_clean
     q["pipe_text_vocab"] = lambda spark, sf: vocabulary(docs(spark, sf), "text", 2)
 
     def events_df(spark, sf_dir):
@@ -714,11 +721,20 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {ANN_K}
 """
 
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     o["pipe_text_tokens"] = f"""
 WITH {TOKLIST}
 SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM toklist
 """
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    o["pipe_corpus_clean"] = f"""
+WITH {TOKLIST},
+ok AS (SELECT doc_id FROM toklist
+       WHERE len(ts) >= 5 AND length(text) >= 20
+         AND len(list_filter(ts, x -> x IN ({stop_list}))) > 0),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens
+FROM toklist t JOIN ok USING (doc_id) JOIN keep USING (doc_id)
+"""
     o["pipe_text_quality"] = f"""
 WITH {TOKLIST}
 SELECT doc_id,

@@ -191,3 +191,37 @@ def test_ivf_ann_recall_vs_exact(spark, embeddings):
         for r in sim.ivf_ann_topk(embeddings, queries).collect()
     }
     assert ivf == again
+
+
+def test_clean_corpus_composition(spark, docs):
+    from bikidata_spark.operators.pipeline import clean_corpus
+
+    out = clean_corpus(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert 0 < len(rows) <= docs.count()
+    # every survivor passes quality and is its dup-class representative
+    from bikidata_spark.functions.text import quality_score
+    from bikidata_spark.operators.dedup import exact_dedup
+
+    ok = {r["doc_id"] for r in quality_score(docs, "doc_id", "text").filter("quality_ok").collect()}
+    keep = {r["keep_id"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert set(rows) == ok & keep
+
+
+def test_graph_store_scan_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bikidata_spark import from_string_quads, read_graph, write_graph
+
+    quads = spark.createDataFrame(
+        [("<e/1>", "<p/a>", '"x"', ""), ("<e/2>", "<p/b>", '"y"', "")],
+        "s string, p string, o string, g string",
+    )
+    write_graph(from_string_quads(quads), str(tmp_path / "g"))
+    g = read_graph(spark, str(tmp_path / "g"))
+    q = g.triples.filter(F.col("p") == F.xxhash64(F.lit("<p/a>"))).select("s")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the constant-folded hash must reach the parquet scan, and only the
+    # two needed columns may be read
+    assert "PushedFilters: [IsNotNull(p), EqualTo(p," in plan, plan
+    assert "ReadSchema: struct<s:bigint,p:bigint>" in plan, plan
