@@ -68,6 +68,11 @@ class Serving:
 
     # ---- queries -------------------------------------------------------
     def _query_blocking(self, opts: dict) -> dict:
+        # one scheduler pool per worker thread: under
+        # spark.scheduler.mode=FAIR (BIKIDATA_SPARK_SCHEDULER=FAIR)
+        # concurrent queries share executors round-robin
+        sc = self.engine.graph.spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", threading.current_thread().name)
         query_hash = hashlib.md5(
             json.dumps(opts, sort_keys=True).encode("utf8")
         ).hexdigest()

@@ -38,6 +38,10 @@ def get_spark(app_name: str = "bikidata-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR lets concurrent served queries round-robin executor slots
+        # instead of FIFO head-of-line blocking (Serving sets a pool per
+        # worker thread); FIFO remains the default for batch workloads
+        .config("spark.scheduler.mode", os.environ.get("BIKIDATA_SPARK_SCHEDULER", "FIFO"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BIKIDATA_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
