@@ -111,6 +111,20 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def media_similarity_topk(
+    media: DataFrame, queries: DataFrame, k: int = 10, fake: bool = False
+) -> DataFrame:
+    """Media near-neighbor search: decode → feature → cosine top-k,
+    (qid, neighbor, rank). The feature stage is the (stubbed) decode
+    kernel; ranking reuses the engine's exact ANN operator — the same
+    composition a production pipeline runs with a real image encoder."""
+    from .similarity import cosine_topk
+
+    feats = extract_features(media, fake=fake)
+    qfeats = extract_features(queries, fake=fake)
+    return cosine_topk(feats, qfeats, id_col="media_id", vec_col="feature", k=k)
+
+
 def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFrame:
     """Frame sampling for video payloads — STUB kernel. With fake=True
     emits one synthetic frame row per sampled timestamp derived from

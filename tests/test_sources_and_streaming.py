@@ -226,3 +226,31 @@ def test_compact_store_preserves_graph_and_drops_tombstones(spark, tmp_path):
 
     assert not os.path.exists(f"{store}/tombstones")
     assert spark.read.parquet(f"{store}/triples").count() == 1
+
+
+def test_media_similarity_topk(spark):
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.multimodal import attach_media, media_similarity_topk
+
+    rows = [(i, bytes([i % 7] * 50 + [i % 3] * 20)) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = attach_media(df, "media_id", "payload", "image/png")
+    out = media_similarity_topk(media, media.filter(F.col("media_id") < 2), k=3, fake=True)
+    got = {(r["qid"], r["rank"]) for r in out.collect()}
+    assert len(got) == 6  # 2 queries x top-3
+    # query 0 is 70 zero-bytes; ids 7 and 14 share its dominant byte
+    # class with equal cosine — the deterministic tie-break picks 7
+    top = {r["neighbor"] for r in out.filter("qid = 0 and rank = 1").collect()}
+    assert top == {7}
+
+
+def test_media_decode_stub_raises_without_fake(spark):
+    import pytest as _pytest
+
+    from bikidata_spark.operators.multimodal import attach_media, extract_features
+
+    df = spark.createDataFrame([(1, b"xx")], "media_id long, payload binary")
+    with _pytest.raises(Exception) as ei:
+        extract_features(attach_media(df, "media_id", "payload", "image/png")).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
