@@ -1,11 +1,15 @@
 """CLI — parity with ``python -m bikidata`` (reference __main__.py):
 
-    python -m bikidata_spark build  <store_dir> <file.nt|dir> [...]
+    python -m bikidata_spark build  <store_dir> <file.nt|.trig|dir> [...]
     python -m bikidata_spark query  <store_dir> '<json opts>'
     python -m bikidata_spark total  <store_dir>
+    python -m bikidata_spark serve  <store_dir> [num_workers]
 
-``build`` ingests N-Triples (plain or .gz) into a parquet graph store;
-``query`` runs a JSON query (reference README's dict shape) against it.
+``build`` ingests N-Triples/TriG (plain or .gz) into a parquet graph
+store; ``query`` runs a JSON query (reference README's dict shape);
+``serve`` is the worker loop (reference ``worker`` mode): one JSON
+query or {"action": "insert"|"delete", ...} mutation per stdin line,
+one JSON result per stdout line, concurrent via the Serving pool.
 """
 
 from __future__ import annotations
@@ -60,6 +64,43 @@ def main(argv: list[str]) -> int:
         store, opts = argv[1], json.loads(argv[2])
         eng = Engine(read_graph(spark, store))
         print(json.dumps(eng.query(opts), indent=2, default=str))
+        return 0
+    if cmd == "serve":
+        import asyncio
+
+        from .serving import Serving
+
+        workers = int(argv[2]) if len(argv) > 2 else 4
+        srv = Serving(Engine(read_graph(spark, argv[1]).cache()), num_workers=workers)
+
+        async def loop() -> None:
+            aio = asyncio.get_running_loop()
+            while True:
+                line = await aio.run_in_executor(None, sys.stdin.readline)
+                if not line:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    opts = json.loads(line)
+                    if opts.get("action") in ("insert", "delete"):
+                        d = (opts.get("data") or [{}])[0]
+                        if opts["action"] == "insert":
+                            out = await srv.insert_async(
+                                d.get("s"), d.get("p"), d.get("o"), d.get("g", "")
+                            )
+                        else:
+                            out = await srv.delete_async(
+                                d.get("s"), d.get("p"), d.get("o"), d.get("g", "")
+                            )
+                    else:
+                        out = await srv.query_async(opts)
+                except Exception as e:  # bad input must not kill the loop
+                    out = {"error": str(e)}
+                print(json.dumps(out, default=str), flush=True)
+
+        asyncio.run(loop())
         return 0
     if cmd == "total":
         eng = Engine(read_graph(spark, argv[1]))

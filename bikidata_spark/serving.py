@@ -82,7 +82,12 @@ class Serving:
                 hit = self._cache.get(query_hash)
                 if hit and hit[0] > time.time():
                     return json.loads(hit[1])
+        received = time.time()
         result = self.engine.query(opts)
+        # reference workers.py:101-103: timing metadata on fresh results
+        # (cache hits return the original timings, as with Redis)
+        result["msg_received_time"] = received
+        result["msg_processed_time"] = time.time()
         if use_cache:
             with self._cache_lock:
                 self._cache[query_hash] = (
@@ -103,6 +108,7 @@ class Serving:
     def _mutate_blocking(self, action: str, data: list[dict], are_hashes: bool) -> dict:
         if are_hashes:
             return {"error": "are_hashes mutations are not supported on the Spark engine"}
+        received = time.time()
         with self._mutate_lock:
             fn = _insert if action == "insert" else _delete
             new_graph, result = fn(self.engine.graph, data)
@@ -110,6 +116,8 @@ class Serving:
                 self.engine.replace_graph(new_graph)
                 with self._cache_lock:
                     self._cache.clear()  # results may be stale now
+        result["msg_received_time"] = received
+        result["msg_processed_time"] = time.time()
         return result
 
     async def insert_async(
