@@ -394,6 +394,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_events_topk_users"] = lambda spark, sf: ev.topk_users(events_df(spark, sf))
     q["pipe_events_sessionize"] = lambda spark, sf: ev.sessionize(events_df(spark, sf))
 
+    def events_asof(spark, sf_dir):
+        e = events_df(spark, sf_dir)
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        out = ev.asof_join(purchases, clicks, on="ts", by="user_id", right_cols=["click_id"])
+        return out.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("click_id_asof"),
+        )
+
+    q["pipe_events_asof"] = events_asof
+
     return q
 
 
@@ -823,5 +840,15 @@ sessions AS (
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
 FROM sessions GROUP BY 1, 2
+"""
+    # as-of: per purchase, the user's latest click at-or-before it;
+    # right side deduped to max event_id per (user, ts) so "the" match
+    # is well-defined in both engines
+    o["pipe_events_asof"] = """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+r0 AS (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+j AS (SELECT l.event_id, l.ts, r0.click_id
+      FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND r0.ts <= l.ts)
+SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, click_id AS click_id_asof FROM j
 """
     return o

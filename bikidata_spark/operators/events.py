@@ -77,3 +77,63 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
         .select("user_id", F.col("session_id").cast("long").alias("session_id"), "n_events", "session_start")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for every left row, the single right row with the
+    greatest ``right.on <= left.on`` within the same ``by`` group
+    (left rows with no prior right row keep nulls).
+
+    Spark lacks this operator; the scalable formulation is the classic
+    merge pattern — tag both sides, union, ONE sort-shuffle on
+    (by, on), and carry the latest right payload forward with
+    ``last(ignorenulls)`` over an ordered window. No per-row Python,
+    no range-join explosion; cost is a single repartition+sort of
+    |L|+|R| rows, the same shape a 1000-executor cluster wants.
+
+    Determinism: right rows are first reduced to one per (by, on) —
+    the max-id row — because "the" as-of match is otherwise arbitrary
+    among equal timestamps (DuckDB's ASOF JOIN has the same caveat).
+    Ties between a left and right row at the SAME timestamp match
+    (inclusive <=), mirroring DuckDB.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    rid = F.row_number().over(
+        Window.partitionBy(by, on).orderBy(*[F.col(c).desc() for c in right.columns])
+    )
+    r1 = right.withColumn("_rn", rid).filter(F.col("_rn") == 1).drop("_rn")
+
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (by, on)],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = r1.select(
+        F.col(by), F.col(on), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}") for c in lcols if c not in (by, on)],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    # right rows sort before left rows at equal `on` (inclusive match)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        F.col(by), F.col(on), F.col("_side"),
+        *[F.col(f"_l_{c}") for c in lcols if c not in (by, on)],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col(by), F.col(on),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (by, on)],
+        *[F.col(f"{c}{suffix}") for c in right_cols],
+    )

@@ -225,3 +225,21 @@ def test_graph_store_scan_pushdown(spark, tmp_path):
     # two needed columns may be read
     assert "PushedFilters: [IsNotNull(p), EqualTo(p," in plan, plan
     assert "ReadSchema: struct<s:bigint,p:bigint>" in plan, plan
+
+
+def test_asof_join_semantics(spark):
+    from bikidata_spark.operators.events import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "user_id long, ts long, tag string"
+    )
+    r = spark.createDataFrame(
+        [(1, 8, 100), (1, 10, 200), (1, 10, 201), (1, 15, 300), (2, 9, 400)],
+        "user_id long, ts long, rid long",
+    )
+    got = {
+        (x["user_id"], x["ts"]): x["rid_asof"]
+        for x in asof_join(l, r, on="ts", by="user_id", right_cols=["rid"]).collect()
+    }
+    # inclusive <=; equal-ts right dups resolve to the max id; no prior -> null
+    assert got == {(1, 10): 201, (1, 20): 300, (2, 5): None}
