@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from bikidata_spark import Engine, from_string_quads
 from bikidata_spark.functions.text import (
     EMAIL_RE,
+    hash_split,
     LANG_PROFILES,
     PHONE_RE,
     STOPWORDS_EN,
@@ -383,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_corpus_clean"] = corpus_clean
     q["pipe_text_vocab"] = lambda spark, sf: vocabulary(docs(spark, sf), "text", 2)
+    q["pipe_split"] = lambda spark, sf: hash_split(docs(spark, sf), "doc_id")
 
     def events_df(spark, sf_dir):
         return load_events(spark, sf_dir)
@@ -410,6 +412,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipe_events_asof"] = events_asof
+
+    def events_range(spark, sf_dir):
+        e = events_df(spark, sf_dir)
+        errors = (
+            e.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("err_id"), F.unix_micros("ts").alias("lo"))
+            .withColumn("hi", F.col("lo") + 300_000_000)
+        )
+        views = e.filter(F.col("event_type") == "view").select(
+            F.unix_micros("ts").alias("pt")
+        )
+        return (
+            ev.range_join(views, errors, point="pt", lower="lo", upper="hi")
+            .groupBy("err_id")
+            .agg(F.count("*").alias("n_views"))
+        )
+
+    q["pipe_events_range"] = events_range
 
     return q
 
@@ -841,6 +861,13 @@ sessions AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
 FROM sessions GROUP BY 1, 2
 """
+    o["pipe_split"] = """
+SELECT doc_id,
+       CASE WHEN CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 1000 < 900
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
     # as-of: per purchase, the user's latest click at-or-before it;
     # right side deduped to max event_id per (user, ts) so "the" match
     # is well-defined in both engines
@@ -850,5 +877,13 @@ r0 AS (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_typ
 j AS (SELECT l.event_id, l.ts, r0.click_id
       FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND r0.ts <= l.ts)
 SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, click_id AS click_id_asof FROM j
+"""
+    # range join: views landing in the 5-minute window after each error
+    o["pipe_events_range"] = """
+WITH err AS (SELECT event_id AS err_id, CAST(epoch_us(ts) AS BIGINT) AS lo,
+                    CAST(epoch_us(ts) AS BIGINT) + 300000000 AS hi
+             FROM events WHERE event_type = 'error'),
+v AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS pt FROM events WHERE event_type = 'view')
+SELECT err_id, COUNT(*) AS n_views FROM err JOIN v ON v.pt >= err.lo AND v.pt < err.hi GROUP BY 1
 """
     return o

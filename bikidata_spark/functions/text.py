@@ -127,3 +127,28 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fp"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_permille: int = 900,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation assignment: (id, split) where
+    split = 'train' iff the first 8 md5 hex chars of ``salt:id`` land
+    under ``train_permille``/1000. Stable across runs, partitionings
+    and engines (the standard reproducible-split idiom for corpus
+    prep — no RNG state, no shuffle; a pure map)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(bucket < train_permille, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )

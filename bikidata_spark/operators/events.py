@@ -137,3 +137,41 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (by, on)],
         *[F.col(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: str = "pt",
+    lower: str = "lo",
+    upper: str = "hi",
+    bucket_width: int = 60_000_000,
+) -> DataFrame:
+    """Interval join: every (point, interval) pair with
+    ``lower <= point < upper``, both sides numeric (convert timestamps
+    to epoch integers first).
+
+    A naive inequality join plans as a nested-loop cross product —
+    unusable at scale. This decomposes the number line into
+    ``bucket_width`` buckets: points map to ONE bucket, intervals
+    explode to the buckets they overlap, and the pair space shrinks to
+    an equi-join on bucket followed by the exact range filter. Cost is
+    |P| + |I|·(avg interval width / bucket_width) shuffled rows — pick
+    ``bucket_width`` near the typical interval length so intervals
+    explode to O(1) buckets each."""
+    p = points.withColumn("_bk", F.floor(F.col(point) / bucket_width))
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower) / bucket_width),
+                # upper is exclusive: a point in [hi, bucket-end) can't match
+                F.floor((F.col(upper) - 1) / bucket_width),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_bk")
+        .filter((F.col(point) >= F.col(lower)) & (F.col(point) < F.col(upper)))
+        .drop("_bk")
+    )

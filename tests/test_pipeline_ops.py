@@ -243,3 +243,35 @@ def test_asof_join_semantics(spark):
     }
     # inclusive <=; equal-ts right dups resolve to the max id; no prior -> null
     assert got == {(1, 10): 201, (1, 20): 300, (2, 5): None}
+
+
+def test_range_join_bucketing(spark):
+    from bikidata_spark.operators.events import range_join
+
+    pts = spark.createDataFrame([(1, 100), (2, 150), (3, 250), (4, 400)], "pid long, pt long")
+    ivs = spark.createDataFrame(
+        [(10, 90, 160), (11, 150, 200), (12, 240, 260)], "iid long, lo long, hi long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"]) for r in range_join(pts, ivs, bucket_width=50).collect()
+    )
+    # lower inclusive, upper exclusive; point 400 matches nothing
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 12)]
+    # result is bucket-width independent
+    for w in (7, 1000):
+        assert got == sorted(
+            (r["pid"], r["iid"]) for r in range_join(pts, ivs, bucket_width=w).collect()
+        )
+
+
+def test_hash_split_deterministic(spark, docs):
+    from bikidata_spark.functions.text import hash_split
+
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id").collect()}
+    b = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id").collect()}
+    assert a == b and len(a) == docs.count()
+    frac = sum(1 for _, s in a if s == "train") / len(a)
+    assert 0.85 < frac < 0.95  # ~900 permille
+    # a different salt re-deals the split
+    c = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id", salt="other").collect()}
+    assert c != a
