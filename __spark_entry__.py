@@ -29,6 +29,7 @@ from bikidata_spark.functions.text import (
     lang_id,
     pii_scrub,
     quality_score,
+    repetition_score,
     token_count,
     vocabulary,
 )
@@ -49,6 +50,8 @@ NGRAM_J = (3, 20)  # jaccard >= 3/20
 EMB_MIN_SIM = 0.3
 ANN_K = 10
 ANN_NQ = 5  # queries: vec_id < 5
+DECONTAM_N = 3  # shingle width for the contamination check (short docs)
+DECONTAM_MOD = 37  # doc_id % 37 == 0 plays the "benchmark" eval set
 
 # ---------------------------------------------------------------------------
 # engine cache (one graph per sf_dir per process)
@@ -383,6 +386,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return clean_corpus(docs(spark, sf_dir), "doc_id", "text")
 
     q["pipe_corpus_clean"] = corpus_clean
+    q["pipe_text_repetition"] = lambda spark, sf: repetition_score(
+        docs(spark, sf), "doc_id", "text"
+    )
+
+    def decontam(spark, sf_dir):
+        from bikidata_spark.operators.pipeline import decontaminate
+
+        d = docs(spark, sf_dir)
+        return decontaminate(
+            d.filter(F.col("doc_id") % DECONTAM_MOD != 0),
+            d.filter(F.col("doc_id") % DECONTAM_MOD == 0),
+            "doc_id",
+            "text",
+            DECONTAM_N,
+        )
+
+    q["pipe_decontaminate"] = decontam
     q["pipe_text_vocab"] = lambda spark, sf: vocabulary(docs(spark, sf), "text", 2)
     q["pipe_split"] = lambda spark, sf: hash_split(docs(spark, sf), "doc_id")
 
@@ -885,5 +905,50 @@ WITH err AS (SELECT event_id AS err_id, CAST(epoch_us(ts) AS BIGINT) AS lo,
              FROM events WHERE event_type = 'error'),
 v AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS pt FROM events WHERE event_type = 'view')
 SELECT err_id, COUNT(*) AS n_views FROM err JOIN v ON v.pt >= err.lo AND v.pt < err.hi GROUP BY 1
+"""
+
+    # repetition (Gopher-rule family, token-weighted): non-distinct grams
+    def gram_sql(k: int) -> str:
+        joins, cols = [], ["a.t"]
+        for i in range(1, k):
+            al = chr(ord("a") + i)
+            joins.append(
+                f"JOIN toks {al} ON {al}.doc_id = a.doc_id AND {al}.ord = a.ord + {i}"
+            )
+            cols.append(f"{al}.t")
+        expr = " || ' ' || ".join(cols)
+        return f"SELECT a.doc_id, {expr} AS g FROM toks a {' '.join(joins)}"
+
+    o["pipe_text_repetition"] = f"""
+WITH {TOKLIST}, {TOKS},
+base AS (SELECT doc_id, len(ts) AS n_tokens,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac
+  FROM (SELECT doc_id, ts,
+          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') AS lines
+        FROM toklist)),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({gram_sql(2)}) GROUP BY 1, 2),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({gram_sql(5)}) GROUP BY 1, 2),
+s2 AS (SELECT doc_id, MAX(c) AS top_c FROM c2 GROUP BY 1),
+s5 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c FROM c5 GROUP BY 1),
+fr AS (SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, b.dup_line_frac,
+    CASE WHEN b.n_tokens > 0 THEN CAST(2 * COALESCE(s2.top_c, 0) AS DOUBLE) / b.n_tokens ELSE 0.0 END AS top_2gram_frac,
+    CASE WHEN b.n_tokens > 0 THEN CAST(5 * COALESCE(s5.dup_c, 0) AS DOUBLE) / b.n_tokens ELSE 0.0 END AS dup_5gram_frac
+  FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id))
+SELECT doc_id, n_tokens, dup_line_frac, top_2gram_frac, dup_5gram_frac,
+       (dup_line_frac <= 0.30 AND top_2gram_frac <= 0.20 AND dup_5gram_frac <= 0.60) AS repetition_ok
+FROM fr
+"""
+
+    o["pipe_decontaminate"] = f"""
+WITH {TOKLIST}, {TOKS}, {shingle_cte(DECONTAM_N)},
+ev AS (SELECT DISTINCT s FROM sh WHERE id % {DECONTAM_MOD} = 0),
+hits AS (SELECT tr.id, COUNT(*) AS n_eval_grams FROM sh tr JOIN ev USING (s)
+         WHERE tr.id % {DECONTAM_MOD} != 0 GROUP BY tr.id)
+SELECT d.doc_id, CAST(COALESCE(h.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+       COALESCE(h.n_eval_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+WHERE d.doc_id % {DECONTAM_MOD} != 0
 """
     return o

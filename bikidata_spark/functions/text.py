@@ -129,6 +129,112 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family,
+    token-weighted): per document,
+
+    - ``dup_line_frac`` — fraction of non-empty lines that are repeats
+      of an earlier line (0 when single-line);
+    - ``top_{top_n}gram_frac`` — tokens covered by the single most
+      frequent ``top_n``-gram, over total tokens;
+    - ``dup_{dup_n}gram_frac`` — tokens covered by ``dup_n``-grams that
+      occur more than once (all occurrences), over total tokens; may
+      exceed 1 because overlapping grams each claim their tokens;
+    - ``repetition_ok`` — passes all three thresholds (0.30 / 0.20 /
+      0.60, the standard cut points for corpus cleaning).
+
+    Line stats are pure array expressions (no shuffle). Gram stats are
+    one explode + two map-side-combinable groupBys keyed by the doc id —
+    work stays proportional to corpus token count, no joins across
+    documents, so the plan scales linearly and partitions by id."""
+    df = ensure_parallelism(df)
+    toks = tokens_col(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = (
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        dup_line_frac.alias("dup_line_frac"),
+        toks.alias("_ts"),
+    )
+
+    def grams(k: int):
+        # every k-gram, NOT distinct — counts need multiplicity
+        return F.when(
+            F.size(F.col("_ts")) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("_ts")) - k + 1),
+                lambda i: F.array_join(F.slice(F.col("_ts"), i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    grams(top_n),
+                    lambda g: F.struct(F.lit(top_n).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    grams(dup_n),
+                    lambda g: F.struct(F.lit(dup_n).alias("n"), g.alias("g")),
+                ),
+            )
+        ).alias("ng"),
+    ).select(F.col(id_col), F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = tagged.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    stats = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == top_n, F.col("c"))).alias("_top_c"),
+        F.sum(
+            F.when((F.col("n") == dup_n) & (F.col("c") > 1), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_dup_c"),
+    )
+    top_c = F.coalesce(F.col("_top_c"), F.lit(0))
+    dup_c = F.coalesce(F.col("_dup_c"), F.lit(0))
+    nt = F.col("n_tokens")
+    top_frac = F.when(nt > 0, (F.lit(top_n) * top_c).cast("double") / nt).otherwise(
+        F.lit(0.0)
+    )
+    dup_frac = F.when(nt > 0, (F.lit(dup_n) * dup_c).cast("double") / nt).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        base.select(F.col(id_col), "n_tokens", "dup_line_frac")
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            nt,
+            F.col("dup_line_frac"),
+            top_frac.alias(f"top_{top_n}gram_frac"),
+            dup_frac.alias(f"dup_{dup_n}gram_frac"),
+            (
+                (F.col("dup_line_frac") <= 0.30)
+                & (top_frac <= 0.20)
+                & (dup_frac <= 0.60)
+            ).alias("repetition_ok"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, token_count
-from .dedup import exact_dedup
+from .dedup import exact_dedup, shingles
 
 
 def clean_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,4 +43,42 @@ def clean_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .join(ok, id_col, "left_semi")
         .join(survivors, id_col, "left_semi")
         .select(F.col(id_col), "n_tokens")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Train/eval contamination check: for every training document, how
+    many of its distinct ``n``-token shingles also appear anywhere in
+    the evaluation set (the standard 13-gram-overlap decontamination
+    rule; pass a smaller ``n`` for short documents). Returns
+    (id, n_eval_grams, contaminated) over ALL training docs.
+
+    Scale shape: the eval side reduces to a distinct-shingle set —
+    benchmark suites are tiny next to a 100 TB corpus, so it is
+    broadcast and the check is a map-side semi-join on the corpus
+    scan; no corpus shuffle. (For an unusually large eval set, drop
+    the broadcast hint and let AQE pick the join.)"""
+    tr = shingles(train, id_col, text_col, n)
+    ev = shingles(eval_df, id_col, text_col, n).select("s").distinct()
+    hits = (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_eval_grams"))
+        .withColumnRenamed("id", id_col)
+    )
+    n_hits = F.coalesce(F.col("n_eval_grams"), F.lit(0))
+    return (
+        train.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_hits.alias("n_eval_grams"),
+            (n_hits > 0).alias("contaminated"),
+        )
     )

@@ -275,3 +275,46 @@ def test_hash_split_deterministic(spark, docs):
     # a different salt re-deals the split
     c = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id", salt="other").collect()}
     assert c != a
+
+
+def test_repetition_score(spark):
+    from bikidata_spark.functions.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),  # one 2-gram dominates
+            (2, "each of the twelve tokens appearing here is fully distinct honest"),
+            (3, "x\ny\nx\n\n z "),  # duplicate line 'x' of 3 non-empty... 4 lines: x,y,x,z
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_score(df, "doc_id", "text").collect()}
+    # doc 1: 8 tokens, top 2-gram "a b" occurs 4 of 7 grams -> 2*4/8 = 1.0
+    assert rows[1]["top_2gram_frac"] == 1.0 and not rows[1]["repetition_ok"]
+    # doc 2: all distinct -> low fractions, passes
+    assert rows[2]["dup_5gram_frac"] == 0.0 and rows[2]["repetition_ok"]
+    # doc 3: lines x,y,x,z -> 1 duplicate of 4 non-empty lines
+    assert abs(rows[3]["dup_line_frac"] - 0.25) < 1e-12
+    # doc with fewer tokens than gram width still yields a row
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    r = repetition_score(tiny, "doc_id", "text").collect()[0]
+    assert r["top_2gram_frac"] == 0.0 and r["dup_5gram_frac"] == 0.0
+
+
+def test_decontaminate(spark):
+    from bikidata_spark.operators.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the secret benchmark answer is forty two exactly"),
+            (2, "nothing in common with the eval set at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev_df = spark.createDataFrame(
+        [(100, "we know the secret benchmark answer is hidden")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(train, ev_df, "doc_id", "text", 3).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_eval_grams"] >= 2
+    assert not rows[2]["contaminated"] and rows[2]["n_eval_grams"] == 0
