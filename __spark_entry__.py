@@ -369,6 +369,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_ann_ivf"] = lambda spark, sf: sim.ivf_ann_topk(
         embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
     )
+    # k-means-refined cells: Lloyd means are float reductions, so no SQL
+    # oracle — the driver's rows-only check + the pytest recall gate apply
+    q["pipe_ann_ivf_kmeans"] = lambda spark, sf: sim.ivf_ann_topk(
+        embs(spark, sf),
+        embs(spark, sf).filter(F.col("vec_id") < ANN_NQ),
+        "vec_id",
+        "embedding",
+        ANN_K,
+        refine_iters=2,
+    )
     q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
     q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")

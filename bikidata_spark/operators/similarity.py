@@ -122,6 +122,40 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_refine(v: DataFrame, cents: DataFrame, iters: int = 2) -> DataFrame:
+    """Lloyd refinement of an IVF centroid set. ``v`` is (nid, nv),
+    ``cents`` is (cid, cv); returns refined (cid, cv).
+
+    Each iteration is (a) a broadcast assign — the centroid set is tiny,
+    so the corpus never shuffles — and (b) a per-dimension mean via
+    posexplode + one groupBy keyed (cid, pos): k·d groups regardless of
+    corpus size, fully map-side combinable. Cells that end an iteration
+    empty drop out (k shrinks), the standard Lloyd behavior. Means are
+    floating-point reductions, so results are deterministic per plan but
+    not bit-identical across partitionings — use the seed-set variant
+    when an external oracle must reproduce the index."""
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        w = Window.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+        assign = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("csim", cosine_sim(F.col("nv"), F.col("cv")))
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select("cid", "nv")
+        )
+        cents = (
+            assign.select("cid", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+    return cents
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -130,16 +164,18 @@ def ivf_ann_topk(
     k: int = 10,
     centroid_step: int = 31,
     nprobe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: (qid, neighbor, rank).
 
     Inverted-file search: every vector is assigned to its nearest
     centroid ("cell"); a query probes only its ``nprobe`` nearest
-    cells and brute-forces within them. Centroids here are the
-    deterministic seed set ``id % centroid_step == 0`` (a k-means
-    refinement would drop in without changing the query path, but a
-    fixed seed set keeps the operator reproducible anywhere, including
-    in an oracle SQL string). Ties in the argmin break on centroid id.
+    cells and brute-forces within them. Centroids start as the
+    deterministic seed set ``id % centroid_step == 0`` (reproducible
+    anywhere, including in an oracle SQL string); ``refine_iters > 0``
+    runs that many Lloyd iterations over them (``kmeans_refine``) for
+    data-adaptive cells at the cost of bit-exact external
+    reproducibility. Ties in the argmin break on centroid id.
 
     Scale path (100 TB): the assignment is one broadcast join against
     the (tiny) centroid set; the assigned table is written partitioned
@@ -156,6 +192,8 @@ def ivf_ann_topk(
     cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
         F.col("nid").alias("cid"), F.col("nv").alias("cv")
     )
+    if refine_iters > 0:
+        cents = kmeans_refine(v, cents, refine_iters)
 
     wv = Window.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid").asc())
     assign = (

@@ -318,3 +318,34 @@ def test_decontaminate(spark):
     rows = {r["doc_id"]: r for r in decontaminate(train, ev_df, "doc_id", "text", 3).collect()}
     assert rows[1]["contaminated"] and rows[1]["n_eval_grams"] >= 2
     assert not rows[2]["contaminated"] and rows[2]["n_eval_grams"] == 0
+
+
+def test_ivf_kmeans_refinement(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators import similarity as sim
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["neighbor"])
+        for r in sim.cosine_topk(embeddings, queries).collect()
+    }
+    ref = {
+        (r["qid"], r["neighbor"])
+        for r in sim.ivf_ann_topk(embeddings, queries, refine_iters=2).collect()
+    }
+    # full result shape and a sane recall after Lloyd iterations
+    assert len(ref) == 50
+    assert len(ref & exact) / len(exact) >= 0.3
+    # refined centroids keep the vector dimension and shrink-or-keep k
+    v = embeddings.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    seed = v.filter(F.col("nid") % 31 == 0).select(
+        F.col("nid").alias("cid"), F.col("nv").alias("cv")
+    )
+    cents = sim.kmeans_refine(v, seed, iters=1)
+    n_seed = seed.count()
+    assert 0 < cents.count() <= n_seed
+    assert len(cents.first()["cv"]) == len(v.first()["nv"])
