@@ -254,3 +254,40 @@ def test_media_decode_stub_raises_without_fake(spark):
     with _pytest.raises(Exception) as ei:
         extract_features(attach_media(df, "media_id", "payload", "image/png")).collect()
     assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+
+
+def test_manifest_snapshot_isolation_and_vacuum(spark, tmp_path):
+    from bikidata_spark.streaming.manifest import (
+        commit_snapshot,
+        read_snapshot,
+        vacuum,
+        versions,
+    )
+    from bikidata_spark.streaming.mutations import start_ingest
+
+    src = tmp_path / "msrc"
+    src.mkdir()
+    store = str(tmp_path / "mstore")
+    (src / "b1.json").write_text(
+        json.dumps({"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""})
+    )
+    start_ingest(spark, str(src), store, str(tmp_path / "mckpt")).awaitTermination(60)
+    v1 = commit_snapshot(store)
+
+    (src / "b2.json").write_text(
+        json.dumps({"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""})
+    )
+    start_ingest(spark, str(src), store, str(tmp_path / "mckpt2")).awaitTermination(60)
+    # v1 readers don't see the uncommitted append
+    assert read_snapshot(spark, store, v1).triples.count() == 1
+    v2 = commit_snapshot(store)
+    assert versions(store) == [v1, v2]
+    assert read_snapshot(spark, store).triples.count() == 2
+    # time travel still works after the new commit
+    assert read_snapshot(spark, store, v1).triples.count() == 1
+
+    out = vacuum(store, keep_last=1)
+    assert out["dropped_versions"] == [v1]
+    # v2 is intact; v1 is gone
+    assert versions(store) == [v2]
+    assert read_snapshot(spark, store).triples.count() == 2
