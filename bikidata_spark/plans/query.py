@@ -464,23 +464,27 @@ class Engine:
     # ---- aggregates ----------------------------------------------------
     def facet(self, s_results: DataFrame | None, agg: str) -> DataFrame:
         """Facet counts over the (filtered or whole-corpus) subject set
-        (reference query.py:744-753, 824-832) → (count, val)."""
+        (reference query.py:744-753, 824-832) → (count, val), ordered
+        count-desc like the reference (val tiebreak for determinism —
+        facet outputs are distinct-value-sized, so the sort is tiny)."""
         t = self.graph.triples
         if s_results is not None:
             t = t.join(s_results.select("s"), "s", "left_semi")
         terms = self.graph.terms.select("hash", F.col("value").alias("val"))
         if agg == "properties":
             grouped = t.groupBy("p").agg(F.count("*").alias("count"))
-            return grouped.join(terms, grouped.p == terms.hash).select("count", "val")
-        if agg == "graphs":
+            out = grouped.join(terms, grouped.p == terms.hash).select("count", "val")
+        elif agg == "graphs":
             grouped = t.groupBy("g").agg(F.count("*").alias("count"))
-            return grouped.join(terms, grouped.g == terms.hash).select("count", "val")
-        grouped = (
-            t.filter(F.col("p") == H(str(agg)))
-            .groupBy("o")
-            .agg(F.count("s").alias("count"))
-        )
-        return grouped.join(terms, grouped.o == terms.hash).select("count", "val")
+            out = grouped.join(terms, grouped.g == terms.hash).select("count", "val")
+        else:
+            grouped = (
+                t.filter(F.col("p") == H(str(agg)))
+                .groupBy("o")
+                .agg(F.count("s").alias("count"))
+            )
+            out = grouped.join(terms, grouped.o == terms.hash).select("count", "val")
+        return out.orderBy(F.col("count").desc(), F.col("val").asc())
 
     # ---- paths ---------------------------------------------------------
     def paths(self, subjects: DataFrame, prop: str) -> DataFrame:
