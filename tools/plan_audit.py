@@ -18,10 +18,22 @@ from pyspark.sql import functions as F
 from bikidata_spark.graph import from_string_quads, read_graph, write_graph
 from bikidata_spark.operators import dedup as dd
 from bikidata_spark.operators.fts import read_fts_index, write_fts_index
-from bikidata_spark.operators.pipeline import clean_corpus
+from bikidata_spark.functions.text import repetition_score
+from bikidata_spark.operators.events import range_join
+from bikidata_spark.operators.pipeline import clean_corpus, decontaminate
 from bikidata_spark.plans.query import Engine
 from bikidata_spark.session import get_spark
 from bikidata_spark.sources.rdfize import string_quads
+
+
+def _range_join_sample(spark):
+    pts = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") * 7).alias("pt"))
+    ivs = spark.range(200).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 31).alias("lo"),
+        (F.col("id") * 31 + 50).alias("hi"),
+    )
+    return range_join(pts, ivs, bucket_width=64)
 
 KEEP = re.compile(
     r"FileScan|PushedFilters|PartitionFilters|ReadSchema|BroadcastHashJoin|"
@@ -105,6 +117,30 @@ def main() -> None:
             "quality gate and dedup-survivor semi-joins fuse into one scan "
             "pipeline; no materialized intermediates between 'stages'.",
             clean_corpus(docs, "doc_id", "text"),
+        ),
+        (
+            "Range join (bucket-decomposed)",
+            "the inequality pair-up plans as a hash equi-join on the bucket "
+            "key + exact filter — NOT a nested-loop cross product.",
+            _range_join_sample(spark),
+        ),
+        (
+            "Train/eval decontamination",
+            "the eval shingle set broadcasts; contamination is a map-side "
+            "semi-join on the corpus scan — no corpus shuffle for the match.",
+            decontaminate(
+                docs.filter(F.col("doc_id") % 37 != 0),
+                docs.filter(F.col("doc_id") % 37 == 0),
+                "doc_id",
+                "text",
+                3,
+            ),
+        ),
+        (
+            "Repetition scoring (Gopher rules)",
+            "line stats are pure array expressions; gram stats are map-side-"
+            "combinable aggregates keyed by doc id — zero Python stages.",
+            repetition_score(docs, "doc_id", "text"),
         ),
     ]
 
