@@ -52,6 +52,9 @@ ANN_K = 10
 ANN_NQ = 5  # queries: vec_id < 5
 DECONTAM_N = 3  # shingle width for the contamination check (short docs)
 DECONTAM_MOD = 37  # doc_id % 37 == 0 plays the "benchmark" eval set
+CHUNK_TOKENS = 32  # chunk width for sequence packing (short test docs)
+MIXTURE_PERMILLE = {"src0": 1000, "src1": 500, "src2": 100}  # data-mixing rates
+SOURCE_CAP = 10  # per-source document cap
 
 # ---------------------------------------------------------------------------
 # engine cache (one graph per sf_dir per process)
@@ -413,6 +416,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipe_decontaminate"] = decontam
+
+    from bikidata_spark.functions.text import chunk_documents
+
+    q["pipe_chunk"] = lambda spark, sf: chunk_documents(
+        docs(spark, sf), "doc_id", "text", CHUNK_TOKENS
+    )
+
+    def mixture(spark, sf_dir):
+        from bikidata_spark.operators.pipeline import sample_mixture
+
+        return sample_mixture(
+            docs(spark, sf_dir), "doc_id", "source", MIXTURE_PERMILLE
+        )
+
+    q["pipe_mixture"] = mixture
+
+    def capped(spark, sf_dir):
+        from bikidata_spark.operators.pipeline import cap_per_source
+
+        return cap_per_source(docs(spark, sf_dir), "doc_id", "source", SOURCE_CAP)
+
+    q["pipe_source_cap"] = capped
     q["pipe_text_vocab"] = lambda spark, sf: vocabulary(docs(spark, sf), "text", 2)
     q["pipe_split"] = lambda spark, sf: hash_split(docs(spark, sf), "doc_id")
 
@@ -960,5 +985,33 @@ SELECT d.doc_id, CAST(COALESCE(h.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
        COALESCE(h.n_eval_grams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
 WHERE d.doc_id % {DECONTAM_MOD} != 0
+"""
+
+    ck = CHUNK_TOKENS
+    o["pipe_chunk"] = f"""
+WITH {TOKLIST},
+ch AS (SELECT doc_id, ts, unnest(range((len(ts) + {ck} - 1) // {ck})) AS chunk_id
+       FROM toklist WHERE len(ts) > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(ts[chunk_id * {ck} + 1 : chunk_id * {ck} + {ck}], ' ') AS chunk_text,
+       CAST(least({ck}, len(ts) - chunk_id * {ck}) AS BIGINT) AS n_tokens
+FROM ch
+"""
+
+    mix_case = " ".join(
+        f"WHEN source = '{src}' THEN {pm}"
+        for src, pm in sorted(MIXTURE_PERMILLE.items())
+    )
+    o["pipe_mixture"] = f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 1000
+      < (CASE {mix_case} ELSE 0 END)
+"""
+
+    o["pipe_source_cap"] = f"""
+WITH r AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+           FROM documents)
+SELECT doc_id, source, CAST(rn AS INT) AS rn FROM r WHERE rn <= {SOURCE_CAP}
 """
     return o

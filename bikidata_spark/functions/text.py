@@ -235,6 +235,39 @@ def repetition_score(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+) -> DataFrame:
+    """Fixed-size token chunking for sequence packing: one row per
+    (id, chunk_id) with the chunk's text and its token count (the last
+    chunk may be short; empty documents yield no chunks). A narrow
+    per-row explode — no shuffle, scales linearly with corpus tokens."""
+    df = ensure_parallelism(df)
+    toks = tokens_col(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("_ts"))
+    n = F.size(F.col("_ts"))
+    n_chunks = F.floor((n + chunk_tokens - 1) / F.lit(chunk_tokens))
+    exploded = staged.filter(n > 0).select(
+        F.col(id_col),
+        F.col("_ts"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * chunk_tokens
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(
+            F.slice(F.col("_ts"), (start + 1).cast("int"), chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.size(F.col("_ts")) - start)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -46,6 +46,57 @@ def clean_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    permille_by_source: dict[str, int],
+    default_permille: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixing downsample: keep a document iff its
+    md5 permille bucket (same idiom as ``hash_split``) falls under its
+    source's rate. The standard way to hit a per-domain token-mixture
+    target reproducibly — a pure map-side filter, no RNG state, no
+    shuffle, same sample on every run and partitioning."""
+    rate = F.lit(default_permille)
+    for src, pm in sorted(permille_by_source.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(pm)).otherwise(rate)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return df.filter(bucket < rate).select(F.col(id_col), F.col(source_col))
+
+
+def cap_per_source(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+) -> DataFrame:
+    """At most ``cap`` documents per source (the per-domain cap of web
+    pipelines), keeping the lowest ids for determinism. One window
+    shuffle keyed by source; with few huge sources the window key is
+    skewed — at real scale raise parallelism by capping per (source,
+    hash-bucket) sub-quota instead, which this composes with."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select(F.col(id_col), F.col(source_col), F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

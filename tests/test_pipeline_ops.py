@@ -349,3 +349,43 @@ def test_ivf_kmeans_refinement(spark, embeddings):
     n_seed = seed.count()
     assert 0 < cents.count() <= n_seed
     assert len(cents.first()["cv"]) == len(v.first()["nv"])
+
+
+def test_chunk_documents(spark):
+    from bikidata_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert rows == {
+        (1, 0): ("a b", 2),
+        (1, 1): ("c d", 2),
+        (1, 2): ("e", 1),  # last chunk short
+        (2, 0): ("x", 1),
+    }  # empty doc 3 yields no chunks
+
+
+def test_sample_mixture_and_cap(spark):
+    from bikidata_spark.operators.pipeline import cap_per_source, sample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(100)],
+        "doc_id long, source string",
+    ).withColumn("text", F.lit("t"))
+    kept = sample_mixture(df, "doc_id", "source", {"keep": 1000}).collect()
+    assert {r["source"] for r in kept} == {"keep"} and len(kept) == 50
+    # half-rate is deterministic and roughly half
+    half = sample_mixture(df, "doc_id", "source", {"keep": 500}).count()
+    assert 10 < half < 40
+    assert half == sample_mixture(df, "doc_id", "source", {"keep": 500}).count()
+
+    capped = cap_per_source(df, "doc_id", "source", 3).collect()
+    by_src = {}
+    for r in capped:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # lowest ids win, 3 per source
+    assert sorted(by_src["keep"]) == [0, 2, 4] and sorted(by_src["drop"]) == [1, 3, 5]
