@@ -4,6 +4,9 @@
     python -m bikidata_spark query  <store_dir> '<json opts>'
     python -m bikidata_spark total  <store_dir>
     python -m bikidata_spark serve  <store_dir> [num_workers]
+    python -m bikidata_spark compact  <log_store_dir>
+    python -m bikidata_spark snapshot <log_store_dir>
+    python -m bikidata_spark vacuum   <log_store_dir> [keep_last]
 
 ``build`` ingests N-Triples/TriG (plain or .gz) into a parquet graph
 store; ``query`` runs a JSON query (reference README's dict shape);
@@ -105,6 +108,22 @@ def main(argv: list[str]) -> int:
     if cmd == "total":
         eng = Engine(read_graph(spark, argv[1]))
         print(json.dumps({"total": eng.total()}))
+        return 0
+    if cmd == "compact":
+        from .streaming.mutations import compact_store
+
+        print(json.dumps(compact_store(spark, argv[1])))
+        return 0
+    if cmd == "snapshot":
+        from .streaming.manifest import commit_snapshot
+
+        print(json.dumps({"version": commit_snapshot(argv[1]), "store": argv[1]}))
+        return 0
+    if cmd == "vacuum":
+        from .streaming.manifest import vacuum
+
+        keep = int(argv[2]) if len(argv) > 2 else 1
+        print(json.dumps(vacuum(argv[1], keep_last=keep)))
         return 0
     print(f"Unknown command {cmd!r}", file=sys.stderr)
     return 2

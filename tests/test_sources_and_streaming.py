@@ -291,3 +291,30 @@ def test_manifest_snapshot_isolation_and_vacuum(spark, tmp_path):
     # v2 is intact; v1 is gone
     assert versions(store) == [v2]
     assert read_snapshot(spark, store).triples.count() == 2
+
+
+def test_cli_store_maintenance(spark, tmp_path, capsys):
+    from bikidata_spark.__main__ import main as cli
+    from bikidata_spark.streaming.mutations import start_ingest
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    store = str(tmp_path / "cstore")
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps({"action": "insert", "s": f"<s{i}>", "p": "<p>", "o": '"v"', "g": ""})
+            for i in range(3)
+        )
+    )
+    start_ingest(spark, str(src), store, str(tmp_path / "cckpt")).awaitTermination(60)
+
+    assert cli(["snapshot", store]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["version"] == 1
+    assert cli(["compact", store]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["triples"] == 3
+    # compact rewrote files; a new snapshot + vacuum of v1 must succeed
+    assert cli(["snapshot", store]) == 0 and cli(["vacuum", store]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["dropped_versions"] == [1]
