@@ -486,6 +486,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_events_range"] = events_range
 
+    def events_funnel(spark, sf_dir):
+        out = ev.funnel(events_df(spark, sf_dir))
+        return out.select(
+            "user_id",
+            F.unix_micros("t1").alias("t1_us"),
+            F.unix_micros("t2").alias("t2_us"),
+            F.unix_micros("t3").alias("t3_us"),
+        )
+
+    q["pipe_events_funnel"] = events_funnel
+
     return q
 
 
@@ -985,6 +996,21 @@ SELECT d.doc_id, CAST(COALESCE(h.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
        COALESCE(h.n_eval_grams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
 WHERE d.doc_id % {DECONTAM_MOD} != 0
+"""
+
+    # funnel: greedy-earliest ordered progression view -> click -> purchase
+    o["pipe_events_funnel"] = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+       WHERE e.event_type = 'click' GROUP BY 1, 2),
+s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY 1, 2, 3)
+SELECT user_id, CAST(epoch_us(t1) AS BIGINT) AS t1_us,
+       CAST(epoch_us(t2) AS BIGINT) AS t2_us,
+       CAST(epoch_us(t3) AS BIGINT) AS t3_us
+FROM s3
 """
 
     ck = CHUNK_TOKENS

@@ -175,3 +175,36 @@ def range_join(
         .filter((F.col(point) >= F.col(lower)) & (F.col(point) < F.col(upper)))
         .drop("_bk")
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel completion per user: (user_id, t1..tn) where t1 is
+    the user's earliest ``stages[0]`` event and each t(i+1) is the
+    earliest ``stages[i]`` event strictly after t(i); only users who
+    complete every stage appear (the standard product-analytics funnel,
+    greedy-earliest semantics).
+
+    Plan shape: one groupBy per stage, all keyed by user_id — after the
+    first shuffle the data is hash-partitioned by user and every later
+    join and groupBy reuses that partitioning (subset-clustering), so a
+    k-stage funnel costs one real shuffle plus k partition-local
+    reductions, not k shuffles."""
+    events = ensure_parallelism(events)
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = events.filter(F.col("event_type") == st).select("user_id", "ts")
+        prev_cols = [f"t{j}" for j in range(1, i)]
+        cur = (
+            nxt.join(cur, "user_id")
+            .filter(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy("user_id", *prev_cols)
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+    return cur.select("user_id", *[f"t{j}" for j in range(1, len(stages) + 1)])

@@ -60,3 +60,47 @@ def run_to_memory(stream_df: DataFrame, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming funnel detector: emits (user_id, completed_at)
+    the micro-batch a user's events first advance through every stage in
+    order. Built-in windowed aggs can't express cross-event ORDERED
+    progression, so this is the one genuinely custom stateful operator —
+    ``applyInPandasWithState`` with a single int of state (the furthest
+    stage reached) per user. State is O(1) per key and Arrow-batched;
+    events are processed ts-ordered within each micro-batch (cross-batch
+    stragglers older than the watermark are dropped by Spark)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_stages = len(stages)
+
+    def detect(key, pdfs, state):
+        stage = state.get[0] if state.exists else 0
+        done_at = None
+        for pdf in pdfs:
+            for ts, et in sorted(zip(pdf["ts"], pdf["event_type"])):
+                if stage < n_stages and et == stages[stage]:
+                    stage += 1
+                    if stage == n_stages:
+                        done_at = ts
+        state.update((stage,))
+        if done_at is not None:
+            yield pd.DataFrame({"user_id": [key[0]], "completed_at": [done_at]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            "user_id long, completed_at timestamp",
+            "stage int",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -389,3 +389,24 @@ def test_sample_mixture_and_cap(spark):
         by_src.setdefault(r["source"], []).append(r["doc_id"])
     # lowest ids win, 3 per source
     assert sorted(by_src["keep"]) == [0, 2, 4] and sorted(by_src["drop"]) == [1, 3, 5]
+
+
+def test_funnel_batch(spark):
+    rows = [
+        # user 1 completes in order
+        (1, 100, "2024-01-01 00:00:00", "view"),
+        (2, 100, "2024-01-01 00:05:00", "click"),
+        (3, 100, "2024-01-01 00:10:00", "purchase"),
+        # user 2: purchase BEFORE click -> incomplete
+        (4, 200, "2024-01-01 00:00:00", "view"),
+        (5, 200, "2024-01-01 00:01:00", "purchase"),
+        (6, 200, "2024-01-01 00:02:00", "click"),
+        # user 3: never views
+        (7, 300, "2024-01-01 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["user_id"]: (str(r["t1"]), str(r["t3"])) for r in ev.funnel(df).collect()}
+    assert set(out) == {100}
+    assert out[100] == ("2024-01-01 00:00:00", "2024-01-01 00:10:00")

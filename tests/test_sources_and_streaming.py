@@ -318,3 +318,30 @@ def test_cli_store_maintenance(spark, tmp_path, capsys):
     assert cli(["snapshot", store]) == 0 and cli(["vacuum", store]) == 0
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["dropped_versions"] == [1]
+
+
+def test_funnel_stream_stateful(spark, tmp_path):
+    from bikidata_spark.streaming.events import funnel_stream, read_event_stream
+
+    src = tmp_path / "fev"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "purchase", "value": 0.0, "props": "{}"},
+        # user 2 stalls at click
+        {"event_id": 4, "ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:01:00", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = funnel_stream(read_event_stream(spark, str(src)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r["user_id"], str(r["completed_at"])) for r in spark.sql("select * from funnel_test").collect()}
+    assert got == {(1, "2024-01-01 00:10:00")}
