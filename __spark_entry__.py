@@ -354,6 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_dedup_minhash"] = lambda spark, sf: dd.minhash_lsh_pairs(
         docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
     )
+    q["pipe_dedup_components"] = lambda spark, sf: dd.dedup_clusters(
+        dd.minhash_lsh_pairs(
+            docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
+        )
+    )
     q["pipe_dedup_simhash"] = lambda spark, sf: dd.simhash_pairs(
         docs(spark, sf), "doc_id", "text", SIMHASH_BITS, SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS
     )
@@ -996,6 +1001,17 @@ SELECT d.doc_id, CAST(COALESCE(h.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
        COALESCE(h.n_eval_grams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
 WHERE d.doc_id % {DECONTAM_MOD} != 0
+"""
+
+    # components over the minhash pair graph: transitive closure →
+    # min-reachable-id labels → per-cluster survivor (mirrors
+    # dedup_clusters(connected_components(minhash_lsh_pairs(...))))
+    o["pipe_dedup_components"] = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({o['pipe_dedup_minhash']}) mh),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a AND s.b != r.a),
+lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+SELECT component, MIN(id) AS keep_id, COUNT(*) AS n_members FROM lab GROUP BY 1
 """
 
     # funnel: greedy-earliest ordered progression view -> click -> purchase

@@ -244,3 +244,61 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph
+    (id_a, id_b) → (id, component), component = min id reachable.
+    Turns near-dup PAIRS into dedup CLUSTERS so one canonical survivor
+    can be picked per group (min-id convention, like ``exact_dedup``).
+
+    Label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — one join + one map-side-combined
+    groupBy per round, converging in graph-diameter rounds (near-dup
+    clusters are shallow, so typically 2-4). ``localCheckpoint`` every
+    round cuts the growing lineage — the classic iterative-algorithm
+    pattern on Spark (GraphX/GraphFrames does the same under the hood,
+    without needing either library)."""
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b"), F.col("id_a")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbmin"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            labels.join(nb, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """(component, keep_id, n_members) — one row per near-dup cluster,
+    the min id as the surviving representative."""
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.min("id").alias("keep_id"), F.count("*").alias("n_members")
+    )

@@ -410,3 +410,26 @@ def test_funnel_batch(spark):
     out = {r["user_id"]: (str(r["t1"]), str(r["t3"])) for r in ev.funnel(df).collect()}
     assert set(out) == {100}
     assert out[100] == ("2024-01-01 00:00:00", "2024-01-01 00:10:00")
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3 plus island 8-9: transitivity matters (1,3 never pair directly)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+    clusters = {
+        r["component"]: (r["keep_id"], r["n_members"])
+        for r in dd.dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: (1, 3), 8: (8, 2)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 10-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 11
