@@ -78,3 +78,68 @@ def test_literal_parts_roundtrip(spark):
     rows = df.select(*literal_to_parts_cols(F.col("o"))).collect()
     got = [(r["literal_value"], r["language"], r["datatype"]) for r in rows]
     assert got == [(v, l, d) for _, v, l, d in cases]
+
+
+def test_hash_split_bucket_three_way(spark):
+    """The md5-permille bucket (hash_split / sample_mixture) must agree
+    across Python, Spark and DuckDB on arbitrary ids."""
+    import hashlib
+
+    rng = random.Random(SEED + 2)
+    ids = [rng.randint(0, 10**12) for _ in range(300)]
+    py = [int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) % 1000 for i in ids]
+    sdf = spark.createDataFrame([(i,) for i in ids], "id long")
+    sp = [
+        r["b"]
+        for r in sdf.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("split:"), F.col("id").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+            ).alias("b")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ids(id BIGINT)")
+    con.executemany("INSERT INTO ids VALUES (?)", [(i,) for i in ids])
+    dk = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(CAST(('0x' || substr(md5('split:' || CAST(id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 1000 FROM ids"
+        ).fetchall()
+    ]
+    assert py == sp == dk
+
+
+def test_chunking_three_way(spark):
+    """Chunk boundaries and texts must agree between Spark and DuckDB
+    for arbitrary token counts around the chunk-width edges."""
+    from bikidata_spark.functions.text import chunk_documents
+
+    rng = random.Random(SEED + 3)
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 7, 8, 9, 15, 16, 17, rng.randint(0, 40)])
+        rows.append((i, " ".join(f"w{rng.randint(0,9)}" for _ in range(n))))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(sdf, "doc_id", "text", chunk_tokens=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    dk = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH toklist AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts FROM documents),
+ch AS (SELECT doc_id, ts, unnest(range((len(ts) + 7) // 8)) AS ci FROM toklist WHERE len(ts) > 0)
+SELECT doc_id, CAST(ci AS BIGINT), array_to_string(ts[ci*8+1 : ci*8+8], ' '), CAST(least(8, len(ts) - ci*8) AS BIGINT) FROM ch
+"""
+        ).fetchall()
+    )
+    assert sp == dk
