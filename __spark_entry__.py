@@ -443,6 +443,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cap_per_source(docs(spark, sf_dir), "doc_id", "source", SOURCE_CAP)
 
     q["pipe_source_cap"] = capped
+
+    def prepare(spark, sf_dir):
+        from bikidata_spark.operators.pipeline import prepare_corpus
+
+        d = docs(spark, sf_dir)
+        return prepare_corpus(
+            d.filter(F.col("doc_id") % DECONTAM_MOD != 0),
+            d.filter(F.col("doc_id") % DECONTAM_MOD == 0),
+            "doc_id",
+            "text",
+            DECONTAM_N,
+            CHUNK_TOKENS,
+        )
+
+    q["pipe_prepare"] = prepare
     q["pipe_text_vocab"] = lambda spark, sf: vocabulary(docs(spark, sf), "text", 2)
     q["pipe_split"] = lambda spark, sf: hash_split(docs(spark, sf), "doc_id")
 
@@ -1055,5 +1070,49 @@ WITH r AS (SELECT doc_id, source,
                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
            FROM documents)
 SELECT doc_id, source, CAST(rn AS INT) AS rn FROM r WHERE rn <= {SOURCE_CAP}
+"""
+
+    # capstone: the full prepare_corpus pipeline mirrored as one query —
+    # quality gate ∩ exact-dedup survivors (train side), minus docs
+    # sharing any eval shingle, chunked and hash-split
+    def _sh(alias_toks: str, k: int) -> str:
+        joins, cols = [], ["a.t"]
+        for i in range(1, k):
+            al = chr(ord("a") + i)
+            joins.append(
+                f"JOIN {alias_toks} {al} ON {al}.doc_id = a.doc_id AND {al}.ord = a.ord + {i}"
+            )
+            cols.append(f"{al}.t")
+        sep = " || ' ' || "
+        return (
+            f"SELECT DISTINCT a.doc_id AS id, {sep.join(cols)} AS s "
+            f"FROM {alias_toks} a {' '.join(joins)}"
+        )
+
+    pk = CHUNK_TOKENS
+    o["pipe_prepare"] = f"""
+WITH tl AS (SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts
+            FROM documents WHERE doc_id % {DECONTAM_MOD} != 0),
+tk AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS ord FROM tl),
+tle AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ts
+        FROM documents WHERE doc_id % {DECONTAM_MOD} = 0),
+tke AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS ord FROM tle),
+shtr AS ({_sh('tk', DECONTAM_N)}),
+shev AS ({_sh('tke', DECONTAM_N)}),
+ok AS (SELECT doc_id FROM tl
+       WHERE len(ts) >= 5 AND length(text) >= 20
+         AND len(list_filter(ts, x -> x IN ({stop_list}))) > 0),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents WHERE doc_id % {DECONTAM_MOD} != 0 GROUP BY md5(text)),
+contam AS (SELECT DISTINCT tr.id FROM shtr tr JOIN (SELECT DISTINCT s FROM shev) e USING (s)),
+clean AS (SELECT tl.doc_id, tl.ts FROM tl JOIN ok USING (doc_id) JOIN keep USING (doc_id)
+          WHERE tl.doc_id NOT IN (SELECT id FROM contam)),
+ch AS (SELECT doc_id, ts, unnest(range((len(ts) + {pk} - 1) // {pk})) AS ci FROM clean WHERE len(ts) > 0)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       array_to_string(ts[ci * {pk} + 1 : ci * {pk} + {pk}], ' ') AS chunk_text,
+       CAST(least({pk}, len(ts) - ci * {pk}) AS BIGINT) AS n_tokens,
+       CASE WHEN CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 1000 < 900
+            THEN 'train' ELSE 'val' END AS split
+FROM ch
 """
     return o

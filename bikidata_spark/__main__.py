@@ -7,6 +7,7 @@
     python -m bikidata_spark compact  <log_store_dir>
     python -m bikidata_spark snapshot <log_store_dir>
     python -m bikidata_spark vacuum   <log_store_dir> [keep_last]
+    python -m bikidata_spark prepare  <docs.parquet> <out_dir> [eval.parquet]
 
 ``build`` ingests N-Triples/TriG (plain or .gz) into a parquet graph
 store; ``query`` runs a JSON query (reference README's dict shape);
@@ -124,6 +125,27 @@ def main(argv: list[str]) -> int:
 
         keep = int(argv[2]) if len(argv) > 2 else 1
         print(json.dumps(vacuum(argv[1], keep_last=keep)))
+        return 0
+    if cmd == "prepare":
+        # prepare <docs.parquet> <out_dir> [eval.parquet] — training-corpus
+        # pipeline: quality ∩ dedup survivors, decontaminated, chunked,
+        # split; written partitioned by split for direct trainer pickup
+        from pyspark.sql import functions as F
+
+        from .operators.pipeline import prepare_corpus
+
+        docs = spark.read.parquet(argv[1])
+        eval_df = spark.read.parquet(argv[3]) if len(argv) > 3 else None
+        out = prepare_corpus(docs, eval_df, "doc_id", "text")
+        out.write.mode("overwrite").partitionBy("split").parquet(argv[2])
+        written = spark.read.parquet(argv[2])
+        stats = {
+            r["split"]: {"chunks": r["chunks"], "tokens": r["tokens"]}
+            for r in written.groupBy("split")
+            .agg(F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens"))
+            .collect()
+        }
+        print(json.dumps({"out": argv[2], "splits": stats}))
         return 0
     print(f"Unknown command {cmd!r}", file=sys.stderr)
     return 2

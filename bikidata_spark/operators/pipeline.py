@@ -46,6 +46,43 @@ def clean_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def prepare_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    decontam_n: int = 13,
+    chunk_tokens: int = 2048,
+    train_permille: int = 900,
+) -> DataFrame:
+    """The full training-corpus preparation pipeline, end to end:
+    quality gate ∩ exact-dedup survivors (``clean_corpus``), minus
+    documents contaminated by the eval set (``decontaminate``), then
+    token-chunked (``chunk_documents``) and deterministically split
+    (``hash_split``). Returns (id, chunk_id, chunk_text, n_tokens,
+    split) — the manifest a trainer consumes.
+
+    Composed as ONE declarative plan: the gates are left-semi joins on
+    the doc id that Catalyst stacks onto a single corpus scan pipeline,
+    the chunk explode is narrow, and the split is a pure map — so the
+    whole pipeline costs the dedup/decontam aggregations plus one scan,
+    with no materialized intermediates between stages."""
+    survivors = clean_corpus(docs, id_col, text_col).select(F.col(id_col))
+    kept = docs.join(survivors, id_col, "left_semi")
+    if eval_df is not None:
+        ok = (
+            decontaminate(docs, eval_df, id_col, text_col, decontam_n)
+            .filter(~F.col("contaminated"))
+            .select(F.col(id_col))
+        )
+        kept = kept.join(ok, id_col, "left_semi")
+    from ..functions.text import chunk_documents, hash_split
+
+    chunks = chunk_documents(kept, id_col, text_col, chunk_tokens)
+    splits = hash_split(kept, id_col, train_permille)
+    return chunks.join(splits, id_col)
+
+
 def sample_mixture(
     df: DataFrame,
     id_col: str,

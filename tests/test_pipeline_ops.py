@@ -433,3 +433,20 @@ def test_connected_components_long_chain_converges(spark):
     )
     cc = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
     assert set(cc.values()) == {0} and len(cc) == 11
+
+
+def test_prepare_corpus_composition(spark, docs):
+    from bikidata_spark.operators.pipeline import prepare_corpus
+
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    ev_df = docs.filter(F.col("doc_id") % 7 == 0)
+    out = prepare_corpus(train, ev_df, "doc_id", "text", decontam_n=8, chunk_tokens=16)
+    rows = out.collect()
+    assert rows and set(out.columns) == {"doc_id", "chunk_id", "chunk_text", "n_tokens", "split"}
+    # every chunk belongs to a train-side doc and carries a split label
+    assert all(r["doc_id"] % 7 != 0 and r["split"] in ("train", "val") for r in rows)
+    # chunks respect the width
+    assert all(0 < r["n_tokens"] <= 16 for r in rows)
+    # deterministic end to end
+    again = prepare_corpus(train, ev_df, "doc_id", "text", decontam_n=8, chunk_tokens=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
