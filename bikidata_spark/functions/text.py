@@ -268,6 +268,23 @@ def chunk_documents(
     )
 
 
+def md5_permille(id_col: str, salt: str) -> Column:
+    """Deterministic 0-999 bucket from the first 8 md5 hex chars of
+    ``salt:id`` — the shared reproducible-sampling primitive behind
+    ``hash_split`` and ``sample_mixture`` (fuzz-checked to agree with
+    Python's hashlib and DuckDB's md5 in test_cross_engine_fuzz)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -279,14 +296,7 @@ def hash_split(
     under ``train_permille``/1000. Stable across runs, partitionings
     and engines (the standard reproducible-split idiom for corpus
     prep — no RNG state, no shuffle; a pure map)."""
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 1000
-    )
+    bucket = md5_permille(id_col, salt)
     return df.select(
         F.col(id_col),
         F.when(bucket < train_permille, F.lit("train")).otherwise(F.lit("val")).alias("split"),

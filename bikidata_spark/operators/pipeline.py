@@ -96,20 +96,14 @@ def sample_mixture(
     source's rate. The standard way to hit a per-domain token-mixture
     target reproducibly — a pure map-side filter, no RNG state, no
     shuffle, same sample on every run and partitioning."""
+    from ..functions.text import md5_permille
+
     rate = F.lit(default_permille)
     for src, pm in sorted(permille_by_source.items()):
         rate = F.when(F.col(source_col) == src, F.lit(pm)).otherwise(rate)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000
+    return df.filter(md5_permille(id_col, salt) < rate).select(
+        F.col(id_col), F.col(source_col)
     )
-    return df.filter(bucket < rate).select(F.col(id_col), F.col(source_col))
 
 
 def cap_per_source(
