@@ -368,6 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_dedup_embedding"] = lambda spark, sf: sim.embedding_neardup_pairs(
         embs(spark, sf), "vec_id", "embedding", EMB_MIN_SIM
     )
+    q["pipe_dedup_embedding_lsh"] = lambda spark, sf: sim.embedding_neardup_pairs(
+        embs(spark, sf), "vec_id", "embedding", EMB_MIN_SIM, planes=4
+    )
     q["pipe_ann_topk"] = lambda spark, sf: sim.cosine_topk(
         embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
     )
@@ -793,6 +796,17 @@ WHERE {gd} * i.i >= {gn} * (na.n + nb.n - i.i)
     o["pipe_dedup_embedding"] = f"""
 WITH {EMB_D}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) > {EMB_MIN_SIM}
+"""
+    nd_bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {w}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(sim.hyperplanes(4, 64))
+    )
+    o["pipe_dedup_embedding_lsh"] = f"""
+WITH {EMB_D},
+bk AS (SELECT vec_id, v, {nd_bucket} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) > {EMB_MIN_SIM}
 """
     o["pipe_ann_topk"] = f"""

@@ -229,17 +229,30 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_sim: float = 0.3,
+    planes: int | None = None,
 ) -> DataFrame:
-    """Cosine near-dup pairs (id_a < id_b, sim > min_sim). Test-scale
-    implementation is the exact all-pairs product; the scale path is
-    lsh bucketing first (see lsh_ann_topk) then exact verify within
-    buckets."""
+    """Cosine near-dup pairs (id_a < id_b, sim > min_sim).
+
+    ``planes=None`` is the exact all-pairs product — the O(N²) baseline
+    for small/eval sets. ``planes=k`` is the scale path: both sides
+    bucket by the deterministic hyperplane signs (``hyperplane_bucket``)
+    and only same-bucket pairs are compared — an equi-join whose cost is
+    Σ bucket² instead of N², trading recall (cross-bucket pairs are
+    missed by design; high-cosine pairs rarely straddle a hyperplane).
+    Same determinism either way, so both variants oracle-mirror."""
     v = _as_double(ensure_parallelism(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    if planes:
+        dim = len(vectors.select(vec_col).first()[0])
+        v = v.withColumn("bucket", hyperplane_bucket(F.col("v"), planes, dim))
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        joined = a.join(b, "bucket")
+    else:
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        joined = a.crossJoin(b)
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_sim(F.col("va"), F.col("vb")) > min_sim)
         .select("id_a", "id_b")
     )

@@ -450,3 +450,17 @@ def test_prepare_corpus_composition(spark, docs):
     # deterministic end to end
     again = prepare_corpus(train, ev_df, "doc_id", "text", decontam_n=8, chunk_tokens=16).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_embedding_neardup_lsh_subset(spark, embeddings):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_neardup_pairs(embeddings.limit(200)).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_neardup_pairs(embeddings.limit(200), planes=4).collect()
+    }
+    # bucketed pairs are a subset of the exact pairs (same threshold,
+    # only the candidate space shrinks)
+    assert bucketed <= exact
