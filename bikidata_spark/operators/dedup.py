@@ -220,13 +220,31 @@ def ngram_jaccard_pairs(
     n: int = 4,
     jaccard_num: int = 3,
     jaccard_den: int = 20,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (id_a < id_b) >= num/den. Inverted
-    index join on shared n-grams; integer threshold math."""
+    index join on shared n-grams; integer threshold math.
+
+    ``max_df`` is the scale lever: a shingle appearing in more than
+    ``max_df`` documents contributes df² rows to the inverted-index
+    join (the classic stop-shingle blowup); dropping those postings
+    caps the join at |docs|·max_df while barely moving Jaccard for
+    true near-dups, whose overlap is dominated by rare shingles. The
+    Jaccard denominator still uses FULL per-doc shingle counts, so
+    scores are conservative (never inflated) under the cap."""
     sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "s")
-    b = sh.select(F.col("id").alias("id_b"), "s")
+    postings = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        postings = sh.join(rare, "s", "left_semi")
+    a = postings.select(F.col("id").alias("id_a"), "s")
+    b = postings.select(F.col("id").alias("id_b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))

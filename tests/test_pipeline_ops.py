@@ -464,3 +464,27 @@ def test_embedding_neardup_lsh_subset(spark, embeddings):
     # bucketed pairs are a subset of the exact pairs (same threshold,
     # only the candidate space shrinks)
     assert bucketed <= exact
+
+
+def test_ngram_jaccard_max_df(spark):
+    # "the same boilerplate" shingle is shared by everyone; real overlap
+    # only between 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, "common header text alpha beta gamma delta"),
+            (2, "common header text alpha beta gamma epsilon"),
+            (3, "common header text totally different body here"),
+            (4, "common header text another unrelated doc body"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3, max_df=2).collect()
+    }
+    # capped is a subset (scores only shrink), and the true near-pair survives
+    assert capped <= full and (1, 2) in capped
