@@ -136,3 +136,64 @@ def read_store(spark: SparkSession, store_dir: str) -> Graph:
         .agg(F.first("value").alias("value"), F.first("is_literal").alias("is_literal"))
     )
     return Graph(triples=triples, terms=terms)
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming exact-dedup ingest for a document corpus: each
+    micro-batch keeps only documents whose normalized fingerprint
+    (md5 of the token stream — ``functions.text.fingerprint``) is new
+    BOTH within the batch (min doc_id survives) and against everything
+    already ingested, then appends the survivors and their fingerprints
+    to the store.
+
+    The seen-set lives in the store itself (``{store}/fps`` parquet),
+    not in driver memory — so state scales to corpus size, restarts
+    recover it for free, and the per-batch cost is one anti-join against
+    a hash-partitioned column. foreachBatch + checkpointing make the
+    sink idempotent per batch id."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    stream = spark.readStream.schema(DOC_SCHEMA).json(src_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        fps = fingerprint(batch, "doc_id", "text")
+        w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+        in_batch = (
+            batch.join(fps, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = spark.read.parquet(f"{store_dir}/fps")
+            fresh = in_batch.join(seen, "fp", "left_anti")
+        except Exception:
+            fresh = in_batch  # first batch: nothing seen yet
+        fresh = fresh.persist()
+        fresh.select("doc_id", "text").write.mode("append").parquet(
+            f"{store_dir}/docs"
+        )
+        fresh.select("fp").distinct().write.mode("append").parquet(
+            f"{store_dir}/fps"
+        )
+        fresh.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

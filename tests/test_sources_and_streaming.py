@@ -345,3 +345,38 @@ def test_funnel_stream_stateful(spark, tmp_path):
     q.awaitTermination(60)
     got = {(r["user_id"], str(r["completed_at"])) for r in spark.sql("select * from funnel_test").collect()}
     assert got == {(1, "2024-01-01 00:10:00")}
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    from bikidata_spark.streaming.mutations import start_dedup_ingest
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    store = str(tmp_path / "dstore")
+    # batch 1: one in-batch dup pair (2 copies of 'same text')
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "same text"},
+                {"doc_id": 2, "text": "same  TEXT!"},  # same fingerprint (normalized)
+                {"doc_id": 3, "text": "unique one"},
+            ]
+        )
+    )
+    start_dedup_ingest(spark, str(src), store, str(tmp_path / "dck")).awaitTermination(60)
+    docs1 = {r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()}
+    assert docs1 == {1, 3}  # min-id survivor of the dup class
+    # batch 2: cross-batch dup of doc 1 + a new doc
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 9, "text": "Same text"},  # dup of already-ingested 1
+                {"doc_id": 10, "text": "brand new"},
+            ]
+        )
+    )
+    start_dedup_ingest(spark, str(src), store, str(tmp_path / "dck")).awaitTermination(60)
+    docs2 = {r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()}
+    assert docs2 == {1, 3, 10}
