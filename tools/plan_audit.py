@@ -19,11 +19,22 @@ from bikidata_spark.graph import from_string_quads, read_graph, write_graph
 from bikidata_spark.operators import dedup as dd
 from bikidata_spark.operators.fts import read_fts_index, write_fts_index
 from bikidata_spark.functions.text import repetition_score
-from bikidata_spark.operators.events import range_join
+from bikidata_spark.operators.events import funnel, range_join
+from bikidata_spark.operators.similarity import embedding_neardup_pairs
 from bikidata_spark.operators.pipeline import clean_corpus, decontaminate
 from bikidata_spark.plans.query import Engine
 from bikidata_spark.session import get_spark
 from bikidata_spark.sources.rdfize import string_quads
+
+
+def _load_events(spark, sf_dir):
+    # events.parquet carries TIMESTAMP(NANOS); read nanos as long and
+    # truncate to micros (same handling as __spark_entry__.load_events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def _range_join_sample(spark):
@@ -141,6 +152,20 @@ def main() -> None:
             "line stats are pure array expressions; gram stats are map-side-"
             "combinable aggregates keyed by doc id — zero Python stages.",
             repetition_score(docs, "doc_id", "text"),
+        ),
+        (
+            "Funnel (ordered progression)",
+            "per-stage reductions all key on user_id — one real shuffle, "
+            "later groupBys reuse the hash partitioning (subset clustering).",
+            funnel(_load_events(spark, sf_dir)),
+        ),
+        (
+            "Embedding near-dup (bucketed scale path)",
+            "hyperplane sign buckets turn the all-pairs product into an "
+            "equi-join on bucket; the cosine filter rides the join.",
+            embedding_neardup_pairs(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"), planes=4
+            ),
         ),
     ]
 
