@@ -273,13 +273,15 @@ def connected_components(
     Turns near-dup PAIRS into dedup CLUSTERS so one canonical survivor
     can be picked per group (min-id convention, like ``exact_dedup``).
 
-    Label propagation: each round every node takes the min of its own
-    label and its neighbors' labels — one join + one map-side-combined
-    groupBy per round, converging in graph-diameter rounds (near-dup
-    clusters are shallow, so typically 2-4). ``localCheckpoint`` every
-    round cuts the growing lineage — the classic iterative-algorithm
-    pattern on Spark (GraphX/GraphFrames does the same under the hood,
-    without needing either library)."""
+    Label propagation with pointer jumping: each round every node takes
+    the min of its own label and its neighbors' labels (one join + one
+    map-side-combined groupBy), then follows its label's label — the
+    pointer-jumping step halves the remaining label-tree depth, so
+    convergence is O(log diameter) rounds instead of O(diameter) (the
+    same doubling idea as large-star/small-star). ``localCheckpoint``
+    every round cuts the growing lineage — the classic
+    iterative-algorithm pattern on Spark (GraphX/GraphFrames does the
+    same under the hood, without needing either library)."""
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b"), F.col("id_a")))
@@ -293,11 +295,19 @@ def connected_components(
             .agg(F.min("comp").alias("nbmin"))
             .withColumnRenamed("dst", "id")
         )
+        stepped = labels.join(nb, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbmin", "comp")).alias("comp"),
+        )
+        # pointer jumping: comp := min(comp, comp's own label)
+        via = stepped.select(
+            F.col("id").alias("comp"), F.col("comp").alias("comp2")
+        )
         new = (
-            labels.join(nb, "id", "left")
+            stepped.join(via, "comp", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nbmin", "comp")).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
             )
             .localCheckpoint()
         )

@@ -488,3 +488,16 @@ def test_ngram_jaccard_max_df(spark):
     }
     # capped is a subset (scores only shrink), and the true near-pair survives
     assert capped <= full and (1, 2) in capped
+
+
+def test_connected_components_pointer_jumping(spark):
+    # a 50-node path has diameter 50: pure min-propagation needs ~50
+    # rounds; pointer jumping must converge within 10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    cc = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(pairs, max_iter=10).collect()
+    }
+    assert set(cc.values()) == {0} and len(cc) == 51
