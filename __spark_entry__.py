@@ -117,11 +117,15 @@ def _with_quads(body: str, recursive: bool = False) -> str:
 
 def _fts_cond(terms: list[str], col: str = "o") -> str:
     """All terms occur in the same literal (mirror of operators/fts.py
-    tokenization: lower + split [^a-z0-9]+)."""
+    tokenization: lower + strip accents + split [^a-z0-9]+). ``terms``
+    must already be accent-stripped (tokenize_query does that)."""
+    from bikidata_spark.operators.fts import strip_accents_sql
+
     arr = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    toks = f"string_split_regex({strip_accents_sql(f'lower({col})')}, '[^a-z0-9]+')"
     return (
         f"{col} LIKE '\"%' AND len(list_filter({arr}, "
-        f"t -> NOT list_contains(string_split_regex(lower({col}), '[^a-z0-9]+'), t))) = 0"
+        f"t -> NOT list_contains({toks}, t))) = 0"
     )
 
 
@@ -200,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rdf_fts_stemmed"] = fts_stemmed
+    # accented query terms match unaccented index tokens (strip_accents
+    # parity with the reference FTS settings, main.py:213-218)
+    q["rdf_fts_accent"] = subj({"filters": [{"p": "fts", "o": "Custömer 000000013"}]})
     q["rdf_fts_hop"] = subj({"filters": [{"p": "fts 1", "o": "customer 000000013"}]})
     q["rdf_fts_hop2"] = subj({"filters": [{"p": "fts 2", "o": "nation 5"}]})
     q["rdf_regex"] = subj({"filters": [{"p": "regex", "o": '"Customer#0000000.."'}]})
@@ -631,15 +638,28 @@ SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG}"""
     o["rdf_fts_prop"] = _with_quads(
         f"SELECT DISTINCT s FROM quads WHERE p = '{RDFS_LABEL}' AND {_fts_cond(['customer', '000000013'])}"
     )
-    # stemmed: query "customers 000000013" → terms stemmed in Python,
-    # literal tokens stemmed with the identical SQL CASE rule
-    from bikidata_spark.operators.fts import stem_sql, stem_token, tokenize_query as _tok
+    # stemmed: query "customers 000000013" → terms stemmed with the
+    # Python porter twin; literal tokens stemmed with the identical
+    # nine-layer porter SQL (functions/porter.py) over unnested tokens
+    from bikidata_spark.functions.porter import porter_subquery
+    from bikidata_spark.operators.fts import strip_accents_sql, tokenize_query as _tok
 
-    _stem_terms = [stem_token(t) for t in _tok("customers 000000013")]
+    _stem_terms = _tok("customers 000000013", stem=True, strip_accents=True)
     _stem_arr = "[" + ", ".join(f"'{t}'" for t in _stem_terms) + "]"
+    _lit_toks = (
+        "SELECT o, unnest(list_filter(string_split_regex("
+        + strip_accents_sql("lower(o)")
+        + ", '[^a-z0-9]+'), x -> x != '')) AS t "
+        "FROM (SELECT DISTINCT o FROM quads WHERE o LIKE '\"%')"
+    )
     o["rdf_fts_stemmed"] = _with_quads(
-        f"""SELECT DISTINCT s FROM quads WHERE o LIKE '"%' AND len(list_filter({_stem_arr},
- t -> NOT list_contains(list_transform(string_split_regex(lower(o), '[^a-z0-9]+'), x -> {stem_sql('x')}), t))) = 0"""
+        f"""SELECT DISTINCT s FROM quads WHERE o IN (
+  SELECT o FROM ({porter_subquery(_lit_toks, ["o"])})
+  GROUP BY o HAVING list_has_all(list(t), {_stem_arr})
+)"""
+    )
+    o["rdf_fts_accent"] = _with_quads(
+        f"SELECT DISTINCT s FROM quads WHERE {_fts_cond(_tok('Custömer 000000013', strip_accents=True))}"
     )
     o["rdf_fts_hop"] = _with_quads(
         f"""SELECT DISTINCT T1.s FROM quads T0 JOIN quads T1 ON T1.o = T0.s

@@ -5,9 +5,12 @@ Reference counterpart: DuckDB's FTS extension over ``literals``
 ``fts_main_literals.match_bm25(hash, q, conjunctive:=1)``
 (reference query.py:187-210). Semantics preserved:
 
-- tokenization: lowercase, split on ``[^a-z0-9]+`` (mirror of the
-  reference FTS settings ``ignore='[^a-zA-Z0-9]+', lower=1``; we do not
-  stem — SURVEY.md §6, so oracles can reproduce matches in plain SQL);
+- tokenization: lowercase, strip accents (fixed translate map, mirror
+  of the reference FTS settings ``strip_accents=1``), split on
+  ``[^a-z0-9]+`` (mirror of ``ignore='[^a-zA-Z0-9]+', lower=1``);
+  optional full Porter stemming (``stem=True``, the reference default
+  ``stemmer='porter'``) via functions/porter.py — every piece
+  reproducible in DuckDB SQL so oracles can mirror matches exactly;
 - conjunctive match is *within one literal*: every query term must occur
   in the same literal row, whose subjects are then found via ``o``;
 - score is BM25 (k1=1.2, b=0.75) over the literal corpus.
@@ -22,68 +25,76 @@ bucketed by token so a query touches only its tokens' buckets.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.porter import porter_stem, stem_tokens_df
+
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Accent stripping (reference FTS settings use ``strip_accents=1``,
+# main.py:213-218). A fixed 1:1 codepoint map — identical semantics via
+# translate() in Spark, DuckDB, and Python — covering precomposed
+# lowercase Latin-1 Supplement + Latin Extended-A. Applied after
+# lower(), so only lowercase forms are needed. Characters outside the
+# map (ß, æ, œ, decomposed combining marks) keep their previous
+# behavior of acting as token separators — deterministic in all three
+# engines.
+_ACCENT_GROUPS = {
+    "a": "àáâãäåāăą",
+    "c": "çćĉċč",
+    "d": "ďđ",
+    "e": "èéêëēĕėęě",
+    "g": "ĝğġģ",
+    "h": "ĥħ",
+    "i": "ìíîïĩīĭįı",
+    "j": "ĵ",
+    "k": "ķ",
+    "l": "ĺļľŀł",
+    "n": "ñńņň",
+    "o": "òóôõöøōŏő",
+    "r": "ŕŗř",
+    "s": "śŝşš",
+    "t": "ţťŧ",
+    "u": "ùúûüũūŭůűų",
+    "w": "ŵ",
+    "y": "ýÿŷ",
+    "z": "źżž",
+}
+ACCENT_SRC = "".join(_ACCENT_GROUPS.values())
+ACCENT_DST = "".join(c * len(s) for c, s in _ACCENT_GROUPS.items())
+_ACCENT_TRANS = str.maketrans(ACCENT_SRC, ACCENT_DST)
 
-def tokens_col(col, stem: bool = False):
+
+def strip_accents_py(s: str) -> str:
+    return s.translate(_ACCENT_TRANS)
+
+
+def strip_accents_sql(expr: str) -> str:
+    """The same map as a SQL ``translate`` call (Spark and DuckDB share
+    the signature), for use inside oracle strings."""
+    return f"translate({expr}, '{ACCENT_SRC}', '{ACCENT_DST}')"
+
+
+def tokens_col(col, strip_accents: bool = False):
     """Array of non-empty lowercase tokens for a string column."""
-    toks = F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
-    if stem:
-        toks = F.transform(toks, _stem_col)
-    return toks
+    base = F.lower(col)
+    if strip_accents:
+        base = F.translate(base, ACCENT_SRC, ACCENT_DST)
+    return F.filter(F.split(base, TOKEN_SPLIT_RE), lambda x: x != "")
 
 
-def _stem_col(t):
-    """Plural stemming, porter step-1a subset (the reference indexes
-    with ``stemmer='porter'`` by default, main.py:218-220; this is the
-    deterministic subset expressible identically in any SQL engine —
-    no lookbehind, no backrefs, so DuckDB/RE2 oracles can mirror it):
-    sses→ss, ies→i, ss stays, trailing s drops."""
-    n = F.length(t)
-    return (
-        F.when(t.rlike("sses$"), t.substr(F.lit(1), n - 2))
-        .when(t.rlike("ies$"), t.substr(F.lit(1), n - 2))
-        .when(t.rlike("ss$"), t)
-        .when(t.rlike(".s$"), t.substr(F.lit(1), n - 1))
-        .otherwise(t)
-    )
-
-
-def stem_token(t: str) -> str:
-    """Python twin of :func:`_stem_col` for query-side terms."""
-    if t.endswith("sses") or t.endswith("ies"):
-        return t[:-2]
-    if t.endswith("ss"):
-        return t
-    if len(t) >= 2 and t.endswith("s"):
-        return t[:-1]
-    return t
-
-
-def stem_sql(expr: str) -> str:
-    """The same rule as a dialect-neutral SQL CASE over ``expr``
-    (used verbatim inside DuckDB oracle strings)."""
-    return (
-        f"CASE WHEN regexp_matches({expr}, 'sses$') THEN substr({expr}, 1, length({expr}) - 2) "
-        f"WHEN regexp_matches({expr}, 'ies$') THEN substr({expr}, 1, length({expr}) - 2) "
-        f"WHEN regexp_matches({expr}, 'ss$') THEN {expr} "
-        f"WHEN regexp_matches({expr}, '.s$') THEN substr({expr}, 1, length({expr}) - 1) "
-        f"ELSE {expr} END"
-    )
-
-
-def tokenize_query(text: str, stem: bool = False) -> list[str]:
-    import re
-
-    toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
-    return [stem_token(t) for t in toks] if stem else toks
+def tokenize_query(text: str, stem: bool = False, strip_accents: bool = False) -> list[str]:
+    s = text.lower()
+    if strip_accents:
+        s = strip_accents_py(s)
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, s) if t]
+    return [porter_stem(t) for t in toks] if stem else toks
 
 
 @dataclass
@@ -99,6 +110,9 @@ class FtsIndex:
     num_buckets: int | None = None
     # tokens were stemmed at build time; query terms get the same rule
     stem: bool = False
+    # accents were stripped at build time (reference default); query
+    # terms get the same translate map
+    strip: bool = True
 
     def _term_postings(self, df: DataFrame, terms: list[str]) -> DataFrame:
         cond = F.col("token").isin(terms)
@@ -110,7 +124,7 @@ class FtsIndex:
 
     def match(self, text: str, conjunctive: bool = True) -> DataFrame:
         """Literals matching ``text`` → (lit, score). BM25-scored."""
-        terms = tokenize_query(text, self.stem)
+        terms = tokenize_query(text, self.stem, self.strip)
         if not terms:
             return self.postings.sparkSession.createDataFrame([], "lit long, score double")
         n = self.n_docs
@@ -200,8 +214,8 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 64) -> None:
     )
     index.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
     stats = index.postings.sparkSession.createDataFrame(
-        [(index.n_docs, float(index.avgdl), num_buckets, index.stem)],
-        "n_docs long, avgdl double, num_buckets int, stem boolean",
+        [(index.n_docs, float(index.avgdl), num_buckets, index.stem, index.strip)],
+        "n_docs long, avgdl double, num_buckets int, stem boolean, strip boolean",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -217,16 +231,25 @@ def read_fts_index(spark, path: str) -> FtsIndex:
         avgdl=stats["avgdl"],
         num_buckets=stats["num_buckets"],
         stem=bool(stats["stem"]) if "stem" in stats.asDict() else False,
+        strip=bool(stats["strip"]) if "strip" in stats.asDict() else True,
     )
 
 
-def build_fts_index(literals: DataFrame, stem: bool = False) -> FtsIndex:
+def build_fts_index(
+    literals: DataFrame, stem: bool = False, strip_accents: bool = True
+) -> FtsIndex:
     """Index ``(hash, value)`` literals. One scan, one shuffle (groupBy
     token+lit), map-side combine via partial aggregation. ``stem=True``
-    applies the porter-subset plural stemmer (reference default)."""
+    applies the full Porter stemmer (the reference's default indexing
+    mode, main.py:217-220) as layered JVM expressions — tokens are
+    exploded to rows first so the nine stemmer stages stay one stacked
+    Project each instead of exploding inside an array lambda."""
     toks = literals.select(
-        F.col("hash").alias("lit"), F.explode(tokens_col(F.col("value"), stem)).alias("token")
+        F.col("hash").alias("lit"),
+        F.explode(tokens_col(F.col("value"), strip_accents)).alias("token"),
     )
+    if stem:
+        toks = stem_tokens_df(toks, "token")
     postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf")).persist()
     # materialize now — "build" should pay the build cost, not the first
     # query (persist alone is lazy). ONE tokenize scan: doc_len (dl =
@@ -243,4 +266,5 @@ def build_fts_index(literals: DataFrame, stem: bool = False) -> FtsIndex:
         n_docs=stats["n"] or 0,
         avgdl=float(stats["avgdl"] or 1.0),
         stem=stem,
+        strip=strip_accents,
     )

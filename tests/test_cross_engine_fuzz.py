@@ -12,7 +12,13 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from bikidata_spark.operators.fts import stem_sql, stem_token, tokenize_query, tokens_col
+from bikidata_spark.functions.porter import porter_stem, porter_subquery, stem_tokens_df
+from bikidata_spark.operators.fts import (
+    strip_accents_py,
+    strip_accents_sql,
+    tokenize_query,
+    tokens_col,
+)
 
 SEED = 20260813
 
@@ -23,45 +29,79 @@ def _random_tokens(n: int) -> list[str]:
     out = []
     for _ in range(n):
         w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
-        # bias toward interesting suffixes
-        w += rng.choice(["", "s", "ss", "es", "ies", "sses", ""])
+        # bias toward suffixes every porter step reacts to
+        w += rng.choice(
+            ["", "s", "ss", "es", "ies", "sses", "eed", "ed", "ing", "y",
+             "ational", "tional", "izer", "alli", "ization", "iveness",
+             "icate", "ative", "ness", "ement", "ment", "ent", "ion",
+             "able", "ance", "al", "er", "e", "ll"]
+        )
         out.append(w)
     return out
 
 
-def test_stemmer_three_way(spark):
-    toks = _random_tokens(500)
-    py = [stem_token(t) for t in toks]
-    sdf = spark.createDataFrame([(t,) for t in toks], "t string")
-    from bikidata_spark.operators.fts import _stem_col
+PAPER_VECTORS = {
+    # full-pipeline outputs of the 1980 algorithm
+    "caresses": "caress", "flies": "fli", "dies": "di", "mules": "mule",
+    "denied": "deni", "died": "di", "agreed": "agre", "owned": "own",
+    "humbled": "humbl", "sized": "size", "meeting": "meet", "stating": "state",
+    "itemization": "item", "sensational": "sensat", "traditional": "tradit",
+    "reference": "refer", "colonizer": "colon", "plotted": "plot",
+    "revival": "reviv", "hopping": "hop", "happy": "happi", "sky": "sky",
+    "relational": "relat", "electrical": "electr", "controll": "control",
+    "roll": "roll", "customers": "custom", "rate": "rate", "cease": "ceas",
+    "feed": "feed", "bled": "bled", "sing": "sing",
+}
 
-    sp = [r["o"] for r in sdf.select(_stem_col(F.col("t")).alias("o")).collect()]
+
+def test_porter_paper_vectors():
+    got = {w: porter_stem(w) for w in PAPER_VECTORS}
+    assert got == PAPER_VECTORS
+
+
+def test_porter_three_way(spark):
+    toks = sorted(set(_random_tokens(400)) | set(PAPER_VECTORS) | {
+        "syzygy", "yyy", "vyy", "gypsy", "toy", "enjoyed", "dying", "lying",
+        "agree", "trees", "ivy", "argued", "000000013", "a1b", "by", "a",
+    })
+    py = [porter_stem(t) for t in toks]
+    sdf = spark.createDataFrame(list(enumerate(toks)), "i long, t string")
+    sp = [r["t"] for r in stem_tokens_df(sdf, "t").orderBy("i").collect()]
     con = duckdb.connect()
-    con.execute("CREATE TABLE toks(t VARCHAR)")
-    con.executemany("INSERT INTO toks VALUES (?)", [(t,) for t in toks])
-    dk = [r[0] for r in con.execute(f"SELECT {stem_sql('t')} FROM toks").fetchall()]
+    con.execute("CREATE TABLE toks(i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO toks VALUES (?, ?)", list(enumerate(toks)))
+    sub = porter_subquery("SELECT i, t FROM toks", ["i"])
+    dk = [r[1] for r in con.execute(f"SELECT i, t FROM ({sub}) ORDER BY i").fetchall()]
     assert py == sp == dk
 
 
 def test_tokenizer_three_way(spark):
+    """Tokenizer with accent stripping: Python twin == Spark == DuckDB."""
     rng = random.Random(SEED + 1)
+    accents = "äöüéèñçĀŠžø"
     texts = [
-        "".join(rng.choice(string.printable[:70] + "äöü") for _ in range(rng.randint(0, 60)))
+        "".join(rng.choice(string.printable[:70] + accents) for _ in range(rng.randint(0, 60)))
         for _ in range(200)
-    ]
-    py = [tokenize_query(t) for t in texts]
+    ] + ["Zürich café ñandú", "ŻABA żaba", "naïve Noël"]
+    py = [tokenize_query(t, strip_accents=True) for t in texts]
     sdf = spark.createDataFrame([(t,) for t in texts], "t string")
-    sp = [r["o"] for r in sdf.select(tokens_col(F.col("t")).alias("o")).collect()]
+    sp = [r["o"] for r in sdf.select(tokens_col(F.col("t"), strip_accents=True).alias("o")).collect()]
     con = duckdb.connect()
     con.execute("CREATE TABLE txts(t VARCHAR)")
     con.executemany("INSERT INTO txts VALUES (?)", [(t,) for t in texts])
     dk = [
         r[0]
         for r in con.execute(
-            "SELECT list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x != '') FROM txts"
+            f"SELECT list_filter(string_split_regex({strip_accents_sql('lower(t)')}, '[^a-z0-9]+'), x -> x != '') FROM txts"
         ).fetchall()
     ]
     assert py == sp == dk
+
+
+def test_strip_accents_map():
+    assert strip_accents_py("zürich-é-ŝ") == "zurich-e-s"
+    # unmapped chars pass through untouched (they remain separators)
+    assert strip_accents_py("straße œuf") == "straße œuf"
 
 
 def test_literal_parts_roundtrip(spark):

@@ -93,7 +93,7 @@ def test_persisted_index_matches_inmemory(spark, tmp_path):
 
 
 def test_stemmed_index_matches_plural_queries(spark):
-    from bikidata_spark.operators.fts import stem_token
+    from bikidata_spark.functions.porter import porter_stem
 
     g = _mini_graph(spark)
     idx = build_fts_index(g.literals(), stem=True)
@@ -101,7 +101,18 @@ def test_stemmed_index_matches_plural_queries(spark):
     assert idx.match("alphas").count() == 2
     # plain index: no match for the plural form
     assert build_fts_index(g.literals()).match("alphas").count() == 0
-    # rule sanity: porter step-1a subset
-    assert [stem_token(t) for t in ("ponies", "glasses", "grass", "cats", "s")] == [
+    # full porter now: inflected forms far beyond step 1a all hit
+    assert [porter_stem(t) for t in ("ponies", "glasses", "grass", "cats", "s")] == [
         "poni", "glass", "grass", "cat", "s",
     ]
+    assert [porter_stem(t) for t in ("motoring", "agreed", "relational", "hopefulness")] == [
+        "motor", "agre", "relat", "hope",
+    ]
+
+
+def test_accented_query_matches_plain_index(spark):
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals())
+    # query-side accents are stripped to match the unaccented corpus
+    plain = idx.match("alpha").count()
+    assert plain > 0 and idx.match("älphä").count() == plain
