@@ -50,6 +50,7 @@ NGRAM_J = (3, 20)  # jaccard >= 3/20
 EMB_MIN_SIM = 0.3
 ANN_K = 10
 ANN_NQ = 5  # queries: vec_id < 5
+KMEANS_QUANT = 6  # decimal places for reproducible Lloyd means
 DECONTAM_N = 3  # shingle width for the contamination check (short docs)
 DECONTAM_MOD = 37  # doc_id % 37 == 0 plays the "benchmark" eval set
 CHUNK_TOKENS = 32  # chunk width for sequence packing (short test docs)
@@ -387,8 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_ann_ivf"] = lambda spark, sf: sim.ivf_ann_topk(
         embs(spark, sf), embs(spark, sf).filter(F.col("vec_id") < ANN_NQ), "vec_id", "embedding", ANN_K
     )
-    # k-means-refined cells: Lloyd means are float reductions, so no SQL
-    # oracle — the driver's rows-only check + the pytest recall gate apply
+    # k-means-refined cells, quantized Lloyd means (DECIMAL sum → round
+    # 6dp) so the refined centroids are bit-reproducible in DuckDB —
+    # this is what gives the k-means variant a hash-matched oracle
     q["pipe_ann_ivf_kmeans"] = lambda spark, sf: sim.ivf_ann_topk(
         embs(spark, sf),
         embs(spark, sf).filter(F.col("vec_id") < ANN_NQ),
@@ -396,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding",
         ANN_K,
         refine_iters=2,
+        quantize=KMEANS_QUANT,
     )
     q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
@@ -939,6 +942,44 @@ probes AS (
     SELECT e.vec_id AS qid, e.v AS qv, c.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
     FROM e, c WHERE e.vec_id < {ANN_NQ}) WHERE crn <= 2),
+scored AS (
+  SELECT p.qid, a.nid AS neighbor, list_cosine_similarity(a.nv, p.qv) AS sim
+  FROM assign a JOIN probes p ON a.cell = p.cell AND a.nid != p.qid)
+SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+    # pipe_ann_ivf_kmeans: two Lloyd iterations with quantized means
+    # (DECIMAL(28,12) exact sum → DOUBLE divide → round 6dp), replayed
+    # here CTE-by-CTE so the refined centroids match Spark bit-for-bit
+    def _lloyd_iter(cent_cte: str, out: str) -> str:
+        return f"""
+a_{out} AS (
+  SELECT cid, nv FROM (
+    SELECT e.vec_id AS nid, e.v AS nv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, {cent_cte} c) WHERE crn = 1),
+{out} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), {KMEANS_QUANT}) AS m
+    FROM (SELECT cid, unnest(nv) AS x, generate_subscripts(nv, 1) AS pos FROM a_{out})
+    GROUP BY cid, pos)
+  GROUP BY cid)"""
+
+    o["pipe_ann_ivf_kmeans"] = f"""
+WITH {EMB_D},
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),{_lloyd_iter("c0", "c1")},{_lloyd_iter("c1", "c2")},
+assign AS (
+  SELECT nid, nv, cid AS cell FROM (
+    SELECT e.vec_id AS nid, e.v AS nv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c2 c) WHERE crn = 1),
+probes AS (
+  SELECT qid, qv, cid AS cell FROM (
+    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c2 c WHERE e.vec_id < {ANN_NQ}) WHERE crn <= 2),
 scored AS (
   SELECT p.qid, a.nid AS neighbor, list_cosine_similarity(a.nv, p.qv) AS sim
   FROM assign a JOIN probes p ON a.cell = p.cell AND a.nid != p.qid)

@@ -122,33 +122,81 @@ def lsh_ann_topk(
     )
 
 
-def kmeans_refine(v: DataFrame, cents: DataFrame, iters: int = 2) -> DataFrame:
+def _cent_arr(cents: DataFrame) -> DataFrame:
+    """Centroids folded into ONE row holding an array<struct<cid,cv>>
+    sorted by cid — the broadcastable form of the centroid set. Joining
+    this single row to the corpus is a BroadcastNestedLoopJoin of one
+    row: the corpus never shuffles for an assignment."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("cents")
+    )
+
+
+def _nearest_cid(vec_col, cents_col):
+    """cid of the nearest centroid (max cosine, ties → lowest cid): a
+    map-side fold over the broadcast centroid array. The array is sorted
+    by cid and the fold keeps the incumbent on equal sim, so the
+    tie-break matches ORDER BY sim DESC, cid ASC exactly — but with no
+    N·k row expansion and no Exchange (the window-over-crossJoin shape
+    this replaces shuffled the whole expansion per round)."""
+    scored = F.transform(
+        cents_col, lambda c: F.struct(cosine_sim(vec_col, c["cv"]).alias("sim"), c["cid"].alias("cid"))
+    )
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("sim"), F.lit(None).cast("long").alias("cid")
+    )
+    return F.aggregate(scored, init, lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc))[
+        "cid"
+    ]
+
+
+def _nearest_cells(vec_col, cents_col, nprobe: int):
+    """Array of the ``nprobe`` nearest centroid ids (sim desc, cid asc),
+    again purely map-side: score, sort by (-sim, cid), slice."""
+    scored = F.transform(
+        cents_col,
+        lambda c: F.struct((-cosine_sim(vec_col, c["cv"])).alias("negsim"), c["cid"].alias("cid")),
+    )
+    top = F.slice(F.array_sort(scored), 1, nprobe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def kmeans_refine(
+    v: DataFrame, cents: DataFrame, iters: int = 2, quantize: int | None = None
+) -> DataFrame:
     """Lloyd refinement of an IVF centroid set. ``v`` is (nid, nv),
     ``cents`` is (cid, cv); returns refined (cid, cv).
 
-    Each iteration is (a) a broadcast assign — the centroid set is tiny,
-    so the corpus never shuffles — and (b) a per-dimension mean via
-    posexplode + one groupBy keyed (cid, pos): k·d groups regardless of
-    corpus size, fully map-side combinable. Cells that end an iteration
-    empty drop out (k shrinks), the standard Lloyd behavior. Means are
-    floating-point reductions, so results are deterministic per plan but
-    not bit-identical across partitionings — use the seed-set variant
-    when an external oracle must reproduce the index."""
-    from pyspark.sql import Window
-
+    Each iteration is (a) a shuffle-free assign — the centroid set rides
+    along as one broadcast array row and every vector folds to its
+    argmax cell map-side (``_nearest_cid``) — and (b) a per-dimension
+    mean via posexplode + one groupBy keyed (cid, pos): k·d groups
+    regardless of corpus size, fully map-side combinable. The only
+    Exchange per iteration is that k·d-group mean — the Lloyd update
+    itself. Cells that end an iteration empty drop out (k shrinks), the
+    standard Lloyd behavior. With ``quantize=None`` means are
+    floating-point reductions — deterministic per plan but not
+    bit-identical across partitionings. ``quantize=s`` makes every
+    iteration externally reproducible: components are summed as
+    DECIMAL(28,12) (exact, partition-order-independent), divided as
+    DOUBLE, and rounded to ``s`` places — a formula any SQL engine
+    replays bit-for-bit, which is what upgrades the k-means query from
+    rows-only to a hash-matched DuckDB oracle."""
+    if quantize is None:
+        mean = F.avg("x").alias("m")
+    else:
+        mean = F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"), quantize
+        ).alias("m")
     for _ in range(iters):
-        w = Window.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid").asc())
-        assign = (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("csim", cosine_sim(F.col("nv"), F.col("cv")))
-            .withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") == 1)
-            .select("cid", "nv")
+        carr = _cent_arr(cents)
+        assign = v.crossJoin(F.broadcast(carr)).select(
+            _nearest_cid(F.col("nv"), F.col("cents")).alias("cid"), "nv"
         )
         cents = (
             assign.select("cid", F.posexplode("nv").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean)
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
@@ -165,6 +213,7 @@ def ivf_ann_topk(
     centroid_step: int = 31,
     nprobe: int = 2,
     refine_iters: int = 0,
+    quantize: int | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: (qid, neighbor, rank).
 
@@ -177,11 +226,15 @@ def ivf_ann_topk(
     data-adaptive cells at the cost of bit-exact external
     reproducibility. Ties in the argmin break on centroid id.
 
-    Scale path (100 TB): the assignment is one broadcast join against
-    the (tiny) centroid set; the assigned table is written partitioned
-    by ``cell`` so a query's scan prunes to its probed cells —
-    identical layout story to the LSH variant, but with data-adaptive
-    cells instead of data-oblivious hyperplanes."""
+    Scale path (100 TB): the centroid set rides along as ONE broadcast
+    array row, and both the corpus assignment and the query probes are
+    map-side folds over it (``_nearest_cid`` / ``_nearest_cells``) — no
+    Exchange between the vector scan and its cell id, where the
+    previous crossJoin+window shape shuffled the N·k expansion. The
+    assigned table is written partitioned by ``cell`` so a query's scan
+    prunes to its probed cells — identical layout story to the LSH
+    variant, but with data-adaptive cells instead of data-oblivious
+    hyperplanes."""
     from pyspark.sql import Window
 
     v = _as_double(
@@ -193,23 +246,19 @@ def ivf_ann_topk(
         F.col("nid").alias("cid"), F.col("nv").alias("cv")
     )
     if refine_iters > 0:
-        cents = kmeans_refine(v, cents, refine_iters)
+        cents = kmeans_refine(v, cents, refine_iters, quantize=quantize)
 
-    wv = Window.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    assign = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine_sim(F.col("nv"), F.col("cv")))
-        .withColumn("crn", F.row_number().over(wv))
-        .filter(F.col("crn") == 1)
-        .select("nid", "nv", F.col("cid").alias("cell"))
+    carr = _cent_arr(cents)
+    assign = v.crossJoin(F.broadcast(carr)).select(
+        "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid").asc())
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine_sim(F.col("qv"), F.col("cv")))
-        .withColumn("crn", F.row_number().over(wq))
-        .filter(F.col("crn") <= nprobe)
-        .select("qid", "qv", F.col("cid").alias("cell"))
+        q.crossJoin(F.broadcast(carr))
+        .select(
+            "qid",
+            "qv",
+            F.explode(_nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell"),
+        )
     )
     scored = (
         assign.join(F.broadcast(probes), "cell")

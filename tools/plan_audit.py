@@ -160,6 +160,20 @@ def main() -> None:
             funnel(_load_events(spark, sf_dir)),
         ),
         (
+            "IVF ANN with k-means refine (shuffle-free assignment)",
+            "the centroid set folds to ONE broadcast array row; corpus cell "
+            "assignment and query probes are map-side folds over it — no "
+            "Exchange between the vector scan and its cell id, and no "
+            "window over an N·k expansion (the only Window left is the "
+            "final per-query top-k, planned as WindowGroupLimit).",
+            __import__("bikidata_spark.operators.similarity", fromlist=["ivf_ann_topk"]).ivf_ann_topk(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 5),
+                refine_iters=2,
+                quantize=6,
+            ),
+        ),
+        (
             "Embedding near-dup (bucketed scale path)",
             "hyperplane sign buckets turn the all-pairs product into an "
             "equi-join on bucket; the cosine filter rides the join.",
