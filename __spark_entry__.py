@@ -42,6 +42,7 @@ from bikidata_spark.sources.rdfize import RDFS_LABEL, rdfize_sql, string_quads
 MINHASH_NUM_HASHES = 16
 MINHASH_K = 3
 MINHASH_J = (1, 5)  # jaccard >= 1/5
+MINHASH_ROWS_PER_BAND = 2  # (b×r) banding: 8 bands × 2 rows
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_CHUNKS = 4
@@ -849,11 +850,16 @@ WHERE 1.0 - list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DO
         f"min(({a} * {hb} + {b}) % {MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(minhash_coeffs(nh))
     )
+    # (b×r) banding mirror: band j carries minhashes h{jr}..h{jr+r-1};
+    # a candidate needs ALL r values equal within one band
+    r = MINHASH_ROWS_PER_BAND
+    band_cols = lambda j: ", ".join(f"h{j * r + i} AS s{i}" for i in range(r))  # noqa: E731
+    band_eq = " AND ".join(f"a.s{i} = b.s{i}" for i in range(r))
     o["pipe_dedup_minhash"] = f"""
 WITH {TOKLIST}, {TOKS}, {shingle_cte(MINHASH_K)},
 sig AS (SELECT id, {minh} FROM sh GROUP BY id),
-bands AS ({' UNION ALL '.join(f'SELECT id, {i} AS band, h{i} AS sig FROM sig' for i in range(nh))}),
-cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+bands AS ({' UNION ALL '.join(f'SELECT id, {j} AS band, {band_cols(j)} FROM sig' for j in range(nh // r))}),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND {band_eq} AND a.id < b.id),
 {SIZES},
 inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i FROM cands c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s GROUP BY c.id_a, c.id_b)
 SELECT i.id_a, i.id_b FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b

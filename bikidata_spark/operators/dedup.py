@@ -88,6 +88,47 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def minhash_band_candidates(
+    sh: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """LSH candidate pairs from a (id, s) shingle frame via (b bands ×
+    r rows) banding: the n-hash signature splits into b = n/r bands of
+    r consecutive minhashes each, and a pair is a candidate iff some
+    band matches on ALL r values (equi-join on (band, struct of r)).
+
+    P(candidate) = 1 - (1 - J^r)^b: r=1 fires on ANY single matching
+    minhash — maximal recall but the candidate count explodes on
+    natural web corpora where low-jaccard pairs share one common
+    shingle; r>=2 (default in :func:`minhash_lsh_pairs`) keeps the
+    verify join bounded, the standard banding deployed at scale."""
+    if num_hashes % rows_per_band:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by rows_per_band={rows_per_band}")
+    hb = _hbase(F.col("s"))
+    # signatures from the materialized shingle set (one scan); one md5
+    # base hash per shingle, n cheap (a*h+b) mod p derivations
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(_huniv(hb, a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    )
+    band_structs = [
+        F.struct(
+            *[F.col(f"h{j * rows_per_band + i}").alias(f"s{i}") for i in range(rows_per_band)]
+        )
+        for j in range(num_hashes // rows_per_band)
+    ]
+    bands = sig.select("id", F.posexplode(F.array(*band_structs)).alias("band", "sig"))
+    a = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    b = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -96,34 +137,15 @@ def minhash_lsh_pairs(
     k: int = 3,
     jaccard_num: int = 1,
     jaccard_den: int = 5,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b) via MinHash LSH (r=1: a pair is a
-    candidate when ANY minhash matches — high recall for low-jaccard
-    corpora) verified by exact shingle Jaccard >= num/den."""
+    """Near-dup pairs (id_a < id_b) via MinHash LSH with (b×r) banding
+    (``rows_per_band`` minhashes per band; r=1 is the explicit
+    high-recall mode, r>=2 the scale default — see
+    :func:`minhash_band_candidates`), verified by exact shingle
+    Jaccard >= num/den."""
     sh = shingles(df, id_col, text_col, k).persist()
-    # signatures from the SAME materialized shingle set (one scan);
-    # one md5 base hash per shingle, n cheap (a*h+b) mod p derivations
-    hb = _hbase(F.col("s"))
-    sig = sh.groupBy("id").agg(
-        *[
-            F.min(_huniv(hb, a, b)).alias(f"h{i}")
-            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-        ]
-    )
-    bands = sig.select(
-        "id",
-        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(num_hashes)])).alias(
-            "band", "sig"
-        ),
-    )
-    a = bands.select(F.col("id").alias("id_a"), "band", "sig")
-    b = bands.select(F.col("id").alias("id_b"), "band", "sig")
-    cands = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = minhash_band_candidates(sh, num_hashes, rows_per_band)
     # verification: per-doc shingle-hash sets joined to the candidate
     # pairs, intersection via array_intersect — candidate-driven work
     # with NO candidates×postings explosion (the naive inter-join

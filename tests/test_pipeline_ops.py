@@ -38,6 +38,32 @@ def test_minhash_finds_near_dups(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_minhash_banding_prunes_candidates(spark):
+    """(b×r) banding: r=2 must generate strictly fewer candidate pairs
+    than r=1 on a corpus of low-jaccard pairs that share a single
+    common shingle (the web-corpus shape that floods the verify join),
+    while keeping genuinely similar pairs as candidates."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base + " tail")]  # true near-dups
+    # many documents sharing ONE 3-shingle with doc 0 but otherwise
+    # disjoint: any single minhash can collide, all r=2 bands rarely do
+    for i in range(2, 40):
+        rows.append((i, f"alpha beta gamma x{i} y{i} z{i} w{i} v{i} u{i} t{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingles(df, "doc_id", "text", 3)
+    n_r1 = dd.minhash_band_candidates(sh, 16, 1).count()
+    n_r2 = dd.minhash_band_candidates(sh, 16, 2).count()
+    assert n_r2 < n_r1
+    r2_pairs = {
+        (r["id_a"], r["id_b"]) for r in dd.minhash_band_candidates(sh, 16, 2).collect()
+    }
+    assert (0, 1) in r2_pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.minhash_band_candidates(sh, 16, 3)
+
+
 def test_simhash_identical_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w q")],
