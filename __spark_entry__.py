@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}]}
     )
     q["rdf_filter_id"] = subj({"filters": [{"p": "id", "o": "<e/customer/1>"}]})
+    # seeded consistent sample: deterministic (md5-keyed top-n), so it
+    # carries a full DuckDB oracle despite being a "random" sample
+    q["rdf_sample"] = subj({"filters": [{"p": "id", "o": "sample 10"}]})
     q["rdf_filter_object_only"] = subj({"filters": [{"p": "", "o": "<e/nation/5>"}]})
     q["rdf_filter_object_only_graph"] = subj(
         {"filters": [{"p": "", "o": "<e/nation/5>", "g": "<g/customer>"}]}
@@ -542,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filter algebra (incl. graph restriction + mixed precedence)
         "rdf_filter_property_object",
         "rdf_filter_id",
-        "rdf_filter_object_only",
+        "rdf_sample",
         "rdf_filter_must",
         "rdf_filter_not",
         "rdf_filter_mixed_chain",
@@ -614,6 +617,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["rdf_filter_object_only"] = _with_quads(
         "SELECT DISTINCT s FROM quads WHERE o = '<e/nation/5>'"
+    )
+    from bikidata_spark.plans.query import SAMPLE_SEED
+
+    o["rdf_sample"] = _with_quads(
+        f"""SELECT s FROM (SELECT DISTINCT s FROM quads)
+ORDER BY CAST(CAST(('0x' || substr(md5('sample:{SAMPLE_SEED}:' || s), 1, 8)) AS UBIGINT) AS BIGINT) ASC, s ASC
+LIMIT 10"""
     )
     o["rdf_filter_object_only_graph"] = _with_quads(
         "SELECT DISTINCT s FROM quads WHERE o = '<e/nation/5>' AND g = '<g/customer>'"

@@ -187,10 +187,29 @@ class Engine:
 
         if p == "id":
             if o.startswith(("random", "sample")):
+                # consistent seeded sample (reference query.py:154-163
+                # reservoir): the n smallest md5-derived keys over the
+                # subject IRI form a uniform sample that is deterministic
+                # under any partitioning/retry, mirrorable in SQL, and
+                # plans as TakeOrderedAndProject — a single pass with a
+                # per-partition n-heap, NOT a global sort.
                 parts = o.split(" ")
                 n = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
                 subj = with_g(t).select("s").distinct()
-                return subj.orderBy(F.rand(SAMPLE_SEED)).limit(n), None
+                vals = subj.join(
+                    self.graph.terms.select(F.col("hash").alias("s"), "value"), "s"
+                )
+                key = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"sample:{SAMPLE_SEED}:"), F.col("value"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                return (
+                    vals.orderBy(key.asc(), F.col("value").asc()).limit(n).select("s"),
+                    None,
+                )
             terms = o.split(" ") if " " in o and o.startswith("<") else [o]
             base = with_g(t.filter(_isin_terms(F.col("s"), terms))).select("s")
             return base.distinct(), None

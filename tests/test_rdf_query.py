@@ -159,3 +159,20 @@ def test_size_zero_is_aggregates_only(engine):
     # malformed size falls back to the default, like the reference's try/except
     r2 = engine.query({"size": "bogus", "filters": [{"p": "id", "o": "<e/nation/5>"}]})
     assert r2["size"] == 999 and len(r2["results"]) == 1
+
+
+def test_sample_deterministic_no_global_sort(engine):
+    # seeded consistent sample: same rows on every run (md5-keyed top-n,
+    # partitioning-independent), planned as TakeOrderedAndProject — a
+    # per-partition n-heap — never a global Sort
+    s1, _ = engine.filter_subjects({"p": "id", "o": "sample 5"})
+    s2, _ = engine.filter_subjects({"p": "id", "o": "sample 5"})
+    a = sorted(r["s"] for r in s1.collect())
+    b = sorted(r["s"] for r in s2.collect())
+    assert len(a) == 5 and a == b
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # the global-sort signature
+    # different n stays a prefix-compatible sample (consistent keys)
+    s3, _ = engine.filter_subjects({"p": "id", "o": "sample 3"})
+    assert sorted(r["s"] for r in s3.collect())[0] in a
