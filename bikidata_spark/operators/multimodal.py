@@ -7,11 +7,18 @@ per-row Python work on large binary payloads (no per-row pickling, and
 the pipeline stays partition-parallel: media bytes never concentrate on
 the driver).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBBED: ``decode_image``/``sample_frames`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic byte-hash feature is produced so the full Spark plumbing
-(schema, batching, partitioning) is real and tested.
+Image/video codecs (PIL/ffmpeg) are NOT in this container, so those
+decode kernels are STUBBED: they raise ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic byte-hash feature is
+produced so the full Spark plumbing (schema, batching, partitioning) is
+real and tested.
+
+Audio is REAL: ``decode_wav`` parses RIFF/WAVE PCM headers in pure
+stdlib+numpy (no codec needed) and ``wav_features`` computes windowed
+RMS + log-spectral-band features, so ``extract_features`` /
+``media_similarity_topk`` run non-fake end-to-end on ``audio/wav``
+payloads — one genuinely working modality through the same mapInPandas
+shape the stubbed ones will use when codecs exist.
 """
 
 from __future__ import annotations
@@ -69,27 +76,101 @@ def _fake_feature(payload: bytes | None) -> list[float]:
     return [c / total for c in counts]
 
 
+def decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """Minimal RIFF/WAVE PCM parser — pure stdlib + numpy, no codec.
+
+    Supports PCM (format tag 1) 8- and 16-bit samples with any channel
+    count (downmixed to mono float64 in [-1, 1]) by walking the RIFF
+    chunk list (fmt / data; unknown chunks skipped, odd sizes padded per
+    spec). Returns (sample_rate, samples). Raises ValueError on
+    malformed or unsupported payloads."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, nch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits not in (8, 16) or nch < 1:
+        raise ValueError(f"unsupported wav: fmt={audio_fmt} bits={bits} ch={nch}")
+    if bits == 16:
+        usable = len(data) - (len(data) % (2 * nch))
+        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        usable = len(data) - (len(data) % nch)
+        x = (np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return int(sr), x.reshape(-1, nch).mean(axis=1)
+
+
+def wav_features(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """Real audio feature kernel: ``dim - 4`` log-energies over
+    geometric frequency bands of the magnitude spectrum (rfft), plus
+    windowed-RMS mean/std/max (20 ms windows) and zero-crossing rate.
+    Deterministic pure-numpy math — same vector on every engine."""
+    import numpy as np
+
+    sr, x = decode_wav(payload)
+    if len(x) == 0:
+        return [0.0] * dim
+    nb = dim - 4
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    edges = np.geomspace(20.0, max(sr / 2.0, 40.0), nb + 1)
+    bands = []
+    for i in range(nb):
+        m = (freqs >= edges[i]) & (freqs < edges[i + 1])
+        bands.append(float(np.log1p(spec[m].sum())) if m.any() else 0.0)
+    win = max(1, int(sr * 0.02))
+    nwin = len(x) // win
+    if nwin:
+        r = np.sqrt((x[: nwin * win].reshape(nwin, win) ** 2).mean(axis=1))
+        rms = [float(r.mean()), float(r.std()), float(r.max())]
+    else:
+        rms = [0.0, 0.0, 0.0]
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+    return bands + rms + [zcr]
+
+
+def _real_feature(payload: bytes | None, mime: str | None) -> list[float]:
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return wav_features(payload)
+    raise NotImplementedError(
+        f"decode for mime={mime!r} requires a codec library not present "
+        "in this environment (audio/wav is implemented; pass fake=True "
+        "for the deterministic test kernel on other modalities)"
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """(media_id, feature: array<double>) via Arrow-batched mapInPandas.
 
-    With fake=False this is where a real decoder (PIL, ffmpeg) would
-    run; the container has none, so it raises — STUB, clearly marked.
-    """
+    fake=False runs the real kernel: WAV payloads decode and featurize
+    (``wav_features``); other mimes raise until their codec exists —
+    STUB, clearly marked."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio codec library "
-                    "not present in this environment; pass fake=True for "
-                    "the deterministic test kernel"
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
-                }
-            )
+            if fake:
+                feats = [_fake_feature(p) for p in pdf["payload"]]
+            else:
+                feats = [
+                    _real_feature(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+                ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.mapInPandas(kernel, _FEATURES_SCHEMA)
 
