@@ -198,6 +198,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         }
     )
+    # mixed should+must chain: A ∪ (B ∩ C) under SQL set-op precedence
+    # (INTERSECT binds tighter), matching the reference's concatenated
+    # UNION/INTERSECT SQL as DuckDB evaluates it
+    q["rdf_filter_mixed_chain"] = subj(
+        {
+            "filters": [
+                {"p": "<p/type>", "o": "<c/supplier>"},
+                {"op": "should", "p": "", "o": "<e/nation/5>"},
+                {"op": "must", "p": "<p/type>", "o": "<c/customer>"},
+            ]
+        }
+    )
+
     # --- text search ----------------------------------------------------
     q["rdf_fts"] = subj({"filters": [{"p": "fts", "o": "customer 000000013"}]})
     q["rdf_fts_prop"] = subj(
@@ -645,6 +658,15 @@ SELECT DISTINCT s FROM quads WHERE p = '<p/nation>' AND o = '<e/nation/7>'"""
         f"""SELECT DISTINCT s FROM quads WHERE p = '<p/type>' AND o = '<c/customer>'
 EXCEPT
 SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG}"""
+    )
+    # concatenated set-ops EXACTLY as the reference generates them —
+    # DuckDB's own precedence (INTERSECT first) is the ground truth here
+    o["rdf_filter_mixed_chain"] = _with_quads(
+        """SELECT DISTINCT s FROM quads WHERE p = '<p/type>' AND o = '<c/supplier>'
+UNION
+SELECT DISTINCT s FROM quads WHERE o = '<e/nation/5>'
+INTERSECT
+SELECT DISTINCT s FROM quads WHERE p = '<p/type>' AND o = '<c/customer>'"""
     )
     o["rdf_fts"] = _with_quads(
         f"SELECT DISTINCT s FROM quads WHERE {_fts_cond(['customer', '000000013'])}"

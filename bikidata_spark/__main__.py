@@ -53,8 +53,10 @@ def main(argv: list[str]) -> int:
         if not files:
             print("No triples to index", file=sys.stderr)
             return 1
-        trig = [f for f in files if f.endswith(".trig")]
-        nt = [f for f in files if not f.endswith(".trig")]
+        # .trig.gz is admitted by the .gz suffix filter — route it to the
+        # TriG reader too, or block headers are silently parsed as NT
+        trig = [f for f in files if f.endswith((".trig", ".trig.gz"))]
+        nt = [f for f in files if not f.endswith((".trig", ".trig.gz"))]
         parts = [read_nt(spark, nt)] if nt else []
         if trig:
             parts.append(read_trig(spark, trig))
@@ -113,7 +115,11 @@ def main(argv: list[str]) -> int:
     if cmd == "compact":
         from .streaming.mutations import compact_store
 
-        print(json.dumps(compact_store(spark, argv[1])))
+        try:
+            print(json.dumps(compact_store(spark, argv[1], force="--force" in argv)))
+        except RuntimeError as e:  # snapshots pin pre-compaction files
+            print(json.dumps({"error": str(e)}))
+            return 1
         return 0
     if cmd == "snapshot":
         from .streaming.manifest import commit_snapshot

@@ -310,7 +310,15 @@ class Engine:
         return result
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
-        combined = None
+        """Combine filter subject sets with SQL set-operator PRECEDENCE,
+        not left-to-right folding: the reference concatenates
+        ``UNION``/``INTERSECT`` SQL (query.py:629-669) and DuckDB binds
+        INTERSECT tighter, so ``[A, or B, and C]`` means A ∪ (B ∩ C).
+        We parse the chain the same way — a maximal run of consecutive
+        ``must`` filters intersects into the preceding term, and the
+        resulting groups union. ``not`` filters are still forced last
+        (reference query.py:631-633, 668)."""
+        groups: list[list[DataFrame]] = []
         excepts = []
         score_frames = []
         for q in opts.get("filters", []):
@@ -320,16 +328,18 @@ class Engine:
                 continue
             if scores is not None:
                 score_frames.append(scores)
-            if combined is None:
-                combined = subj
-            elif op in ("should", "or"):
-                combined = combined.union(subj)
+            if not groups:
+                groups.append([subj])
             elif op in ("must", "and"):
-                combined = combined.intersect(subj)
+                groups[-1].append(subj)
             elif op == "not":
                 excepts.append(subj)
-        if combined is None:
+            else:
+                groups.append([subj])
+        if not groups:
             return None, None
+        terms = [reduce(lambda a, b: a.intersect(b), g) for g in groups]
+        combined = reduce(lambda a, b: a.union(b), terms)
         for e in excepts:
             combined = combined.subtract(e)
         combined = combined.distinct()

@@ -61,6 +61,10 @@ class Serving:
         )
         self._cache: dict[str, tuple[float, str]] = {}
         self._cache_lock = threading.Lock()
+        # bumped on every graph swap: a query computed against the
+        # pre-mutation graph must not enter the cache after the swap's
+        # clear(), or it would serve stale results for up to the TTL
+        self._generation = 0
         # mutations swap the engine's graph: one at a time, and no
         # queries observe a half-swapped graph because the swap is a
         # single reference assignment of an immutable Graph
@@ -83,17 +87,22 @@ class Serving:
                 if hit and hit[0] > time.time():
                     return json.loads(hit[1])
         received = time.time()
+        with self._cache_lock:
+            generation = self._generation
         result = self.engine.query(opts)
         # reference workers.py:101-103: timing metadata on fresh results
         # (cache hits return the original timings, as with Redis)
         result["msg_received_time"] = received
         result["msg_processed_time"] = time.time()
+        # fresh results go through the SAME JSON round-trip a cache hit
+        # does, so both paths return identical shapes (tuples→lists,
+        # non-JSON values stringified) — the Redis behavior
+        payload = json.dumps(result, default=str)
+        result = json.loads(payload)
         if use_cache:
             with self._cache_lock:
-                self._cache[query_hash] = (
-                    time.time() + CACHE_TTL_S,
-                    json.dumps(result, default=str),
-                )
+                if self._generation == generation:  # no swap mid-query
+                    self._cache[query_hash] = (time.time() + CACHE_TTL_S, payload)
         return result
 
     async def query_async(self, opts: dict, timeout: int = 60) -> dict:
@@ -116,6 +125,7 @@ class Serving:
                 self.engine.replace_graph(new_graph)
                 with self._cache_lock:
                     self._cache.clear()  # results may be stale now
+                    self._generation += 1  # in-flight queries must not cache
         result["msg_received_time"] = received
         result["msg_processed_time"] = time.time()
         return result

@@ -31,7 +31,7 @@ import time
 from pyspark.sql import SparkSession
 
 from ..graph import Graph
-from .mutations import read_store  # noqa: F401  (compaction remains manifest-unaware)
+from .mutations import read_store  # noqa: F401  (compact_store refuses when _manifest exists)
 
 SUBDIRS = ("triples", "terms", "tombstones")
 

@@ -62,8 +62,13 @@ def start_ingest(
     trigger_available_now: bool = True,
 ):
     """Start the mutation-ingest stream. Each micro-batch routes
-    inserts/deletes to their append-only directories via foreachBatch
-    (the sink is idempotent per batch id through checkpointing)."""
+    inserts/deletes to their append-only directories via foreachBatch.
+
+    Idempotence is REAL, not just checkpoint-deep: every write lands in
+    a batch-id-derived subdirectory (``.../batch=<id>``) with overwrite
+    mode, so a micro-batch retried after a partial failure (e.g. crash
+    between the triples append and the terms append) REPLACES its own
+    partial output instead of appending duplicates."""
     stream = read_mutation_stream(spark, src_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -71,10 +76,16 @@ def start_ingest(
         inserts = batch.filter(F.col("action") == "insert")
         deletes = batch.filter(F.col("action") == "delete")
         if inserts.limit(1).count():
-            _hashed(inserts).write.mode("append").parquet(f"{store_dir}/triples")
-            _terms(inserts).write.mode("append").parquet(f"{store_dir}/terms")
+            _hashed(inserts).write.mode("overwrite").parquet(
+                f"{store_dir}/triples/batch={batch_id}"
+            )
+            _terms(inserts).write.mode("overwrite").parquet(
+                f"{store_dir}/terms/batch={batch_id}"
+            )
         if deletes.limit(1).count():
-            _hashed(deletes).write.mode("append").parquet(f"{store_dir}/tombstones")
+            _hashed(deletes).write.mode("overwrite").parquet(
+                f"{store_dir}/tombstones/batch={batch_id}"
+            )
         batch.unpersist()
 
     writer = (
@@ -87,7 +98,7 @@ def start_ingest(
     return writer.start()
 
 
-def compact_store(spark: SparkSession, store_dir: str) -> dict:
+def compact_store(spark: SparkSession, store_dir: str, force: bool = False) -> dict:
     """Fold the append-only log down: apply tombstones, drop duplicate
     quads and term rows, rewrite triples sorted by (p, s) (row-group
     pruning for property lookups), and truncate the tombstone log.
@@ -96,20 +107,35 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict:
     (LSM compaction): reads stay fast because the anti-join against an
     ever-growing tombstone set is paid once here instead of on every
     load. Safe ordering: the compacted store is fully written to a
-    sibling directory before the old directories are swapped out."""
+    sibling directory before the old directories are swapped out.
+
+    Snapshot manifests (``streaming.manifest``) pin data files by
+    relative path, so compaction would leave every committed version
+    unreadable — it therefore REFUSES when a ``_manifest`` directory
+    exists unless ``force=True`` (after which old snapshots are gone;
+    vacuum or re-snapshot deliberately)."""
     import os
     import shutil
 
+    if os.path.isdir(f"{store_dir}/_manifest") and not force:
+        raise RuntimeError(
+            "store has snapshot manifests pinning pre-compaction files; "
+            "compacting would break every committed version. Vacuum/drop "
+            "the snapshots first, or pass force=True to discard them."
+        )
     resolved = read_store(spark, store_dir)
     tmp = f"{store_dir}/_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
+    # compacted output lives under batch=-1 so the directory layout
+    # stays uniformly partitioned when post-compaction micro-batches
+    # (ids are monotonically >= 0) add their own batch dirs next to it
     (
         resolved.triples.repartition("p")
         .sortWithinPartitions("p", "s")
         .write.mode("overwrite")
-        .parquet(f"{tmp}/triples")
+        .parquet(f"{tmp}/triples/batch=-1")
     )
-    resolved.terms.write.mode("overwrite").parquet(f"{tmp}/terms")
+    resolved.terms.write.mode("overwrite").parquet(f"{tmp}/terms/batch=-1")
     n_triples = spark.read.parquet(f"{tmp}/triples").count()
     n_terms = spark.read.parquet(f"{tmp}/terms").count()
 
@@ -121,17 +147,24 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict:
     return {"triples": n_triples, "terms": n_terms}
 
 
+def _read_log(spark: SparkSession, path: str) -> DataFrame:
+    """Read an append-only log directory, dropping the ``batch``
+    partition column the idempotent per-batch writers add."""
+    df = spark.read.parquet(path)
+    return df.drop("batch") if "batch" in df.columns else df
+
+
 def read_store(spark: SparkSession, store_dir: str) -> Graph:
     """Load the log-structured store as a Graph: distinct quads minus
     tombstones, deduplicated terms."""
-    triples = spark.read.parquet(f"{store_dir}/triples").distinct()
+    triples = _read_log(spark, f"{store_dir}/triples").distinct()
     try:
-        tombstones = spark.read.parquet(f"{store_dir}/tombstones").distinct()
+        tombstones = _read_log(spark, f"{store_dir}/tombstones").distinct()
         triples = triples.join(tombstones, ["s", "p", "o", "g"], "left_anti")
     except Exception:
         pass  # no deletes yet
     terms = (
-        spark.read.parquet(f"{store_dir}/terms")
+        _read_log(spark, f"{store_dir}/terms")
         .groupBy("hash")
         .agg(F.first("value").alias("value"), F.first("is_literal").alias("is_literal"))
     )
@@ -158,8 +191,10 @@ def start_dedup_ingest(
     The seen-set lives in the store itself (``{store}/fps`` parquet),
     not in driver memory — so state scales to corpus size, restarts
     recover it for free, and the per-batch cost is one anti-join against
-    a hash-partitioned column. foreachBatch + checkpointing make the
-    sink idempotent per batch id."""
+    a hash-partitioned column. Writes land in batch-id-derived
+    subdirectories with overwrite mode, so a retried micro-batch
+    replaces its own partial output instead of appending duplicates
+    (idempotent even when a crash splits the docs/fps append pair)."""
     from pyspark.sql import Window
 
     from ..functions.text import fingerprint
@@ -176,16 +211,16 @@ def start_dedup_ingest(
             .drop("_rn")
         )
         try:
-            seen = spark.read.parquet(f"{store_dir}/fps")
+            seen = _read_log(spark, f"{store_dir}/fps")
             fresh = in_batch.join(seen, "fp", "left_anti")
         except Exception:
             fresh = in_batch  # first batch: nothing seen yet
         fresh = fresh.persist()
-        fresh.select("doc_id", "text").write.mode("append").parquet(
-            f"{store_dir}/docs"
+        fresh.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{store_dir}/docs/batch={batch_id}"
         )
-        fresh.select("fp").distinct().write.mode("append").parquet(
-            f"{store_dir}/fps"
+        fresh.select("fp").distinct().write.mode("overwrite").parquet(
+            f"{store_dir}/fps/batch={batch_id}"
         )
         fresh.unpersist()
 

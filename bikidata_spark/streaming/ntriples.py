@@ -38,7 +38,10 @@ def start_nt_ingest(
     trigger_available_now: bool = True,
 ):
     """Parse + hash + append each micro-batch into the log-structured
-    store (read back with streaming.mutations.read_store)."""
+    store (read back with streaming.mutations.read_store). Writes land
+    in batch-id-derived subdirectories with overwrite mode so a retried
+    micro-batch replaces its own partial output (idempotent even when a
+    crash splits the triples/terms append pair)."""
     stream = read_nt_stream(spark, src_dir, graph)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -48,7 +51,7 @@ def start_nt_ingest(
             term_hash("p").alias("p"),
             term_hash("o").alias("o"),
             term_hash("g").alias("g"),
-        ).write.mode("append").parquet(f"{store_dir}/triples")
+        ).write.mode("overwrite").parquet(f"{store_dir}/triples/batch={batch_id}")
         (
             batch.select(F.explode(F.array("s", "p", "o", "g")).alias("value"))
             .distinct()
@@ -57,8 +60,8 @@ def start_nt_ingest(
                 "value",
                 F.col("value").startswith('"').alias("is_literal"),
             )
-            .write.mode("append")
-            .parquet(f"{store_dir}/terms")
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/terms/batch={batch_id}")
         )
         batch.unpersist()
 

@@ -48,21 +48,30 @@ def _eval_python(filters) -> set[str]:
                 members.add(f"<e/{i}>")
         subs[key] = members
 
-    combined = None
+    # SQL set-op precedence, as the reference's concatenated SQL
+    # evaluates in DuckDB: INTERSECT binds tighter than UNION, so a run
+    # of consecutive `must` filters intersects into the preceding term
+    # and the groups union; EXCEPT clauses still apply last.
+    groups: list[list[set]] = []
     excepts = []
     for f in filters:
         s = subs[(f["p"], f["o"])]
         op = f.get("op", "should")
-        if combined is None:
-            combined = set(s)
-        elif op in ("should", "or"):
-            combined = combined | s
+        if not groups:
+            groups.append([set(s)])
         elif op in ("must", "and"):
-            combined = combined & s
+            groups[-1].append(s)
         elif op == "not":
             excepts.append(s)
-    if combined is None:
+        else:
+            groups.append([set(s)])
+    if not groups:
         return set()
+    from functools import reduce
+
+    combined = set()
+    for g in groups:
+        combined |= reduce(lambda a, b: a & b, g)
     for e in excepts:
         combined = combined - e
     return combined

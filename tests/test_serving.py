@@ -75,3 +75,56 @@ def test_build_from_iterator_batches(spark):
     g = build_from_iterator(spark, iter(TRIPLES), batch_size=2)
     assert g.triples.count() == 4
     assert g.terms.filter("is_literal").count() == 3
+
+
+def test_serving_under_mutation_stress(serving):
+    """Concurrent queries racing >=2 graph swaps: every response is a
+    coherent snapshot (never an error/torn read), post-swap fresh reads
+    see the new graph, and nothing computed against a pre-swap graph
+    can poison the cache afterwards (generation counter)."""
+
+    async def go():
+        q = {"filters": [{"p": "<p/name>", "o": '"delta"'}], "use_cache": False}
+        results = []
+
+        async def reader(n):
+            for _ in range(n):
+                r = await serving.query_async(q)
+                results.append(set(r["results"]))
+
+        async def writer():
+            await serving.insert_async("<e/4>", "<p/name>", '"delta"')  # swap 1
+            await serving.delete_async("<e/4>", "<p/name>", '"delta"')  # swap 2
+            await serving.insert_async("<e/5>", "<p/name>", '"delta"')  # swap 3
+
+        await asyncio.gather(reader(4), reader(4), writer())
+        final = await serving.query_async(q)
+        return results, set(final["results"])
+
+    results, final = asyncio.run(go())
+    # every observed state is one of the legal snapshots
+    legal = [set(), {"<e/4>"}, {"<e/5>"}]
+    assert all(r in legal for r in results), results
+    assert final == {"<e/5>"}
+    # cached entries all belong to the final generation: re-asking with
+    # the cache on returns the post-swap state, not a stale pre-swap one
+    cached = asyncio.run(
+        serving.query_async({"filters": [{"p": "<p/name>", "o": '"delta"'}]})
+    )
+    assert set(cached["results"]) == {"<e/5>"}
+
+
+def test_cache_hit_shape_matches_fresh(serving):
+    """Fresh results and cache hits go through the same JSON round-trip:
+    identical shapes (lists, stringified timestamps) both ways."""
+
+    async def go():
+        opts = {"filters": [{"p": "<p/name>", "o": '"beta"'}], "aggregates": ["<p/name>"]}
+        fresh = await serving.query_async(opts)
+        hit = await serving.query_async(opts)
+        return fresh, hit
+
+    fresh, hit = asyncio.run(go())
+    fresh.pop("msg_processed_time"), hit.pop("msg_processed_time")
+    fresh.pop("msg_received_time"), hit.pop("msg_received_time")
+    assert fresh == hit  # deep-equal INCLUDING container types

@@ -277,7 +277,10 @@ def test_manifest_snapshot_isolation_and_vacuum(spark, tmp_path):
     (src / "b2.json").write_text(
         json.dumps({"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""})
     )
-    start_ingest(spark, str(src), store, str(tmp_path / "mckpt2")).awaitTermination(60)
+    # CONTINUE the same checkpoint: the new file arrives as the next
+    # batch id, appending a new batch dir — committed files are never
+    # rewritten, which is what keeps pinned snapshots readable
+    start_ingest(spark, str(src), store, str(tmp_path / "mckpt")).awaitTermination(60)
     # v1 readers don't see the uncommitted append
     assert read_snapshot(spark, store, v1).triples.count() == 1
     v2 = commit_snapshot(store)
@@ -311,7 +314,12 @@ def test_cli_store_maintenance(spark, tmp_path, capsys):
     assert cli(["snapshot", store]) == 0
     out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out1["version"] == 1
-    assert cli(["compact", store]) == 0
+    # compact refuses while snapshots pin the pre-compaction files
+    assert cli(["compact", store]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "manifest" in err["error"] or "snapshot" in err["error"]
+    # --force compacts anyway, explicitly discarding snapshot guarantees
+    assert cli(["compact", store, "--force"]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["triples"] == 3
     # compact rewrote files; a new snapshot + vacuum of v1 must succeed
@@ -436,3 +444,53 @@ def test_media_similarity_wav_real_kernel(spark):
     query = attach_media(df.filter(F.col("media_id") == 100), "media_id", "payload", "audio/wav")
     out = media_similarity_topk(media, query, k=3, fake=False).collect()
     assert {r["neighbor"] for r in out} == {0, 3, 6}  # the 440 Hz tones
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """Batch-id-derived overwrite writes: replaying the whole stream
+    with a FRESH checkpoint (same batch ids) must leave the store
+    byte-identical — no duplicate docs/triples from re-appends."""
+    import json as _json
+
+    from bikidata_spark.streaming.mutations import read_store, start_ingest
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    recs = [
+        {"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""},
+        {"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in recs))
+    store = str(tmp_path / "rstore")
+    start_ingest(spark, str(src), store, str(tmp_path / "ck1")).awaitTermination(60)
+    n1 = spark.read.parquet(f"{store}/triples").count()
+    # fresh checkpoint => the same files replay as the same batch ids
+    start_ingest(spark, str(src), store, str(tmp_path / "ck2")).awaitTermination(60)
+    n2 = spark.read.parquet(f"{store}/triples").count()
+    assert n1 == n2 == 2  # raw file count unchanged — not masked by distinct()
+    assert read_store(spark, store).triples.count() == 2
+
+
+def test_compact_refuses_with_snapshots(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from bikidata_spark.streaming.manifest import commit_snapshot, read_snapshot
+    from bikidata_spark.streaming.mutations import compact_store, start_ingest
+
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    (src / "b.json").write_text(
+        _json.dumps({"action": "insert", "s": "<a>", "p": "<p>", "o": '"v"', "g": ""})
+    )
+    store = str(tmp_path / "gstore")
+    start_ingest(spark, str(src), store, str(tmp_path / "gck")).awaitTermination(60)
+    v = commit_snapshot(store)
+    with _pytest.raises(RuntimeError, match="manifest"):
+        compact_store(spark, store)
+    # the pinned snapshot is still readable after the refusal
+    assert read_snapshot(spark, store, v).triples.count() == 1
+    # force compacts anyway (explicitly discarding snapshot guarantees)
+    stats = compact_store(spark, store, force=True)
+    assert stats["triples"] == 1
