@@ -390,8 +390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_dedup_ngram"] = lambda spark, sf: dd.ngram_jaccard_pairs(
         docs(spark, sf), "doc_id", "text", NGRAM_N, *NGRAM_J
     )
+    # eval-only exact baseline (planes=None => O(N²) all-pairs); the
+    # bucketed default (planes=4) is the production path
     q["pipe_dedup_embedding"] = lambda spark, sf: sim.embedding_neardup_pairs(
-        embs(spark, sf), "vec_id", "embedding", EMB_MIN_SIM
+        embs(spark, sf), "vec_id", "embedding", EMB_MIN_SIM, planes=None
     )
     q["pipe_dedup_embedding_lsh"] = lambda spark, sf: sim.embedding_neardup_pairs(
         embs(spark, sf), "vec_id", "embedding", EMB_MIN_SIM, planes=4

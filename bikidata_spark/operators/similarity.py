@@ -48,7 +48,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (qid, neighbor, rank). Broadcast
     the query set (small side), rank with a per-query window; ties break
-    on neighbor id for determinism. Self-matches excluded."""
+    on neighbor id for determinism. Self-matches excluded.
+
+    EVAL-ONLY baseline: O(Q·N·d) brute force — fine for recall
+    measurement and small re-rank sets, never for corpus-scale search.
+    Use :func:`lsh_ann_topk` or :func:`ivf_ann_topk` (partition-pruned
+    bucket layouts) as the production defaults."""
     from pyspark.sql import Window
 
     v = _as_double(ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv")
@@ -278,17 +283,20 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_sim: float = 0.3,
-    planes: int | None = None,
+    planes: int | None = 4,
 ) -> DataFrame:
     """Cosine near-dup pairs (id_a < id_b, sim > min_sim).
 
-    ``planes=None`` is the exact all-pairs product — the O(N²) baseline
-    for small/eval sets. ``planes=k`` is the scale path: both sides
-    bucket by the deterministic hyperplane signs (``hyperplane_bucket``)
-    and only same-bucket pairs are compared — an equi-join whose cost is
+    The DEFAULT (``planes=4``) is the scale path: both sides bucket by
+    the deterministic hyperplane signs (``hyperplane_bucket``) and only
+    same-bucket pairs are compared — an equi-join whose cost is
     Σ bucket² instead of N², trading recall (cross-bucket pairs are
     missed by design; high-cosine pairs rarely straddle a hyperplane).
-    Same determinism either way, so both variants oracle-mirror."""
+
+    ``planes=None`` is the EVAL-ONLY exact all-pairs product — the
+    O(N²) baseline for measuring that recall on small sets; never run
+    it on a corpus. Same determinism either way, so both variants
+    oracle-mirror."""
     v = _as_double(ensure_parallelism(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v")
     if planes:
         dim = len(vectors.select(vec_col).first()[0])

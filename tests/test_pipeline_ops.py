@@ -481,7 +481,7 @@ def test_prepare_corpus_composition(spark, docs):
 def test_embedding_neardup_lsh_subset(spark, embeddings):
     exact = {
         (r["id_a"], r["id_b"])
-        for r in sim.embedding_neardup_pairs(embeddings.limit(200)).collect()
+        for r in sim.embedding_neardup_pairs(embeddings.limit(200), planes=None).collect()
     }
     bucketed = {
         (r["id_a"], r["id_b"])
