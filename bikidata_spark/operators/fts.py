@@ -81,6 +81,27 @@ def strip_accents_sql(expr: str) -> str:
     return f"translate({expr}, '{ACCENT_SRC}', '{ACCENT_DST}')"
 
 
+def fts_settings_from_env() -> dict:
+    """``BIKIDATA_FTS_SETTINGS`` parity (reference main.py:207-216): a
+    JSON object overriding index-build settings, e.g.
+    ``{"stemmer": "porter", "strip_accents": 0}``. Keys we honor:
+    ``stemmer`` ("porter" enables the full Porter stemmer, anything
+    else disables) and ``strip_accents`` (0/1, default 1 like the
+    reference). Unknown keys are ignored; malformed JSON means no
+    override."""
+    import json
+    import os
+
+    raw = os.environ.get("BIKIDATA_FTS_SETTINGS", "")
+    if not raw:
+        return {}
+    try:
+        parsed = json.loads(raw)
+        return parsed if isinstance(parsed, dict) else {}
+    except (ValueError, TypeError):
+        return {}
+
+
 def tokens_col(col, strip_accents: bool = False):
     """Array of non-empty lowercase tokens for a string column."""
     base = F.lower(col)

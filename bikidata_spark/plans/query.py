@@ -123,7 +123,14 @@ class Engine:
     @property
     def fts(self) -> FtsIndex:
         if self._fts is None:
-            self._fts = build_fts_index(self.graph.literals())
+            from ..operators.fts import fts_settings_from_env
+
+            s = fts_settings_from_env()
+            self._fts = build_fts_index(
+                self.graph.literals(),
+                stem=s.get("stemmer") == "porter",
+                strip_accents=bool(int(s.get("strip_accents", 1))),
+            )
         return self._fts
 
     def load_fts(self, path: str) -> None:
@@ -486,8 +493,13 @@ class Engine:
             order_cols = [F.col("s_value").asc()]
         ordered = df.orderBy(*order_cols)
         paged = ordered.offset(start).limit(size) if start else ordered.limit(size)
-        # re-assert the order on the collected page (≤ size rows, one part)
-        out = paged.coalesce(1).withColumn("pos", F.row_number().over(Window.orderBy(*order_cols)))
+        # re-assert the order on the collected page (≤ size rows, one
+        # part). The constant partition key is deliberate: it bounds the
+        # window to the already-coalesced page AND keeps WindowExec from
+        # logging its partition-less "all data to one partition" warning
+        # on every query (noise that buries real warnings in the logs).
+        w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+        out = paged.coalesce(1).withColumn("pos", F.row_number().over(w))
         return out.select("pos", "s", "s_value")
 
     # ---- aggregates ----------------------------------------------------

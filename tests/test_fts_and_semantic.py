@@ -116,3 +116,68 @@ def test_accented_query_matches_plain_index(spark):
     # query-side accents are stripped to match the unaccented corpus
     plain = idx.match("alpha").count()
     assert plain > 0 and idx.match("älphä").count() == plain
+
+
+def test_fts_settings_env_override(spark, monkeypatch):
+    """BIKIDATA_FTS_SETTINGS parity (reference main.py:207-216): the
+    engine's lazily-built index honors the JSON override."""
+    from bikidata_spark import Engine
+
+    g = _mini_graph(spark)
+    monkeypatch.setenv("BIKIDATA_FTS_SETTINGS", '{"stemmer": "porter"}')
+    eng = Engine(g)
+    assert eng.fts.stem and eng.fts.strip
+    assert eng.fts.match("alphas").count() == 2  # stemmed index matches plural
+    monkeypatch.setenv("BIKIDATA_FTS_SETTINGS", "not json")
+    eng2 = Engine(g)
+    assert not eng2.fts.stem  # malformed override falls back to defaults
+
+
+def test_batched_provider_batching_retry_pacing():
+    from bikidata_spark.functions.embed import BatchedProvider
+
+    calls, sleeps = [], []
+    fails = {"n": 2}
+
+    def flaky(chunk):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise ConnectionError("transient")
+        calls.append(len(chunk))
+        return [[float(len(t))] for t in chunk]
+
+    t = {"now": 0.0}
+    p = BatchedProvider(
+        flaky, batch_size=4, max_retries=3, backoff_s=0.5,
+        min_interval_s=1.0, sleep=sleeps.append, clock=lambda: t["now"],
+    )
+    out = p.embed_many([f"t{i}" for i in range(10)])
+    assert len(out) == 10 and calls == [4, 4, 2]  # 96-style batching (here 4)
+    assert sleeps[:2] == [0.5, 1.0]  # exponential backoff on the 2 failures
+    assert any(s == 1.0 for s in sleeps[2:])  # rate-limit pacing between calls
+
+    def always_down(chunk):
+        raise ConnectionError("down")
+
+    import pytest as _pytest
+
+    p2 = BatchedProvider(always_down, max_retries=2, sleep=lambda s: None)
+    with _pytest.raises(ConnectionError):
+        p2.embed_many(["x"])
+
+    def wrong_arity(chunk):
+        return [[1.0]] * (len(chunk) + 1)
+
+    p3 = BatchedProvider(wrong_arity, max_retries=0, sleep=lambda s: None)
+    with _pytest.raises(ValueError):
+        p3.embed_many(["x"])
+
+
+def test_build_semantic_with_provider(spark):
+    from bikidata_spark.functions.embed import BatchedProvider, build_semantic, fake_embedding
+
+    g = _mini_graph(spark)
+    provider = BatchedProvider(lambda chunk: [fake_embedding(t, 16) for t in chunk])
+    via_provider = {tuple(r["vec"]) for r in build_semantic(g, dim=16, provider=provider).collect()}
+    direct = {tuple(r["vec"]) for r in build_semantic(g, dim=16).collect()}
+    assert via_provider == direct  # same vectors through the batched seam
