@@ -57,6 +57,7 @@ DECONTAM_MOD = 37  # doc_id % 37 == 0 plays the "benchmark" eval set
 CHUNK_TOKENS = 32  # chunk width for sequence packing (short test docs)
 MIXTURE_PERMILLE = {"src0": 1000, "src1": 500, "src2": 100}  # data-mixing rates
 SOURCE_CAP = 10  # per-source document cap
+CAP_BUCKETS = 4  # sub-quota buckets for the skew-free cap variant
 
 # ---------------------------------------------------------------------------
 # engine cache (one graph per sf_dir per process)
@@ -475,6 +476,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cap_per_source(docs(spark, sf_dir), "doc_id", "source", SOURCE_CAP)
 
     q["pipe_source_cap"] = capped
+
+    def capped_bucketed(spark, sf_dir):
+        from bikidata_spark.operators.pipeline import cap_per_source_bucketed
+
+        return cap_per_source_bucketed(
+            docs(spark, sf_dir), "doc_id", "source", SOURCE_CAP, CAP_BUCKETS
+        )
+
+    # skew-free variant: window keys on (source, md5-bucket) sub-quotas
+    q["pipe_source_cap_bucketed"] = capped_bucketed
 
     def prepare(spark, sf_dir):
         from bikidata_spark.operators.pipeline import prepare_corpus
@@ -1254,6 +1265,19 @@ WITH r AS (SELECT doc_id, source,
                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
            FROM documents)
 SELECT doc_id, source, CAST(rn AS INT) AS rn FROM r WHERE rn <= {SOURCE_CAP}
+"""
+
+    # skew-free variant: same md5 bucket formula as hash_split, quota
+    # cap//B (+1 for the first cap%B buckets), ranked per (source, bucket)
+    o["pipe_source_cap_bucketed"] = f"""
+WITH b AS (SELECT doc_id, source,
+                  CAST(CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % {CAP_BUCKETS} AS bucket
+           FROM documents),
+r AS (SELECT doc_id, source, bucket,
+             ROW_NUMBER() OVER (PARTITION BY source, bucket ORDER BY doc_id ASC) AS rn
+      FROM b)
+SELECT doc_id, source, CAST(bucket AS INT) AS bucket, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {SOURCE_CAP // CAP_BUCKETS} + (CASE WHEN bucket < {SOURCE_CAP % CAP_BUCKETS} THEN 1 ELSE 0 END)
 """
 
     # capstone: the full prepare_corpus pipeline mirrored as one query —

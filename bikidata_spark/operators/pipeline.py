@@ -128,6 +128,49 @@ def cap_per_source(
     )
 
 
+def cap_per_source_bucketed(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+    buckets: int = 32,
+) -> DataFrame:
+    """Skew-free per-source cap: the cap splits into per-(source,
+    hash-bucket) sub-quotas, so the window shuffle keys on (source,
+    bucket) — ``buckets``× more parallelism than one window per source,
+    which is what survives a corpus where one domain holds 10% of all
+    documents. Bucket b of B gets quota ``cap//B + (1 if b < cap%B)``;
+    a bucket with fewer documents than its quota under-fills rather
+    than rebalancing (deterministic, single-pass — the standard
+    trade for eliminating the hot key). The bucket hash is the
+    md5-derived formula shared with ``hash_split``, so the selection is
+    mirrorable in any SQL engine."""
+    from pyspark.sql import Window
+
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    quota = F.lit(cap // buckets) + F.when(F.col("bucket") < cap % buckets, 1).otherwise(0)
+    w = Window.partitionBy(source_col, "bucket").orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("bucket", b)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -527,3 +527,28 @@ def test_connected_components_pointer_jumping(spark):
         for r in dd.connected_components(pairs, max_iter=10).collect()
     }
     assert set(cc.values()) == {0} and len(cc) == 51
+
+
+def test_cap_per_source_bucketed_skew_free(spark):
+    """Sub-quota capping: never exceeds the cap per source, selection is
+    deterministic, and the window keys on (source, bucket) so a giant
+    source fans out over `buckets` window partitions instead of one."""
+    from bikidata_spark.operators.pipeline import cap_per_source, cap_per_source_bucketed
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_source_bucketed(df, "doc_id", "source", cap=10, buckets=4)
+    per_source = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_source["big"] == 10  # every bucket full => exactly cap
+    assert per_source["small"] <= 10
+    # deterministic selection
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in cap_per_source_bucketed(df, "doc_id", "source", 10, 4).collect())
+    assert a == b
+    # buckets=1 degenerates to the plain per-source cap's selection
+    plain = sorted(r["doc_id"] for r in cap_per_source(df, "doc_id", "source", 10).collect())
+    one = sorted(r["doc_id"] for r in cap_per_source_bucketed(df, "doc_id", "source", 10, 1).collect())
+    assert one == plain
+    # the executed plan windows over (source, bucket), not source alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan.split("Window")[1][:200]
