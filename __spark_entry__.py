@@ -420,6 +420,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         refine_iters=2,
         quantize=KMEANS_QUANT,
     )
+    # persisted IVF store (cell-partitioned, pruned scan) — same
+    # parameters as pipe_ann_ivf_kmeans, so results hash-match the same
+    # oracle; the store is built once per process per sf_dir
+    _IVF_STORES: dict[str, str] = {}
+
+    def ann_store(spark, sf_dir):
+        path = _IVF_STORES.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="ivf_store_") + "/ivf"
+            sim.write_ivf_store(
+                embs(spark, sf_dir), path, "vec_id", "embedding",
+                refine_iters=2, quantize=KMEANS_QUANT,
+            )
+            _IVF_STORES[sf_dir] = path
+        vectors, cents = sim.read_ivf_store(spark, path)
+        return sim.ivf_store_topk(
+            vectors, cents,
+            embs(spark, sf_dir).filter(F.col("vec_id") < ANN_NQ),
+            "vec_id", "embedding", ANN_K,
+        )
+
+    q["pipe_ann_ivf_store"] = ann_store
+
     q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
     q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")
@@ -1038,6 +1063,10 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
   SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
 ) WHERE rank <= {ANN_K}
 """
+
+    # identical parameters => identical results to the k-means query;
+    # the store variant only changes WHERE the vectors are scanned from
+    o["pipe_ann_ivf_store"] = o["pipe_ann_ivf_kmeans"]
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     o["pipe_text_tokens"] = f"""

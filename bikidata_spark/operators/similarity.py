@@ -278,6 +278,89 @@ def ivf_ann_topk(
     )
 
 
+def write_ivf_store(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_step: int = 31,
+    refine_iters: int = 0,
+    quantize: int | None = 6,
+) -> None:
+    """Persist an IVF layout: vectors partitioned by their cell id plus
+    the (tiny) centroid table. This is the 100 TB serving shape — a
+    query's scan prunes to its ``nprobe`` probed cell directories
+    (PartitionFilters), exactly the story the persisted FTS store tells
+    for token buckets. Assignment is the shuffle-free broadcast-array
+    fold; refined centroids default to quantized means so the layout is
+    reproducible bit-for-bit anywhere."""
+    v = _as_double(
+        ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+    )
+    cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
+        F.col("nid").alias("cid"), F.col("nv").alias("cv")
+    )
+    if refine_iters > 0:
+        cents = kmeans_refine(v, cents, refine_iters, quantize=quantize)
+    carr = _cent_arr(cents)
+    assign = v.crossJoin(F.broadcast(carr)).select(
+        "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
+    )
+    (
+        assign.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_store(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors, centroids) of a persisted IVF store; ``vectors``
+    carries the ``cell`` partition column for pruned scans."""
+    return (
+        spark.read.parquet(f"{path}/vectors"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def ivf_store_topk(
+    vectors: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k against a persisted IVF store: probe cells are resolved
+    driver-side from the (tiny, collected) centroid table — the same
+    move the FTS store makes with token buckets — so the vector scan
+    carries a STATIC ``cell IN (...)`` predicate and partition-prunes
+    to the probed directories before any executor reads a byte."""
+    from pyspark.sql import Window
+
+    q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    carr = _cent_arr(cents)
+    probes = q.crossJoin(F.broadcast(carr)).select(
+        "qid", "qv", F.explode(_nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell")
+    )
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    pruned = vectors.filter(F.col("cell").isin(cells))
+    scored = (
+        pruned.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", F.col("nid").alias("neighbor"), cosine_sim(F.col("nv"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -552,3 +552,21 @@ def test_cap_per_source_bucketed_skew_free(spark):
     # the executed plan windows over (source, bucket), not source alone
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan.split("Window")[1][:200]
+
+
+def test_ivf_store_pruned_matches_inmemory(spark, embeddings, tmp_path):
+    """Persisted IVF store: identical results to the in-memory operator
+    AND the vector scan partition-prunes to the probed cells."""
+    q = embeddings.filter(F.col("vec_id") < 5)
+    sim.write_ivf_store(embeddings, str(tmp_path / "ivf"), refine_iters=2, quantize=6)
+    vectors, cents = sim.read_ivf_store(spark, str(tmp_path / "ivf"))
+    stored = sim.ivf_store_topk(vectors, cents, q)
+    inmem = sim.ivf_ann_topk(embeddings, q, refine_iters=2, quantize=6)
+    a = sorted((r["qid"], r["neighbor"], r["rank"]) for r in stored.collect())
+    b = sorted((r["qid"], r["neighbor"], r["rank"]) for r in inmem.collect())
+    assert a == b and len(a) == 50
+    import re
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+    assert m, plan[:2000]

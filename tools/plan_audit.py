@@ -174,6 +174,26 @@ def main() -> None:
             ),
         ),
         (
+            "Persisted IVF store (cell-pruned ANN serving)",
+            "vectors are stored partitioned by cell; probe cells resolve "
+            "driver-side from the tiny centroid table, so the scan's "
+            "PartitionFilters prove only the probed cell directories are "
+            "read — the FTS token-bucket story applied to vectors.",
+            (lambda _sim, _tmp: (
+                _sim.write_ivf_store(
+                    spark.read.parquet(f"{sf_dir}/embeddings.parquet"), f"{_tmp}/ivf"
+                ),
+                _sim.ivf_store_topk(
+                    *_sim.read_ivf_store(spark, f"{_tmp}/ivf"),
+                    spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+                        F.col("vec_id") < 5
+                    ),
+                ),
+            )[1])(
+                __import__("bikidata_spark.operators.similarity", fromlist=["x"]), tmp
+            ),
+        ),
+        (
             "Embedding near-dup (bucketed scale path)",
             "hyperplane sign buckets turn the all-pairs product into an "
             "equi-join on bucket; the cosine filter rides the join.",
