@@ -1,0 +1,157 @@
+"""Incremental FTS index maintenance on streaming insert.
+
+The reference rebuilds its FTS index from scratch (main.py:218-220 runs
+the PRAGMA over the whole literals table); at 100 TB a rebuild per
+ingest wave is not an option. This module keeps the persisted
+token-bucketed index (operators/fts.py) CURRENT as mutations stream in:
+
+- each micro-batch takes its INSERT literals, drops ones already
+  indexed (anti-join against the store's seen-literal log — the same
+  store-resident-state move as ``start_dedup_ingest``), tokenizes with
+  the store's own settings, and appends a per-batch index SEGMENT:
+  postings + partial token document-frequencies (both bucket-
+  partitioned inside the batch directory), doc lengths, and a one-row
+  partial stats record;
+- segments land in batch-id-derived directories with overwrite mode —
+  the idempotent-retry contract of every sink in this package;
+- ``read_incremental_fts`` recombines segments lazily: postings and
+  doc_len union (disjoint by construction — the seen-log guarantees a
+  literal is indexed exactly once), token df SUMS across segments
+  behind the bucket/token filters (Catalyst pushes a query's
+  ``token IN (...)`` and bucket pruning below the aggregate, so a
+  match still reads only its terms' bucket directories), and the
+  corpus stats fold from the tiny per-batch partials.
+
+The result is a normal :class:`~bikidata_spark.operators.fts.FtsIndex`
+— ``match`` is unchanged, BM25 scores are exactly what a from-scratch
+build over the same literals would produce (verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import term_hash
+from ..operators.fts import (
+    FtsIndex,
+    _token_bucket_col,
+    stem_tokens_df,
+    tokens_col,
+)
+from .mutations import MUTATION_SCHEMA, _read_log
+
+
+def start_fts_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    num_buckets: int = 64,
+    stem: bool = False,
+    strip_accents: bool = True,
+    trigger_available_now: bool = True,
+):
+    """Maintain an FTS store from the same JSON mutation stream the quad
+    ingest reads ({action, s, p, o, g}): every INSERT whose object is a
+    literal contributes its tokens, exactly once per distinct literal."""
+    meta = spark.createDataFrame(
+        [(num_buckets, stem, strip_accents)],
+        "num_buckets int, stem boolean, strip boolean",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
+
+    stream = spark.readStream.schema(MUTATION_SCHEMA).json(src_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        lits = (
+            batch.filter((F.col("action") == "insert") & F.col("o").startswith('"'))
+            .select(term_hash("o").alias("lit"), F.col("o").alias("value"))
+            .distinct()
+        )
+        try:
+            seen = _read_log(spark, f"{store_dir}/seen")
+            lits = lits.join(seen, "lit", "left_anti")
+        except Exception:
+            pass  # first segment: nothing indexed yet
+        lits = lits.persist()
+        toks = lits.select(
+            "lit", F.explode(tokens_col(F.col("value"), strip_accents)).alias("token")
+        )
+        if stem:
+            toks = stem_tokens_df(toks, "token")
+        postings = (
+            toks.groupBy("lit", "token")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
+            .persist()
+        )
+        (
+            postings.repartition("bucket")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{store_dir}/postings/batch={batch_id}")
+        )
+        (
+            postings.groupBy("bucket", "token")
+            .agg(F.count("*").alias("df"))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{store_dir}/token_df/batch={batch_id}")
+        )
+        doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
+        doc_len.write.mode("overwrite").parquet(f"{store_dir}/doc_len/batch={batch_id}")
+        part = doc_len.agg(
+            F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_dir}/stats/batch={batch_id}"
+        )
+        lits.select("lit").write.mode("overwrite").parquet(
+            f"{store_dir}/seen/batch={batch_id}"
+        )
+        postings.unpersist()
+        doc_len.unpersist()
+        lits.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_fts(spark: SparkSession, store_dir: str) -> FtsIndex:
+    """Open the incrementally-maintained store as a regular FtsIndex.
+    Segment recombination is lazy and filter-friendly: a query's bucket
+    pruning + token filter reach the parquet scans below the df-sum."""
+    meta = spark.read.parquet(f"{store_dir}/meta").collect()[0]
+    postings = _read_log(spark, f"{store_dir}/postings")
+    token_df = (
+        _read_log(spark, f"{store_dir}/token_df")
+        .groupBy("bucket", "token")
+        .agg(F.sum("df").alias("df"))
+    )
+    doc_len = _read_log(spark, f"{store_dir}/doc_len")
+    stats = (
+        _read_log(spark, f"{store_dir}/stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs = int(stats["n"] or 0)
+    avgdl = (stats["s"] / n_docs) if n_docs else 1.0
+    return FtsIndex(
+        postings=postings,
+        token_df=token_df,
+        doc_len=doc_len,
+        n_docs=n_docs,
+        avgdl=float(avgdl),
+        num_buckets=int(meta["num_buckets"]),
+        stem=bool(meta["stem"]),
+        strip=bool(meta["strip"]),
+    )

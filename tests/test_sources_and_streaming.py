@@ -494,3 +494,47 @@ def test_compact_refuses_with_snapshots(spark, tmp_path):
     # force compacts anyway (explicitly discarding snapshot guarantees)
     stats = compact_store(spark, store, force=True)
     assert stats["triples"] == 1
+
+
+def test_incremental_fts_matches_batch_build(spark, tmp_path):
+    """Streaming-maintained FTS store == from-scratch index over the
+    same literals: same matches, same BM25 scores, and the incremental
+    store still partition-prunes to the query's token buckets."""
+    import json as _json
+    import re
+
+    from bikidata_spark.graph import from_string_quads
+    from bikidata_spark.operators.fts import build_fts_index
+    from bikidata_spark.streaming.fts import read_incremental_fts, start_fts_ingest
+
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    store, ck = str(tmp_path / "fstore"), str(tmp_path / "fck")
+    b1 = [
+        {"action": "insert", "s": "<e/1>", "p": "<label>", "o": '"alpha beta"', "g": ""},
+        {"action": "insert", "s": "<e/2>", "p": "<label>", "o": '"gamma alpha"', "g": ""},
+        {"action": "insert", "s": "<e/2>", "p": "<x>", "o": "<e/1>", "g": ""},  # not a literal
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    start_fts_ingest(spark, str(src), store, ck, num_buckets=8).awaitTermination(60)
+    b2 = [
+        # re-insert of an ALREADY-indexed literal: must not double-index
+        {"action": "insert", "s": "<e/9>", "p": "<label>", "o": '"alpha beta"', "g": ""},
+        {"action": "insert", "s": "<e/3>", "p": "<label>", "o": '"delta alpha beta"', "g": ""},
+    ]
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    start_fts_ingest(spark, str(src), store, ck, num_buckets=8).awaitTermination(60)
+
+    inc = read_incremental_fts(spark, store)
+    quads = [(r["s"], r["p"], r["o"]) for r in b1 + b2]
+    g = from_string_quads(
+        spark.createDataFrame([(s, p, o, "") for s, p, o in quads], "s string, p string, o string, g string")
+    )
+    batch = build_fts_index(g.literals())
+    assert inc.n_docs == batch.n_docs == 3 and abs(inc.avgdl - batch.avgdl) < 1e-12
+    for query in ("alpha", "alpha beta", "delta", "nosuch"):
+        a = sorted((r["lit"], round(r["score"], 10)) for r in inc.match(query).collect())
+        b = sorted((r["lit"], round(r["score"], 10)) for r in batch.match(query).collect())
+        assert a == b, query
+    plan = inc.match("alpha")._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:1500]
