@@ -158,6 +158,35 @@ def main() -> None:
         finally:
             shutil.rmtree(store, ignore_errors=True)
 
+    # opt-in ANN-store section (SPARK_GRAFT_BENCH_ANN_STORE=1): persist
+    # the cell-partitioned IVF layout and serve a pruned top-k from it
+    if os.environ.get("SPARK_GRAFT_BENCH_ANN_STORE") == "1":
+        import shutil
+        import tempfile
+
+        astore = tempfile.mkdtemp(prefix="bench_ivf_")
+        try:
+            timed(
+                "q_ann_store_write",
+                lambda: sim.write_ivf_store(embs, f"{astore}/ivf", refine_iters=2),
+            )
+            timed(
+                "q_ann_store_topk",
+                lambda: sim.ivf_store_topk(
+                    *sim.read_ivf_store(spark, f"{astore}/ivf"),
+                    embs.filter(F.col("vec_id") < 5),
+                ).count(),
+            )
+        finally:
+            shutil.rmtree(astore, ignore_errors=True)
+
+    # opt-in stemmed-index section (SPARK_GRAFT_BENCH_STEM=1): the full
+    # Porter build cost relative to the plain q_fts_index entry
+    if os.environ.get("SPARK_GRAFT_BENCH_STEM") == "1":
+        from bikidata_spark.operators.fts import build_fts_index
+
+        timed("q_fts_index_stemmed", lambda: build_fts_index(graph.literals(), stem=True))
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
