@@ -385,6 +385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
         )
     )
+    # same clusters via alternating large/small-star (the heavy-skew
+    # algorithm) — shares the recursive-CTE oracle with the label-
+    # propagation variant because the output contract is identical
+    q["pipe_dedup_components_star"] = lambda spark, sf: dd.dedup_clusters(
+        dd.minhash_lsh_pairs(
+            docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
+        ),
+        algorithm="star",
+    )
     q["pipe_dedup_simhash"] = lambda spark, sf: dd.simhash_pairs(
         docs(spark, sf), "doc_id", "text", SIMHASH_BITS, SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS
     )
@@ -1252,6 +1261,8 @@ reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON 
 lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
 SELECT component, MIN(id) AS keep_id, COUNT(*) AS n_members FROM lab GROUP BY 1
 """
+    # identical output contract, different distributed algorithm
+    o["pipe_dedup_components_star"] = o["pipe_dedup_components"]
 
     # funnel: greedy-earliest ordered progression view -> click -> purchase
     o["pipe_events_funnel"] = """

@@ -345,10 +345,82 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) → (id, component), component = min id reachable.
+
+    Same contract as :func:`connected_components`; different
+    convergence shape. Label propagation moves one hop per round along
+    every path, so a heavy-skew pair graph (one hub in millions of
+    near-dup pairs — the web-corpus shape) keeps re-shuffling the hub's
+    whole neighborhood each round. The star operations instead rewire
+    edges directly onto each neighborhood's minimum: large-star hangs
+    every larger neighbor under min(Γ(u) ∪ {u}), small-star flattens
+    the smaller ones, and the alternation provably converges in
+    O(log² n) rounds with edge count never growing — the hub collapses
+    into a star after its first large-star instead of being re-visited
+    every round. Both ops are one map-side-combined groupBy + one join
+    per round; localCheckpoint cuts lineage."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _min_nbr(e: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) over the edge list e
+        return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = _min_nbr(sym)
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges to point small: (max, min)
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = _min_nbr(o)
+        out = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).unionAll(
+            m.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("x"),
+        ).collect()[0]
+        sig = (sig["n"], sig["x"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged to stars: every non-root points at its component root
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    comp = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    return comp.select(F.col("u").alias("id"), "component")
+
+
+def dedup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
     """(component, keep_id, n_members) — one row per near-dup cluster,
-    the min id as the surviving representative."""
-    cc = connected_components(pairs)
+    the min id as the surviving representative. ``algorithm``:
+    ``label`` (min-label propagation + pointer jumping) or ``star``
+    (alternating large/small-star — the heavy-skew choice)."""
+    cc = (
+        connected_components_star(pairs)
+        if algorithm == "star"
+        else connected_components(pairs)
+    )
     return cc.groupBy("component").agg(
         F.min("id").alias("keep_id"), F.count("*").alias("n_members")
     )

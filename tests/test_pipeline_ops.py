@@ -570,3 +570,30 @@ def test_ivf_store_pruned_matches_inmemory(spark, embeddings, tmp_path):
     plan = stored._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*cell", plan)
     assert m, plan[:2000]
+
+
+def test_connected_components_star_equals_label(spark):
+    """Large/small-star CC agrees with label propagation on chains,
+    cliques, isolated pairs, and a heavy hub (the skew case it exists
+    for)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 10)]          # chain 0..10
+    edges += [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+    edges += [(200, 201), (300, 301)]                   # isolated pairs
+    edges += [(400, 400 + i) for i in range(1, 60)]     # heavy hub
+    edges += [(rng.randint(500, 540), rng.randint(500, 540)) for _ in range(40)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    a = {(r["id"], r["component"]) for r in dd.connected_components(df).collect()}
+    b = {(r["id"], r["component"]) for r in dd.connected_components_star(df).collect()}
+    assert a == b
+    # chain collapses to 0, hub to 400
+    comp = dict(b)
+    assert comp[10] == 0 and comp[459] == 400
+    # dedup_clusters agrees through both algorithms
+    ca = sorted(tuple(r) for r in dd.dedup_clusters(df).collect())
+    cb = sorted(tuple(r) for r in dd.dedup_clusters(df, algorithm="star").collect())
+    assert ca == cb
