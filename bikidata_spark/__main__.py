@@ -53,6 +53,18 @@ def main(argv: list[str]) -> int:
         if not files:
             print("No triples to index", file=sys.stderr)
             return 1
+        # reference main.py:141-148: a populated store is left alone
+        if os.path.isdir(f"{store}/triples"):
+            try:
+                if spark.read.parquet(f"{store}/triples").limit(1).count() > 0:
+                    print(
+                        json.dumps(
+                            {"duration": 0, "error": f"The store [{store}] already has data, doing nothing"}
+                        )
+                    )
+                    return 0
+            except Exception:
+                pass  # unreadable/empty dir: proceed with the build
         # .trig.gz is admitted by the .gz suffix filter — route it to the
         # TriG reader too, or block headers are silently parsed as NT
         trig = [f for f in files if f.endswith((".trig", ".trig.gz"))]
