@@ -180,38 +180,49 @@ def _sql_cv(d: _Dialect, e: str) -> str:
     return d.gsub(p, "[^V]", "C")
 
 
-def _sql_m(d: _Dialect, e: str) -> str:
-    return d.nmatches(_sql_cv(d, e), "V+C+")
-
-
-def _sql_hasv(d: _Dialect, e: str) -> str:
-    return f"contains({_sql_cv(d, e)}, 'V')"
-
-
 def _chop(e: str, k: int) -> str:
-    return f"substr({e}, 1, length({e}) - {k})"
+    return f"substr({e}, 1, length({e}) - {k})" if k else e
 
 
-def _lastc(e: str) -> str:
-    return f"substr({e}, length({e}), 1)"
+def _lastc(e: str, k: int = 0) -> str:
+    # last character of chop(e, k)
+    return f"substr({e}, length({e}) - {k}, 1)"
 
 
-def _sql_doublec(d: _Dialect, e: str) -> str:
+# The cv pattern is PREFIX-STABLE: every classification rule looks only
+# backward (vowel sets, y-after-non-vowel), and the global regex scan
+# is left-to-right, so cv(s[0:n-k]) == cv(s)[0:n-k]. Each stage
+# therefore computes the pattern ONCE (three regexes into {cv}) and
+# every rule condition just SLICES it — instead of re-deriving the
+# pattern per rule (~20 three-regex chains in the wide steps), which is
+# what makes the nine-step stemmer affordable at index-build scale.
+def _m_chop(d: _Dialect, cv: str, k: int) -> str:
+    return d.nmatches(_chop(cv, k), "V+C+")
+
+
+def _hasv_chop(cv: str, k: int) -> str:
+    return f"contains({_chop(cv, k)}, 'V')"
+
+
+def _sql_doublec(d: _Dialect, cv: str, t: str) -> str:
     return (
-        f"(length({e}) >= 2 AND {_lastc(e)} = substr({e}, length({e}) - 1, 1)"
-        f" AND {d.ends(_sql_cv(d, e), 'CC')})"
+        f"(length({t}) >= 2 AND {_lastc(t)} = substr({t}, length({t}) - 1, 1)"
+        f" AND {d.ends(cv, 'CC')})"
     )
 
 
-def _sql_cvc_o(d: _Dialect, e: str) -> str:
-    return f"({d.ends(_sql_cv(d, e), 'CVC')} AND {_lastc(e)} NOT IN ('w', 'x', 'y'))"
+def _cvc_o_chop(d: _Dialect, cv: str, t: str, k: int) -> str:
+    return f"({d.ends(_chop(cv, k), 'CVC')} AND {_lastc(t, k)} NOT IN ('w', 'x', 'y'))"
 
 
-def _sql_rules(d: _Dialect, t: str, rules, min_m: int, ion_special: bool = False) -> str:
+def _sql_rules(
+    d: _Dialect, t: str, cv: str, rules, min_m: int, ion_special: bool = False
+) -> str:
     whens = []
     for suf, rep in rules:
-        stem = _chop(t, len(suf))
-        cond = f"{_sql_m(d, stem)} > {min_m}"
+        k = len(suf)
+        stem = _chop(t, k)
+        cond = f"{_m_chop(d, cv, k)} > {min_m}"
         if ion_special and suf == "ion":
             cond = f"({cond} AND ({d.ends(stem, 's')} OR {d.ends(stem, 't')}))"
         out = f"{stem} || '{rep}'" if rep else stem
@@ -221,11 +232,14 @@ def _sql_rules(d: _Dialect, t: str, rules, min_m: int, ion_special: bool = False
 
 def porter_stages(dialect: str) -> list[dict[str, str]]:
     """Expression layers. Each stage maps output column -> SQL over the
-    *previous* stage's columns, referenced as ``{t}`` / ``{fired}``.
-    Apply in order; afterwards guard with the <=2-length passthrough on
-    the original token (see :func:`stem_tokens_df` / :func:`porter_subquery`)."""
+    *previous* stage's columns, referenced as ``{t}`` / ``{fired}`` /
+    ``{cv}`` (the c/v pattern of the current ``t``, refreshed by the
+    interleaved ``cv`` stages). Apply in order; afterwards guard with
+    the <=2-length passthrough on the original token (see
+    :func:`stem_tokens_df` / :func:`porter_subquery`)."""
     d = _Dialect(dialect)
-    t = "{t}"
+    t, cv = "{t}", "{cv}"
+    refresh = {"cv": _sql_cv(d, t)}
     s1a = (
         f"CASE WHEN {d.ends(t, 'sses')} THEN {_chop(t, 2)} "
         f"WHEN {d.ends(t, 'ies')} THEN {_chop(t, 2)} "
@@ -234,46 +248,54 @@ def porter_stages(dialect: str) -> list[dict[str, str]]:
     )
     s1b = (
         f"CASE WHEN {d.ends(t, 'eed')} THEN "
-        f"CASE WHEN {_sql_m(d, _chop(t, 3))} > 0 THEN {_chop(t, 1)} ELSE {t} END "
+        f"CASE WHEN {_m_chop(d, cv, 3)} > 0 THEN {_chop(t, 1)} ELSE {t} END "
         f"WHEN {d.ends(t, 'ed')} THEN "
-        f"CASE WHEN {_sql_hasv(d, _chop(t, 2))} THEN {_chop(t, 2)} ELSE {t} END "
+        f"CASE WHEN {_hasv_chop(cv, 2)} THEN {_chop(t, 2)} ELSE {t} END "
         f"WHEN {d.ends(t, 'ing')} THEN "
-        f"CASE WHEN {_sql_hasv(d, _chop(t, 3))} THEN {_chop(t, 3)} ELSE {t} END "
+        f"CASE WHEN {_hasv_chop(cv, 3)} THEN {_chop(t, 3)} ELSE {t} END "
         f"ELSE {t} END"
     )
     fired = (
-        f"(NOT {d.ends(t, 'eed')} AND (({d.ends(t, 'ed')} AND {_sql_hasv(d, _chop(t, 2))})"
-        f" OR ({d.ends(t, 'ing')} AND {_sql_hasv(d, _chop(t, 3))})))"
+        f"(NOT {d.ends(t, 'eed')} AND (({d.ends(t, 'ed')} AND {_hasv_chop(cv, 2)})"
+        f" OR ({d.ends(t, 'ing')} AND {_hasv_chop(cv, 3)})))"
     )
     s1b2 = (
         f"CASE WHEN NOT {{fired}} THEN {t} "
         f"WHEN {d.ends(t, 'at')} OR {d.ends(t, 'bl')} OR {d.ends(t, 'iz')} THEN {t} || 'e' "
-        f"WHEN {_sql_doublec(d, t)} AND {_lastc(t)} NOT IN ('l', 's', 'z') THEN {_chop(t, 1)} "
-        f"WHEN {_sql_m(d, t)} = 1 AND {_sql_cvc_o(d, t)} THEN {t} || 'e' "
+        f"WHEN {_sql_doublec(d, cv, t)} AND {_lastc(t)} NOT IN ('l', 's', 'z') THEN {_chop(t, 1)} "
+        f"WHEN {_m_chop(d, cv, 0)} = 1 AND {_cvc_o_chop(d, cv, t, 0)} THEN {t} || 'e' "
         f"ELSE {t} END"
     )
     s1c = (
-        f"CASE WHEN {d.ends(t, 'y')} AND {_sql_hasv(d, _chop(t, 1))} "
+        f"CASE WHEN {d.ends(t, 'y')} AND {_hasv_chop(cv, 1)} "
         f"THEN {_chop(t, 1)} || 'i' ELSE {t} END"
     )
     s5a = (
-        f"CASE WHEN {d.ends(t, 'e')} AND {_sql_m(d, _chop(t, 1))} > 1 THEN {_chop(t, 1)} "
-        f"WHEN {d.ends(t, 'e')} AND {_sql_m(d, _chop(t, 1))} = 1 "
-        f"AND NOT {_sql_cvc_o(d, _chop(t, 1))} THEN {_chop(t, 1)} ELSE {t} END"
+        f"CASE WHEN {d.ends(t, 'e')} AND {_m_chop(d, cv, 1)} > 1 THEN {_chop(t, 1)} "
+        f"WHEN {d.ends(t, 'e')} AND {_m_chop(d, cv, 1)} = 1 "
+        f"AND NOT {_cvc_o_chop(d, cv, t, 1)} THEN {_chop(t, 1)} ELSE {t} END"
     )
     s5b = (
-        f"CASE WHEN {_sql_m(d, t)} > 1 AND {_sql_doublec(d, t)} AND {_lastc(t)} = 'l' "
+        f"CASE WHEN {_m_chop(d, cv, 0)} > 1 AND {_sql_doublec(d, cv, t)} AND {_lastc(t)} = 'l' "
         f"THEN {_chop(t, 1)} ELSE {t} END"
     )
     return [
-        {"t": s1a},
+        {"t": s1a},  # pure suffix rules, no conditions — no cv needed
+        dict(refresh),
         {"fired": fired, "t": s1b},
+        dict(refresh),
         {"t": s1b2},
+        dict(refresh),
         {"t": s1c},
-        {"t": _sql_rules(d, t, STEP2, 0)},
-        {"t": _sql_rules(d, t, STEP3, 0)},
-        {"t": _sql_rules(d, t, STEP4, 1, ion_special=True)},
+        dict(refresh),
+        {"t": _sql_rules(d, t, cv, STEP2, 0)},
+        dict(refresh),
+        {"t": _sql_rules(d, t, cv, STEP3, 0)},
+        dict(refresh),
+        {"t": _sql_rules(d, t, cv, STEP4, 1, ion_special=True)},
+        dict(refresh),
         {"t": s5a},
+        dict(refresh),
         {"t": s5b},
     ]
 
@@ -283,29 +305,36 @@ def stem_tokens_df(df, col: str):
     all expressions are built-in-function trees (whole-stage codegen)."""
     from pyspark.sql import functions as F
 
-    work, flag = "__pt", "__pf"
+    work, flag, patt = "__pt", "__pf", "__pc"
     df = df.withColumn(work, df[col])
+    names = {"t": work, "fired": flag, "cv": patt}
     for stage in porter_stages("spark"):
         df = df.withColumns(
             {
-                (work if name == "t" else flag): F.expr(tpl.format(t=work, fired=flag))
+                names[name]: F.expr(tpl.format(t=work, fired=flag, cv=patt))
                 for name, tpl in stage.items()
             }
         )
     out = F.when(F.length(col) <= 2, F.col(col)).otherwise(F.col(work))
-    return df.withColumn(col, out).drop(work, flag)
+    return df.withColumn(col, out).drop(work, flag, patt)
 
 
 def porter_subquery(inner_sql: str, carry_cols: list[str], tok_col: str = "t") -> str:
     """Wrap a DuckDB SELECT producing ``carry_cols + [tok_col]`` so that
-    ``tok_col`` comes out stemmed (same nine layers, nested subqueries)."""
+    ``tok_col`` comes out stemmed (same layers, nested subqueries)."""
     carry = ", ".join(carry_cols) + ", " if carry_cols else ""
-    sql = f"(SELECT {carry}{tok_col} AS __t0, {tok_col} AS t FROM ({inner_sql}))"
+    sql = (
+        f"(SELECT {carry}{tok_col} AS __t0, {tok_col} AS t, "
+        f"FALSE AS fired, '' AS cv FROM ({inner_sql}))"
+    )
     for stage in porter_stages("duckdb"):
-        cols = ", ".join(
-            f"{tpl.format(t='t', fired='fired')} AS {name}" for name, tpl in stage.items()
-        )
-        sql = f"(SELECT {carry}__t0, {cols} FROM {sql})"
+        cols = []
+        for name in ("t", "fired", "cv"):
+            tpl = stage.get(name)
+            cols.append(
+                f"{tpl.format(t='t', fired='fired', cv='cv')} AS {name}" if tpl else name
+            )
+        sql = f"(SELECT {carry}__t0, {', '.join(cols)} FROM {sql})"
     return (
         f"SELECT {carry}CASE WHEN length(__t0) <= 2 THEN __t0 ELSE t END AS {tok_col} "
         f"FROM {sql}"
