@@ -872,14 +872,19 @@ ORDER BY s, p, o LIMIT 1000"""
     o["rdf_sp"] = _with_quads(
         "SELECT s, o FROM quads WHERE s IN ('<e/customer/1>', '<e/customer/2>') AND p = '<p/mktsegment>'"
     )
+    # hydration operates on the PAGE, not the whole subject set: mirror
+    # the default-order LIMIT (invisible at sf<=0.01 where the segment
+    # is under the page size — caught by the sf0.1 oracle sweep)
     o["rdf_hydrate_only"] = _with_quads(
-        f""", s_results AS ({building})
-SELECT T.s, T.p, T.o FROM quads T JOIN s_results S ON T.s = S.s
+        f""", s_results AS ({building}),
+page AS (SELECT s FROM s_results ORDER BY s ASC LIMIT 2000)
+SELECT T.s, T.p, T.o FROM quads T JOIN page S ON T.s = S.s
 WHERE T.p IN ('{RDFS_LABEL}', '<p/nation>')"""
     )
     o["rdf_hydrate_exclude"] = _with_quads(
-        f""", s_results AS ({building})
-SELECT T.s, T.p, T.o FROM quads T JOIN s_results S ON T.s = S.s
+        f""", s_results AS ({building}),
+page AS (SELECT s FROM s_results ORDER BY s ASC LIMIT 2000)
+SELECT T.s, T.p, T.o FROM quads T JOIN page S ON T.s = S.s
 WHERE T.p != '<p/acctbal>'"""
     )
     o["rdf_properties"] = _with_quads(

@@ -54,12 +54,22 @@ def start_fts_ingest(
 ):
     """Maintain an FTS store from the same JSON mutation stream the quad
     ingest reads ({action, s, p, o, g}): every INSERT whose object is a
-    literal contributes its tokens, exactly once per distinct literal."""
-    meta = spark.createDataFrame(
-        [(num_buckets, stem, strip_accents)],
-        "num_buckets int, stem boolean, strip boolean",
-    )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
+    literal contributes its tokens, exactly once per distinct literal.
+
+    If the store already has a ``meta`` record (a bootstrap or an
+    earlier ingest), ITS settings win — segments of one store must all
+    tokenize identically or the merged index is silently wrong."""
+    try:
+        existing = spark.read.parquet(f"{store_dir}/meta").collect()[0]
+        num_buckets = int(existing["num_buckets"])
+        stem = bool(existing["stem"])
+        strip_accents = bool(existing["strip"])
+    except Exception:
+        meta = spark.createDataFrame(
+            [(num_buckets, stem, strip_accents)],
+            "num_buckets int, stem boolean, strip boolean",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
 
     stream = spark.readStream.schema(MUTATION_SCHEMA).json(src_dir)
 
@@ -124,6 +134,61 @@ def start_fts_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bootstrap_fts_store(
+    literals: DataFrame,
+    store_dir: str,
+    num_buckets: int = 64,
+    stem: bool = False,
+    strip_accents: bool = True,
+) -> None:
+    """Seed an incremental store from an EXISTING corpus (hash, value)
+    so bulk history + future stream compose: writes the bulk index as
+    segment ``batch=-1`` (stream batch ids are >= 0) plus the seen-log,
+    with the same layout ``start_fts_ingest`` appends to."""
+    spark = literals.sparkSession
+    meta = spark.createDataFrame(
+        [(num_buckets, stem, strip_accents)],
+        "num_buckets int, stem boolean, strip boolean",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
+    lits = literals.select(F.col("hash").alias("lit"), "value").distinct().persist()
+    toks = lits.select(
+        "lit", F.explode(tokens_col(F.col("value"), strip_accents)).alias("token")
+    )
+    if stem:
+        toks = stem_tokens_df(toks, "token")
+    postings = (
+        toks.groupBy("lit", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
+        .persist()
+    )
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{store_dir}/postings/batch=-1")
+    )
+    (
+        postings.groupBy("bucket", "token")
+        .agg(F.count("*").alias("df"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{store_dir}/token_df/batch=-1")
+    )
+    doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
+    doc_len.write.mode("overwrite").parquet(f"{store_dir}/doc_len/batch=-1")
+    doc_len.agg(
+        F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/stats/batch=-1")
+    lits.select("lit").write.mode("overwrite").parquet(f"{store_dir}/seen/batch=-1")
+    postings.unpersist()
+    doc_len.unpersist()
+    lits.unpersist()
 
 
 def read_incremental_fts(spark: SparkSession, store_dir: str) -> FtsIndex:

@@ -538,3 +538,46 @@ def test_incremental_fts_matches_batch_build(spark, tmp_path):
         assert a == b, query
     plan = inc.match("alpha")._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:1500]
+
+
+def test_incremental_fts_bootstrap_plus_stream(spark, tmp_path):
+    """Bulk bootstrap (batch=-1 segment) + streamed additions compose
+    into one index equal to a rebuild over everything."""
+    import json as _json
+
+    from bikidata_spark.graph import from_string_quads
+    from bikidata_spark.operators.fts import build_fts_index
+    from bikidata_spark.streaming.fts import (
+        bootstrap_fts_store,
+        read_incremental_fts,
+        start_fts_ingest,
+    )
+
+    base = [("<e/1>", "<label>", '"alpha beta"'), ("<e/2>", "<label>", '"gamma alpha"')]
+    g0 = from_string_quads(
+        spark.createDataFrame([(s, p, o, "") for s, p, o in base], "s string, p string, o string, g string")
+    )
+    store = str(tmp_path / "bstore")
+    bootstrap_fts_store(g0.literals(), store, num_buckets=8)
+
+    src = tmp_path / "bsrc"
+    src.mkdir()
+    new = [
+        # dup of a bootstrapped literal + a genuinely new one
+        {"action": "insert", "s": "<e/9>", "p": "<label>", "o": '"alpha beta"', "g": ""},
+        {"action": "insert", "s": "<e/3>", "p": "<label>", "o": '"delta alpha"', "g": ""},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in new))
+    start_fts_ingest(spark, str(src), store, str(tmp_path / "bck"), num_buckets=8).awaitTermination(60)
+
+    inc = read_incremental_fts(spark, store)
+    everything = base + [("<e/3>", "<label>", '"delta alpha"')]
+    g = from_string_quads(
+        spark.createDataFrame([(s, p, o, "") for s, p, o in everything], "s string, p string, o string, g string")
+    )
+    batch = build_fts_index(g.literals())
+    assert inc.n_docs == batch.n_docs == 3
+    for query in ("alpha", "delta", "gamma alpha"):
+        a = sorted((r["lit"], round(r["score"], 10)) for r in inc.match(query).collect())
+        b = sorted((r["lit"], round(r["score"], 10)) for r in batch.match(query).collect())
+        assert a == b, query
