@@ -6,17 +6,21 @@ plus large-scale training-data pipeline operators (dedup, similarity
 search, text analysis, multimodal plumbing).
 """
 
+from .functions.embed import BatchedProvider
+from .functions.porter import porter_stem
 from .graph import Graph, build_from_iterator, from_string_quads, read_graph, write_graph
 from .plans.query import Engine
 from .serving import Serving, TimeoutError
 
 __all__ = [
+    "BatchedProvider",
     "Graph",
     "Engine",
     "Serving",
     "TimeoutError",
     "build_from_iterator",
     "from_string_quads",
+    "porter_stem",
     "read_graph",
     "write_graph",
 ]
