@@ -36,6 +36,11 @@ from ..functions.porter import porter_stem, stem_tokens_df
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 BM25_K1 = 1.2
 BM25_B = 0.75
+# persisted-store stemmer version: 2 = the full Porter (1980) stemmer in
+# functions/porter.py. Version 1 (never stamped) was an early step-1a
+# subset; stores stamped with a different version than the reader's are
+# refused rather than silently mis-matching query terms.
+STEMMER_VERSION = 2
 
 # Accent stripping (reference FTS settings use ``strip_accents=1``,
 # main.py:213-218). A fixed 1:1 codepoint map — identical semantics via
@@ -97,9 +102,30 @@ def fts_settings_from_env() -> dict:
         return {}
     try:
         parsed = json.loads(raw)
-        return parsed if isinstance(parsed, dict) else {}
+        if not isinstance(parsed, dict):
+            return {}
     except (ValueError, TypeError):
         return {}
+    # coerce defensively: valid JSON like {"strip_accents": "false"} or
+    # null must configure, not crash the first fts query downstream
+    out = {}
+    if "stemmer" in parsed:
+        out["stemmer"] = str(parsed["stemmer"] or "").lower()
+    if "strip_accents" in parsed:
+        out["strip_accents"] = 0 if _flag_off(parsed["strip_accents"]) else 1
+    return out
+
+
+def _flag_off(v) -> bool:
+    """True when a loosely-typed config value means 'off'."""
+    if v is None or v is False:
+        return True
+    if isinstance(v, str):
+        return v.strip().lower() in ("", "0", "false", "no", "off")
+    try:
+        return int(v) == 0
+    except (TypeError, ValueError):
+        return False
 
 
 def tokens_col(col, strip_accents: bool = False):
@@ -145,7 +171,11 @@ class FtsIndex:
 
     def match(self, text: str, conjunctive: bool = True) -> DataFrame:
         """Literals matching ``text`` → (lit, score). BM25-scored."""
-        terms = tokenize_query(text, self.stem, self.strip)
+        # dedupe (order-preserving): stemming can collapse distinct query
+        # words into one term ('customer customers' → ['custom','custom']);
+        # count_distinct(token) could then never reach len(terms) and a
+        # conjunctive query would return zero rows for a matching literal
+        terms = list(dict.fromkeys(tokenize_query(text, self.stem, self.strip)))
         if not terms:
             return self.postings.sparkSession.createDataFrame([], "lit long, score double")
         n = self.n_docs
@@ -235,15 +265,32 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 64) -> None:
     )
     index.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
     stats = index.postings.sparkSession.createDataFrame(
-        [(index.n_docs, float(index.avgdl), num_buckets, index.stem, index.strip)],
-        "n_docs long, avgdl double, num_buckets int, stem boolean, strip boolean",
+        [(index.n_docs, float(index.avgdl), num_buckets, index.stem, index.strip, STEMMER_VERSION)],
+        "n_docs long, avgdl double, num_buckets int, stem boolean, strip boolean, stemver int",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def read_fts_index(spark, path: str) -> FtsIndex:
-    """Open a persisted index; ``match`` prunes bucket partitions."""
+    """Open a persisted index; ``match`` prunes bucket partitions.
+
+    Back-compat is conservative: a stats row WITHOUT the ``strip``
+    column predates accent stripping, so the store was built without it
+    — default ``strip=False`` (defaulting True would strip query terms
+    the persisted tokens never were). A ``stem=True`` store without a
+    ``stemver`` column was built by an incompatible earlier stemmer;
+    applying today's full Porter rules to query terms would silently
+    miss — refuse and ask for a rebuild instead."""
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    d = stats.asDict()
+    stem = bool(d.get("stem", False))
+    if stem and d.get("stemver") != STEMMER_VERSION:
+        raise ValueError(
+            f"FTS store at {path!r} was stemmed with an incompatible stemmer "
+            f"(stemver={d.get('stemver')!r}, current={STEMMER_VERSION}); query-side "
+            "stemming would not match the persisted tokens. Rebuild the index "
+            "with build_fts_index(stem=True) + write_fts_index."
+        )
     return FtsIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         token_df=spark.read.parquet(f"{path}/token_df"),
@@ -251,8 +298,8 @@ def read_fts_index(spark, path: str) -> FtsIndex:
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         num_buckets=stats["num_buckets"],
-        stem=bool(stats["stem"]) if "stem" in stats.asDict() else False,
-        strip=bool(stats["strip"]) if "strip" in stats.asDict() else True,
+        stem=stem,
+        strip=bool(d.get("strip", False)),
     )
 
 

@@ -125,11 +125,11 @@ class Engine:
         if self._fts is None:
             from ..operators.fts import fts_settings_from_env
 
-            s = fts_settings_from_env()
+            s = fts_settings_from_env()  # values pre-coerced to str/int
             self._fts = build_fts_index(
                 self.graph.literals(),
                 stem=s.get("stemmer") == "porter",
-                strip_accents=bool(int(s.get("strip_accents", 1))),
+                strip_accents=bool(s.get("strip_accents", 1)),
             )
         return self._fts
 

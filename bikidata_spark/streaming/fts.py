@@ -39,7 +39,7 @@ from ..operators.fts import (
     stem_tokens_df,
     tokens_col,
 )
-from .mutations import MUTATION_SCHEMA, _read_log
+from .mutations import MUTATION_SCHEMA, _read_log, _read_log_excluding
 
 
 def start_fts_ingest(
@@ -58,13 +58,27 @@ def start_fts_ingest(
 
     If the store already has a ``meta`` record (a bootstrap or an
     earlier ingest), ITS settings win — segments of one store must all
-    tokenize identically or the merged index is silently wrong."""
+    tokenize identically or the merged index is silently wrong. Only a
+    genuinely-missing meta path writes fresh settings; any OTHER read
+    failure re-raises rather than silently re-tokenizing the store.
+
+    Scope: the rebuild-equivalence guarantee (BM25 identical to a
+    from-scratch build) holds for INSERT-only streams; deletes in the
+    mutation stream are not reflected in the index — drop and
+    re-bootstrap (or compact the quad store first) to shed literals."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(f"{store_dir}/meta").collect()[0]
         num_buckets = int(existing["num_buckets"])
         stem = bool(existing["stem"])
         strip_accents = bool(existing["strip"])
-    except Exception:
+    except AnalysisException as exc:
+        # write defaults only when the path truly doesn't exist yet;
+        # a transient read failure must NOT overwrite real settings
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         meta = spark.createDataFrame(
             [(num_buckets, stem, strip_accents)],
             "num_buckets int, stem boolean, strip boolean",
@@ -80,7 +94,10 @@ def start_fts_ingest(
             .distinct()
         )
         try:
-            seen = _read_log(spark, f"{store_dir}/seen")
+            # exclude this batch's own seen segment: a replayed batch
+            # must regenerate its segments, not anti-join to empty and
+            # overwrite them with nothing (permanent index data loss)
+            seen = _read_log_excluding(spark, f"{store_dir}/seen", batch_id)
             lits = lits.join(seen, "lit", "left_anti")
         except Exception:
             pass  # first segment: nothing indexed yet

@@ -154,6 +154,24 @@ def _read_log(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("batch") if "batch" in df.columns else df
 
 
+def _read_log_excluding(spark: SparkSession, path: str, batch_id: int) -> DataFrame:
+    """Read an append-only log directory EXCLUDING one batch's segment.
+
+    The seen-log anti-join inside a foreachBatch must never see the
+    current batch's own prior output: if batch N is replayed (crash
+    after the seen write but before the checkpoint commit, or re-ingest
+    with a fresh checkpoint), reading the full log would anti-join the
+    replayed rows to empty and overwrite every ``batch=N`` segment with
+    empty data — permanently dropping those rows. Excluding
+    ``batch == batch_id`` makes the replay regenerate the identical
+    segment instead. The filter is on the partition column, so pruning
+    skips the excluded directory entirely."""
+    df = spark.read.parquet(path)
+    if "batch" in df.columns:
+        df = df.filter(F.col("batch") != F.lit(batch_id)).drop("batch")
+    return df
+
+
 def read_store(spark: SparkSession, store_dir: str) -> Graph:
     """Load the log-structured store as a Graph: distinct quads minus
     tombstones, deduplicated terms."""
@@ -211,7 +229,10 @@ def start_dedup_ingest(
             .drop("_rn")
         )
         try:
-            seen = _read_log(spark, f"{store_dir}/fps")
+            # exclude this batch's own segment so a REPLAYED batch
+            # regenerates identical output instead of anti-joining
+            # against its prior self and writing empty segments
+            seen = _read_log_excluding(spark, f"{store_dir}/fps", batch_id)
             fresh = in_batch.join(seen, "fp", "left_anti")
         except Exception:
             fresh = in_batch  # first batch: nothing seen yet

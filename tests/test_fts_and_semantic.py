@@ -181,3 +181,76 @@ def test_build_semantic_with_provider(spark):
     via_provider = {tuple(r["vec"]) for r in build_semantic(g, dim=16, provider=provider).collect()}
     direct = {tuple(r["vec"]) for r in build_semantic(g, dim=16).collect()}
     assert via_provider == direct  # same vectors through the batched seam
+
+
+def test_conjunctive_tolerates_duplicate_query_terms(spark):
+    """Stemming can collapse distinct query words into one term; the
+    conjunctive threshold must count DISTINCT terms or such queries can
+    never match ('customers customer' → ['custom','custom'])."""
+    quads = spark.createDataFrame(
+        [("<e/1>", "<label>", '"the customers arrived"', "")],
+        "s string, p string, o string, g string",
+    )
+    g = from_string_quads(quads)
+    idx = build_fts_index(g.literals(), stem=True)
+    assert idx.match("customers customer").count() == 1
+    # unstemmed duplicate words behave the same way
+    idx2 = build_fts_index(g.literals())
+    assert idx2.match("customers customers").count() == 1
+
+
+def test_read_fts_index_back_compat_defaults(spark, tmp_path):
+    """A pre-accent-stripping stats row (no 'strip' column) must default
+    strip=False — the persisted tokens were never stripped. A stem=True
+    store without a stemmer version is refused (incompatible stemmer)."""
+    import pytest as _pytest
+
+    from bikidata_spark.operators.fts import read_fts_index, write_fts_index
+
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals())
+    path = str(tmp_path / "legacy_idx")
+    write_fts_index(idx, path, num_buckets=4)
+    # rewrite stats in the legacy shape: no strip, no stemver
+    legacy = spark.createDataFrame(
+        [(idx.n_docs, float(idx.avgdl), 4, False)],
+        "n_docs long, avgdl double, num_buckets int, stem boolean",
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    loaded = read_fts_index(spark, path)
+    assert loaded.strip is False and loaded.stem is False
+    # legacy stem=True: refuse instead of silently mis-stemming queries
+    legacy_stem = spark.createDataFrame(
+        [(idx.n_docs, float(idx.avgdl), 4, True)],
+        "n_docs long, avgdl double, num_buckets int, stem boolean",
+    )
+    legacy_stem.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    with _pytest.raises(ValueError, match="stemmer"):
+        read_fts_index(spark, path)
+    # current writer round-trips cleanly
+    path2 = str(tmp_path / "cur_idx")
+    write_fts_index(build_fts_index(g.literals(), stem=True, strip_accents=True), path2)
+    cur = read_fts_index(spark, path2)
+    assert cur.stem is True and cur.strip is True
+
+
+def test_fts_settings_env_coercion(monkeypatch):
+    from bikidata_spark.operators.fts import fts_settings_from_env
+
+    cases = [
+        ('{"strip_accents": "false", "stemmer": null}', 0, ""),
+        ('{"strip_accents": null}', 0, None),
+        ('{"strip_accents": "1", "stemmer": "PORTER"}', 1, "porter"),
+        ('{"strip_accents": true}', 1, None),
+        ('{"strip_accents": "off"}', 0, None),
+    ]
+    for raw, strip, stemmer in cases:
+        monkeypatch.setenv("BIKIDATA_FTS_SETTINGS", raw)
+        s = fts_settings_from_env()
+        assert s.get("strip_accents") == strip, raw
+        if stemmer is not None:
+            assert s.get("stemmer") == stemmer, raw
+        # the Engine.fts consumption pattern must not raise
+        assert isinstance(bool(s.get("strip_accents", 1)), bool)
+    monkeypatch.setenv("BIKIDATA_FTS_SETTINGS", "not json at all")
+    assert fts_settings_from_env() == {}

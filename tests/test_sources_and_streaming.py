@@ -581,3 +581,61 @@ def test_incremental_fts_bootstrap_plus_stream(spark, tmp_path):
         a = sorted((r["lit"], round(r["score"], 10)) for r in inc.match(query).collect())
         b = sorted((r["lit"], round(r["score"], 10)) for r in batch.match(query).collect())
         assert a == b, query
+
+
+def test_fts_ingest_replay_preserves_segments(spark, tmp_path):
+    """Replaying an already-processed batch (fresh checkpoint, same
+    batch ids) must REGENERATE its segments, not anti-join against its
+    own seen-log output and overwrite them with empty data."""
+    import json as _json
+
+    from bikidata_spark.streaming.fts import read_incremental_fts, start_fts_ingest
+
+    src = tmp_path / "rfsrc"
+    src.mkdir()
+    store, ck1, ck2 = str(tmp_path / "rfstore"), str(tmp_path / "rfck1"), str(tmp_path / "rfck2")
+    recs = [
+        {"action": "insert", "s": "<e/1>", "p": "<label>", "o": '"alpha beta"', "g": ""},
+        {"action": "insert", "s": "<e/2>", "p": "<label>", "o": '"gamma"', "g": ""},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in recs))
+    start_fts_ingest(spark, str(src), store, ck1, num_buckets=8).awaitTermination(60)
+    before = sorted(
+        (r["lit"], round(r["score"], 10))
+        for r in read_incremental_fts(spark, store).match("alpha").collect()
+    )
+    assert before, "sanity: batch 0 indexed something"
+    # fresh checkpoint => the same file replays as the same batch id
+    start_fts_ingest(spark, str(src), store, ck2, num_buckets=8).awaitTermination(60)
+    inc = read_incremental_fts(spark, store)
+    after = sorted((r["lit"], round(r["score"], 10)) for r in inc.match("alpha").collect())
+    assert after == before  # identical index, literals NOT lost
+    assert inc.n_docs == 2
+    # postings segment for batch 0 is non-empty (not overwritten empty)
+    assert spark.read.parquet(f"{store}/postings").count() > 0
+
+
+def test_dedup_ingest_replay_preserves_docs(spark, tmp_path):
+    """Same replay scenario for the streaming exact-dedup store: docs
+    must survive a replayed batch, not be dropped by the seen anti-join."""
+    import json as _json
+
+    from bikidata_spark.streaming.mutations import start_dedup_ingest
+
+    src = tmp_path / "rdsrc"
+    src.mkdir()
+    store = str(tmp_path / "rdstore")
+    (src / "b.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "first doc"},
+                {"doc_id": 2, "text": "second doc"},
+            ]
+        )
+    )
+    start_dedup_ingest(spark, str(src), store, str(tmp_path / "rdck1")).awaitTermination(60)
+    assert {r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()} == {1, 2}
+    start_dedup_ingest(spark, str(src), store, str(tmp_path / "rdck2")).awaitTermination(60)
+    assert {r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()} == {1, 2}
+    assert spark.read.parquet(f"{store}/fps").count() == 2
