@@ -369,6 +369,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rdf_semantic"] = semantic_run
 
+    # IVF-store-backed semantic filter: same exact distance<0.5 check,
+    # but the embeddings scan partition-prunes to the query's nprobe=2
+    # probed cells instead of full-scanning the corpus. Centroid seeds
+    # are chosen in vec_id space (the pre-hash surrogate key) so DuckDB
+    # can replay the exact same cells without Spark's xxhash64.
+    _SEM_IVF_STORES: dict[str, str] = {}
+
+    def semantic_ivf_run(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        path = _SEM_IVF_STORES.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="sem_ivf_") + "/ivf"
+            cents = (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .filter(F.col("vec_id") % 31 == 0)
+                .select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").cast("array<double>").alias("cv"),
+                )
+            )
+            sim.write_ivf_store(eng.embeddings, path, "s", "vec", centroids=cents)
+            _SEM_IVF_STORES[sf_dir] = path
+        qvec = [float(x) for x in eng.embeddings.filter("s = xxhash64('<e/documents/0>')").first()["vec"]]
+        eng.load_ivf(path, nprobe=2)
+        try:
+            subj, _ = eng._semantic_filter({"vector": qvec}, "", None)
+        finally:
+            eng._ivf = None  # shared engine: don't leak into rdf_semantic
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.xxhash64(
+                F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">"))
+            ).alias("s"),
+            F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">")).alias("iri"),
+        )
+        return subj.join(emb, "s").select(F.col("iri").alias("s"))
+
+    q["rdf_semantic_ivf"] = semantic_ivf_run
+
     # --- training-data pipeline ops ------------------------------------
     def docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -618,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_regex",
         "rdf_property_hop",
         "rdf_semantic",
+        "rdf_semantic_ivf",
         # aggregates, paging, paths, hydration, introspection
         "rdf_facet_nation",
         "rdf_page_default_order",
@@ -634,9 +675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_dedup_simhash",
         "pipe_dedup_ngram",
         "pipe_dedup_embedding_lsh",
-        # ANN family (scale paths; brute topk is eval-only, past the fold)
+        # ANN family (scale paths; brute topk is eval-only, past the
+        # fold; plain pipe_ann_ivf demoted — the kmeans variant in head
+        # covers the same assign/probe machinery plus Lloyd refinement)
         "pipe_ann_lsh",
-        "pipe_ann_ivf",
         "pipe_ann_ivf_kmeans",
         # text analysis
         "pipe_text_tokens",
@@ -900,6 +942,28 @@ WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM e
 SELECT '<e/documents/' || CAST(e.vec_id AS STRING) || '>' AS s
 FROM embeddings e, q
 WHERE 1.0 - list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv) < 0.5
+"""
+
+    # rdf_semantic_ivf: same exact distance filter, but restricted to
+    # the query's nprobe=2 probed IVF cells — the mirror of the
+    # partition-pruned store scan (cells: argmax-cosine assignment to
+    # the vec_id%31 seed centroids, ties to the lowest cid)
+    o["rdf_semantic_ivf"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+assign AS (
+  SELECT nid, nv, cid AS cell FROM (
+    SELECT e.vec_id AS nid, e.v AS nv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c) WHERE crn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cid AS cell FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS crn
+    FROM c, q) WHERE crn <= 2)
+SELECT '<e/documents/' || CAST(a.nid AS STRING) || '>' AS s
+FROM assign a JOIN probes p ON a.cell = p.cell, q
+WHERE 1.0 - list_cosine_similarity(a.nv, q.qv) < 0.5
 """
 
     # --- pipeline-op oracles (mirror the Spark operators exactly) ------

@@ -286,6 +286,7 @@ def write_ivf_store(
     centroid_step: int = 31,
     refine_iters: int = 0,
     quantize: int | None = 6,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Persist an IVF layout: vectors partitioned by their cell id plus
     the (tiny) centroid table. This is the 100 TB serving shape — a
@@ -293,14 +294,22 @@ def write_ivf_store(
     (PartitionFilters), exactly the story the persisted FTS store tells
     for token buckets. Assignment is the shuffle-free broadcast-array
     fold; refined centroids default to quantized means so the layout is
-    reproducible bit-for-bit anywhere."""
+    reproducible bit-for-bit anywhere.
+
+    ``centroids`` (cid, cv) overrides the seed rule — use it when the
+    vector ids are hashes (no meaningful ``id % step`` subset) and the
+    centroid choice must be reproducible in an external engine, e.g.
+    seeding from a pre-hash surrogate key."""
     v = _as_double(
         ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
     )
-    cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
-        F.col("nid").alias("cid"), F.col("nv").alias("cv")
-    )
+    if centroids is not None:
+        cents = _as_double(centroids.select("cid", "cv"), "cv")
+    else:
+        cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
+            F.col("nid").alias("cid"), F.col("nv").alias("cv")
+        )
     if refine_iters > 0:
         cents = kmeans_refine(v, cents, refine_iters, quantize=quantize)
     carr = _cent_arr(cents)

@@ -94,6 +94,9 @@ class Engine:
     # embedding provider for text queries; defaults to a deterministic stub
     embed_fn: object = None
     _fts: FtsIndex | None = field(default=None, repr=False)
+    # persisted cell-partitioned IVF layout for `semantic` filters:
+    # (vectors_df, centroids_df, nprobe) — see load_ivf()
+    _ivf: tuple | None = field(default=None, repr=False)
     # persisted subject-set cache keyed by the filter spec (the Spark
     # counterpart of the reference's Redis result cache, workers.py:89-107;
     # a persisted DataFrame is shared by every downstream action)
@@ -140,6 +143,23 @@ class Engine:
         from ..operators.fts import read_fts_index
 
         self._fts = read_fts_index(self.graph.spark, path)
+
+    def load_ivf(self, path: str, nprobe: int = 2) -> None:
+        """Serve ``semantic`` filters from a persisted cell-partitioned
+        IVF store (``operators.similarity.write_ivf_store`` over the
+        (s, vec) embeddings) instead of brute-scanning the embeddings
+        table per query: probe cells are resolved from the tiny centroid
+        table, the vector scan partition-prunes to those ``nprobe`` cell
+        directories (static ``cell IN (...)``), and the exact
+        ``distance < 0.5`` filter runs within the probed cells only.
+        Approximate by design (recall < 1 for matches outside the probed
+        cells), like every IVF index; raise ``nprobe`` for recall."""
+        from ..operators.similarity import read_ivf_store
+
+        if nprobe < 1:
+            raise ValueError("nprobe must be >= 1")
+        vectors, cents = read_ivf_store(self.graph.spark, path)
+        self._ivf = (vectors, cents, int(nprobe))
 
     # ---- single-filter compilation ------------------------------------
     def _walk_up(self, base: DataFrame, hops: int, carry: tuple = ()) -> DataFrame:
@@ -262,19 +282,52 @@ class Engine:
     def _semantic_filter(self, q, o, gc):
         """Vector search: subjects whose embedding is within cosine
         distance 0.5 of the query (reference query.py:166-170).
-        Broadcast the single query vector; JVM-side zip_with/aggregate."""
-        if self.embeddings is None:
-            raise ValueError("semantic filter requires an embeddings table")
+        Broadcast the single query vector; JVM-side zip_with/aggregate.
+
+        With an IVF store loaded (``load_ivf``) the scan is partition-
+        pruned to the query's ``nprobe`` probed cells — at corpus scale
+        an interactive filter must not full-scan the embeddings table.
+        The no-store path keeps the exact brute scan (the reference's
+        own shape over ``literals_semantic``)."""
+        if self.embeddings is None and self._ivf is None:
+            raise ValueError("semantic filter requires an embeddings table or IVF store")
         qvec = q.get("vector")
         if qvec is None:
             from ..functions.embed import fake_embedding
 
             fn = self.embed_fn or fake_embedding
-            dim = len(self.embeddings.select("vec").first()["vec"])
+            src = self.embeddings if self.embeddings is not None else self._ivf[0]
+            vcol = "vec" if self.embeddings is not None else "nv"
+            dim = len(src.select(vcol).first()[vcol])
             qvec = fn(o, dim)
         spark = self.graph.spark
         qdf = spark.createDataFrame([([float(x) for x in qvec],)], "qvec array<double>")
-        emb = self.embeddings.crossJoin(F.broadcast(qdf))
+        if self._ivf is not None:
+            from ..operators.similarity import _cent_arr, _nearest_cells
+
+            vectors, cents, nprobe = self._ivf
+            # probe cells resolved driver-side from the tiny centroid
+            # table: the vector scan below then carries a STATIC
+            # `cell IN (...)` predicate — pure partition pruning, no
+            # join needed to decide which directories to read
+            carr = _cent_arr(cents)
+            cells = sorted(
+                r["cell"]
+                for r in qdf.crossJoin(F.broadcast(carr))
+                .select(
+                    F.explode(
+                        _nearest_cells(F.col("qvec"), F.col("cents"), nprobe)
+                    ).alias("cell")
+                )
+                .collect()
+            )
+            emb = (
+                vectors.filter(F.col("cell").isin(cells))
+                .select(F.col("nid").alias("s"), F.col("nv").alias("vec"))
+                .crossJoin(F.broadcast(qdf))
+            )
+        else:
+            emb = self.embeddings.crossJoin(F.broadcast(qdf))
         dot = F.aggregate(
             F.zip_with("vec", "qvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )

@@ -254,3 +254,62 @@ def test_fts_settings_env_coercion(monkeypatch):
         assert isinstance(bool(s.get("strip_accents", 1)), bool)
     monkeypatch.setenv("BIKIDATA_FTS_SETTINGS", "not json at all")
     assert fts_settings_from_env() == {}
+
+
+def test_semantic_filter_ivf_store(spark, tmp_path):
+    """IVF-backed semantic filter: exact distance<0.5 within the probed
+    cells only, embeddings scan partition-pruned to `cell IN (...)`."""
+    import re
+
+    from bikidata_spark.operators.similarity import write_ivf_store
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<label>", f'"doc {i}"', "") for i in range(12)],
+        "s string, p string, o string, g string",
+    )
+    g = from_string_quads(quads)
+    # three clusters sharing a common component (axis 0) plus a
+    # cluster axis: cross-cluster cosine ≈ 0.6 (within distance 0.5,
+    # so the BRUTE scan matches everything) while each vector stays
+    # nearest its own cluster's centroid (so IVF pruning bites)
+    rows = []
+    for i in range(12):
+        base = [0.0] * 4
+        base[0] = 1.0
+        base[1 + i % 3] = 0.8 + 0.01 * (i % 4)
+        rows.append((i, base))
+    ids = spark.createDataFrame(rows, "vid int, raw array<double>")
+    emb = ids.select(
+        F.xxhash64(F.concat(F.lit("<e/"), F.col("vid").cast("string"), F.lit(">"))).alias("s"),
+        F.col("raw").alias("vec"),
+    )
+    eng = Engine(g, embeddings=emb)
+    # centroids: one per cluster (vids 0,1,2 lean on axes 0,1,2)
+    cents = ids.filter(F.col("vid") < 3).select(
+        F.col("vid").cast("long").alias("cid"), F.col("raw").alias("cv")
+    )
+    path = str(tmp_path / "sem_ivf")
+    write_ivf_store(emb, path, "s", "vec", centroids=cents)
+
+    qvec = rows[0][1]  # cluster 0's axis
+    brute_subj, _ = eng._semantic_filter({"vector": qvec}, "", None)
+    brute = {r["s"] for r in brute_subj.collect()}
+    eng.load_ivf(path, nprobe=1)
+    ivf_subj, ivf_scores = eng._semantic_filter({"vector": qvec}, "", None)
+    got = {r["s"] for r in ivf_subj.collect()}
+    # nprobe=1 probes only cluster 0's cell: its members (vids 0,3,6,9)
+    want_vids = {0, 3, 6, 9}
+    vid_of = {r["s"]: r["vid"] for r in emb.join(ids, emb.vec == ids.raw).select("s", "vid").collect()}
+    assert {vid_of[s] for s in got} == want_vids
+    # IVF results are the brute matches RESTRICTED to the probed cell
+    assert got < brute  # strictly fewer: other clusters match brute too
+    # scores ride along like the brute path
+    assert ivf_scores.count() == len(got)
+    # the executed scan partition-prunes on the cell directory
+    plan = ivf_subj._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:1500]
+    # nprobe=3 probes every cell => exactly the brute result
+    eng.load_ivf(path, nprobe=3)
+    all_subj, _ = eng._semantic_filter({"vector": qvec}, "", None)
+    assert {r["s"] for r in all_subj.collect()} == brute
+    eng._ivf = None

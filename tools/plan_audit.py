@@ -56,12 +56,40 @@ KEEP = re.compile(
 def digest(df, max_lines: int = 14) -> str:
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = [ln.strip()[:160] for ln in plan.splitlines() if KEEP.search(ln)]
+    # the PartitionFilters clause sits far right on FileScan lines and
+    # the 160-char cut can lose it — surface non-empty ones explicitly
+    pfs = [p[:160] for p in re.findall(r"PartitionFilters: \[[^\]]+\]", plan)]
+    lines += [f"  ^ {p}" for p in dict.fromkeys(pfs)]
     n_exchange = plan.count("Exchange")
     n_python = plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
     head = f"exchanges={n_exchange} python_stages={n_python} joins={joins or 'none'}"
-    body = "\n".join(lines[:max_lines]) or "(no matching operators — pure in-memory scan)"
+    body = "\n".join(lines[:max_lines + 2]) or "(no matching operators — pure in-memory scan)"
     return f"{head}\n```\n{body}\n```"
+
+
+def _semantic_ivf_sample(spark, g, sf_dir: str, tmp: str):
+    """Engine._semantic_filter served from a persisted IVF store: the
+    returned frame's scan must partition-prune to the probed cells."""
+    from bikidata_spark.operators.similarity import write_ivf_store
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.xxhash64(
+            F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">"))
+        ).alias("s"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    cents = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 31 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv"))
+    )
+    write_ivf_store(emb, f"{tmp}/sem_ivf", "s", "vec", centroids=cents)
+    eng = Engine(g, embeddings=emb)
+    eng.load_ivf(f"{tmp}/sem_ivf", nprobe=2)
+    qvec = [float(x) for x in emb.first()["vec"]]
+    subj, _ = eng._semantic_filter({"vector": qvec}, "", None)
+    return subj
 
 
 def main() -> None:
@@ -192,6 +220,16 @@ def main() -> None:
             )[1])(
                 __import__("bikidata_spark.operators.similarity", fromlist=["x"]), tmp
             ),
+        ),
+        (
+            "Semantic RDF filter (IVF-store-backed)",
+            "the `semantic` filter's probe cells resolve driver-side from "
+            "the tiny centroid table, so the embeddings scan carries a "
+            "static `cell IN (...)` PartitionFilter and reads only the "
+            "probed cell directories — the full-corpus-scan-per-query "
+            "plan is gone; the exact distance<0.5 filter runs within the "
+            "probed cells.",
+            _semantic_ivf_sample(spark, g, sf_dir, tmp),
         ),
         (
             "Embedding near-dup (bucketed scale path)",
