@@ -80,10 +80,79 @@ def insert(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
     return new_graph, {"triples_inserted": len(data), "terms_inserted": n_terms}
 
 
-def delete(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
+def _hash_to_long(h) -> int:
+    """Normalize a client-supplied term hash to Spark's signed 64-bit
+    id space. Accepts ints, decimal strings, or hex digests (reference
+    clients pass ``xxh64_hexdigest`` strings, query.py:484-494);
+    unsigned values wrap to their signed twin."""
+    if isinstance(h, bool) or not isinstance(h, (int, str)):
+        raise ValueError(f"not a term hash: {h!r}")
+    if isinstance(h, int):
+        v = h
+    else:
+        s = h.strip().lower()
+        try:
+            v = int(s, 10)
+        except ValueError:
+            try:
+                v = int(s.removeprefix("0x"), 16)
+            except ValueError:
+                raise ValueError(f"not a term hash: {h!r}") from None
+    if v >= 1 << 64 or v < -(1 << 63):
+        raise ValueError(f"hash out of 64-bit range: {h!r}")
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+_EMPTY_G: dict[int, int] = {}
+
+
+def _empty_g_hash(spark) -> int:
+    """Hash of the empty graph term — the store's default ``g``."""
+    key = id(spark)
+    if key not in _EMPTY_G:
+        _EMPTY_G[key] = spark.range(1).select(term_hash(F.lit("")).alias("h")).first()["h"]
+    return _EMPTY_G[key]
+
+
+def delete_hashes(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
+    """Hash-addressed delete — the reference's ``are_hashes=True`` path
+    (query.py:476-520): items carry term HASHES, not lexical forms.
+    Like the reference, no existence check is made (a non-matching hash
+    deletes zero rows), terms are never garbage-collected, and an item
+    without ``o`` deletes every (s, p, g) match regardless of object.
+    A missing/empty ``g`` addresses the default (empty-string) graph."""
+    spark = graph.spark
+    empty_g = _empty_g_hash(spark)
+
+    def g_of(d) -> int:
+        g = d.get("g")
+        return empty_g if g in (None, "") else _hash_to_long(g)
+
+    with_o = [d for d in data if d.get("o") not in (None, "")]
+    no_o = [d for d in data if d.get("o") in (None, "")]
+    triples = graph.triples
+    if with_o:
+        rows = [
+            (_hash_to_long(d["s"]), _hash_to_long(d["p"]), _hash_to_long(d["o"]), g_of(d))
+            for d in with_o
+        ]
+        hashed = spark.createDataFrame(rows, "s long, p long, o long, g long")
+        triples = triples.join(hashed, ["s", "p", "o", "g"], "left_anti")
+    if no_o:
+        rows = [(_hash_to_long(d["s"]), _hash_to_long(d["p"]), g_of(d)) for d in no_o]
+        hashed = spark.createDataFrame(rows, "s long, p long, g long")
+        triples = triples.join(hashed, ["s", "p", "g"], "left_anti")
+    new_graph = Graph(triples=triples, terms=graph.terms)
+    return new_graph, {"triples_deleted": len(data)}
+
+
+def delete(graph: Graph, data: list[dict], are_hashes: bool = False) -> tuple[Graph, dict]:
     """Delete triples; a missing triple aborts the batch (reference
     query.py:477-482). Items without ``o`` delete every matching
-    (s, p, g) regardless of object."""
+    (s, p, g) regardless of object. ``are_hashes=True`` routes to the
+    hash-addressed path (:func:`delete_hashes`)."""
+    if are_hashes:
+        return delete_hashes(graph, data)
     with_o = [d for d in data if d.get("o")]
     no_o = [d for d in data if not d.get("o")]
     triples = graph.triples

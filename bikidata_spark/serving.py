@@ -115,12 +115,14 @@ class Serving:
 
     # ---- mutations -----------------------------------------------------
     def _mutate_blocking(self, action: str, data: list[dict], are_hashes: bool) -> dict:
-        if are_hashes:
-            return {"error": "are_hashes mutations are not supported on the Spark engine"}
+        if are_hashes and action != "delete":
+            return {"error": "are_hashes is only supported for deletes"}
         received = time.time()
         with self._mutate_lock:
-            fn = _insert if action == "insert" else _delete
-            new_graph, result = fn(self.engine.graph, data)
+            if action == "insert":
+                new_graph, result = _insert(self.engine.graph, data)
+            else:
+                new_graph, result = _delete(self.engine.graph, data, are_hashes=are_hashes)
             if "error" not in result:
                 self.engine.replace_graph(new_graph)
                 with self._cache_lock:

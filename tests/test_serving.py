@@ -128,3 +128,69 @@ def test_cache_hit_shape_matches_fresh(serving):
     fresh.pop("msg_processed_time"), hit.pop("msg_processed_time")
     fresh.pop("msg_received_time"), hit.pop("msg_received_time")
     assert fresh == hit  # deep-equal INCLUDING container types
+
+
+def test_delete_by_hash_forms(spark):
+    """are_hashes deletes address triples by term hash directly —
+    signed ints, unsigned decimal strings, and hex digests all resolve
+    to the same id; no existence validation (reference query.py:476+)."""
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.mutations import delete
+
+    graph = build_from_iterator(spark, TRIPLES).cache()
+    h = {r["value"]: r["hash"] for r in graph.terms.collect()}
+    s, p, o = h["<e/1>"], h["<p/name>"], h['"alpha"']
+    # signed-int form
+    g2, res = delete(graph, [{"s": s, "p": p, "o": o}], are_hashes=True)
+    assert res == {"triples_deleted": 1}
+    assert g2.triples.count() == 3
+    assert g2.triples.filter(F.col("s") == s).count() == 0
+    # terms are NOT garbage-collected (reference behavior)
+    assert g2.terms.count() == graph.terms.count()
+    # hex-digest form (reference clients pass xxh64_hexdigest)
+    u = lambda v: f"{v & (2**64 - 1):016x}"  # noqa: E731
+    g3, _ = delete(graph, [{"s": u(s), "p": u(p), "o": u(o)}], are_hashes=True)
+    assert g3.triples.count() == 3
+    # unsigned decimal-string form
+    g4, _ = delete(graph, [{"s": str(s & (2**64 - 1)), "p": str(p), "o": str(o)}], are_hashes=True)
+    assert g4.triples.count() == 3
+    # o omitted: every (s, p, g) match goes
+    s2, p2 = h["<e/2>"], h["<p/name>"]
+    g5, res5 = delete(graph, [{"s": s2, "p": p2}], are_hashes=True)
+    assert res5 == {"triples_deleted": 1}
+    assert g5.triples.filter((F.col("s") == s2) & (F.col("p") == p2)).count() == 0
+    assert g5.triples.count() == 3  # <e/2> <p/parent> survives
+    # non-matching hash: deletes nothing, does NOT error (reference)
+    g6, res6 = delete(graph, [{"s": 123456789, "p": p, "o": o}], are_hashes=True)
+    assert res6 == {"triples_deleted": 1} and g6.triples.count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash"):
+        delete(graph, [{"s": "zz-not-a-hash", "p": p, "o": o}], are_hashes=True)
+
+
+def test_serving_delete_by_hash(serving):
+    """Serving.delete_async(are_hashes=True) accepts hash-addressed
+    deletes instead of erroring; the graph swap + cache clear happen
+    like any delete (the tombstone path of the serving facade)."""
+
+    async def go():
+        eng = serving.engine
+        h = {r["value"]: r["hash"] for r in eng.graph.terms.collect()}
+        before = await serving.query_async({"filters": [{"p": "<p/name>", "o": '"beta"'}]})
+        res = await serving.delete_async(
+            h["<e/2>"], h["<p/name>"], h['"beta"'], are_hashes=True
+        )
+        after = await serving.query_async(
+            {"filters": [{"p": "<p/name>", "o": '"beta"'}], "use_cache": False}
+        )
+        return before, res, after
+
+    before, res, after = asyncio.run(go())
+    assert list(before["results"]) == ["<e/2>"]
+    assert res["triples_deleted"] == 1
+    assert after["results"] == {}
+    # hash-addressed INSERT is refused (delete-only surface, like the reference)
+    r = serving._mutate_blocking("insert", [{"s": 1, "p": 2, "o": 3}], True)
+    assert "error" in r
