@@ -5,6 +5,7 @@
     python -m bikidata_spark total  <store_dir>
     python -m bikidata_spark serve  <store_dir> [num_workers]
     python -m bikidata_spark compact  <log_store_dir>
+    python -m bikidata_spark compact-fts <fts_store_dir>
     python -m bikidata_spark snapshot <log_store_dir>
     python -m bikidata_spark vacuum   <log_store_dir> [keep_last]
     python -m bikidata_spark prepare  <docs.parquet> <out_dir> [eval.parquet]
@@ -130,6 +131,15 @@ def main(argv: list[str]) -> int:
         try:
             print(json.dumps(compact_store(spark, argv[1], force="--force" in argv)))
         except RuntimeError as e:  # snapshots pin pre-compaction files
+            print(json.dumps({"error": str(e)}))
+            return 1
+        return 0
+    if cmd == "compact-fts":
+        from .streaming.fts import compact_fts_store
+
+        try:
+            print(json.dumps(compact_fts_store(spark, argv[1], force="--force" in argv)))
+        except RuntimeError as e:  # snapshots pin pre-compaction segments
             print(json.dumps({"error": str(e)}))
             return 1
         return 0

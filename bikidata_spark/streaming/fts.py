@@ -208,6 +208,77 @@ def bootstrap_fts_store(
     lits.unpersist()
 
 
+def compact_fts_store(spark: SparkSession, store_dir: str, force: bool = False) -> dict:
+    """Fold all ``batch=*`` segments of an incremental FTS store into
+    one ``batch=-1`` segment per sub-store.
+
+    ``read_incremental_fts`` unions segment directories lazily — correct
+    at any segment count, but after thousands of micro-batches every
+    bucket holds thousands of parquet dirs and the per-query token_df
+    re-aggregation grows with segment count. This is the same periodic
+    maintenance job ``compact_store`` is for the quad log: postings are
+    re-bucketed into one partitioned segment, token document-frequencies
+    pre-summed, corpus stats folded to one row, and the seen-log
+    deduplicated — BM25 scores are unchanged (verified in tests) and
+    bucket pruning is preserved. Post-compaction micro-batches (ids
+    >= 0) append next to ``batch=-1`` exactly as after a bootstrap.
+
+    Refuses when a ``_manifest`` directory pins pre-compaction segment
+    files (same guard as ``compact_store``) unless ``force=True``."""
+    import os
+    import shutil
+
+    if os.path.isdir(f"{store_dir}/_manifest") and not force:
+        raise RuntimeError(
+            "FTS store has snapshot manifests pinning pre-compaction "
+            "segments; compacting would break every committed version. "
+            "Vacuum/drop the snapshots first, or pass force=True."
+        )
+    meta = spark.read.parquet(f"{store_dir}/meta").collect()[0]
+    num_buckets = int(meta["num_buckets"])
+    postings = spark.read.parquet(f"{store_dir}/postings").drop("batch")
+    token_df = (
+        spark.read.parquet(f"{store_dir}/token_df")
+        .groupBy("bucket", "token")
+        .agg(F.sum("df").alias("df"))
+    )
+    doc_len = _read_log(spark, f"{store_dir}/doc_len")
+    stats = _read_log(spark, f"{store_dir}/stats").agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+    )
+    seen = _read_log(spark, f"{store_dir}/seen").distinct()
+
+    tmp = f"{store_dir}/_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        postings.drop("bucket")
+        .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{tmp}/postings/batch=-1")
+    )
+    (
+        token_df.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{tmp}/token_df/batch=-1")
+    )
+    doc_len.write.mode("overwrite").parquet(f"{tmp}/doc_len/batch=-1")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stats/batch=-1")
+    seen.write.mode("overwrite").parquet(f"{tmp}/seen/batch=-1")
+    n_docs = spark.read.parquet(f"{tmp}/doc_len").count()
+    n_postings = spark.read.parquet(f"{tmp}/postings").count()
+
+    for sub in ("postings", "token_df", "doc_len", "stats", "seen"):
+        shutil.rmtree(f"{store_dir}/{sub}", ignore_errors=True)
+        os.rename(f"{tmp}/{sub}", f"{store_dir}/{sub}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"n_docs": n_docs, "postings": n_postings, "segments": 1}
+
+
 def read_incremental_fts(spark: SparkSession, store_dir: str) -> FtsIndex:
     """Open the incrementally-maintained store as a regular FtsIndex.
     Segment recombination is lazy and filter-friendly: a query's bucket

@@ -639,3 +639,58 @@ def test_dedup_ingest_replay_preserves_docs(spark, tmp_path):
     start_dedup_ingest(spark, str(src), store, str(tmp_path / "rdck2")).awaitTermination(60)
     assert {r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()} == {1, 2}
     assert spark.read.parquet(f"{store}/fps").count() == 2
+
+
+def test_fts_store_compaction(spark, tmp_path):
+    """compact_fts_store folds batch=* segments into one batch=-1
+    segment per sub-store: BM25 identical pre/post, segment count
+    bounded, bucket pruning preserved, later batches still compose."""
+    import json as _json
+    import os
+    import re
+
+    from bikidata_spark.streaming.fts import (
+        compact_fts_store,
+        read_incremental_fts,
+        start_fts_ingest,
+    )
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    store, ck = str(tmp_path / "cstore"), str(tmp_path / "cck")
+    batches = [
+        [{"action": "insert", "s": f"<e/{i}>", "p": "<label>", "o": f'"alpha doc {i}"', "g": ""}]
+        for i in range(3)
+    ]
+    for i, recs in enumerate(batches):
+        (src / f"b{i}.json").write_text("\n".join(_json.dumps(r) for r in recs))
+        start_fts_ingest(spark, str(src), store, ck, num_buckets=8).awaitTermination(60)
+    segs = lambda sub: [d for d in os.listdir(f"{store}/{sub}") if d.startswith("batch=")]  # noqa: E731
+    assert len(segs("postings")) == 3
+    before = {
+        q: sorted((r["lit"], round(r["score"], 10)) for r in read_incremental_fts(spark, store).match(q).collect())
+        for q in ("alpha", "doc 1", "nosuch")
+    }
+    stats = compact_fts_store(spark, store)
+    assert stats["n_docs"] == 3
+    for sub in ("postings", "token_df", "doc_len", "stats", "seen"):
+        assert segs(sub) == ["batch=-1"], sub
+    inc = read_incremental_fts(spark, store)
+    after = {
+        q: sorted((r["lit"], round(r["score"], 10)) for r in inc.match(q).collect())
+        for q in ("alpha", "doc 1", "nosuch")
+    }
+    assert after == before
+    # bucket pruning survives compaction
+    plan = inc.match("alpha")._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:1500]
+    # a post-compaction batch appends next to batch=-1 and composes
+    (src / "b3.json").write_text(
+        _json.dumps({"action": "insert", "s": "<e/9>", "p": "<label>", "o": '"alpha fresh"', "g": ""})
+    )
+    start_fts_ingest(spark, str(src), store, ck, num_buckets=8).awaitTermination(60)
+    inc2 = read_incremental_fts(spark, store)
+    assert inc2.n_docs == 4
+    assert inc2.match("fresh").count() == 1
+    # the already-indexed literals did not double-index
+    assert sorted(segs("postings")) == ["batch=-1", "batch=3"]
