@@ -99,8 +99,14 @@ class Engine:
     _ivf: tuple | None = field(default=None, repr=False)
     # persisted subject-set cache keyed by the filter spec (the Spark
     # counterpart of the reference's Redis result cache, workers.py:89-107;
-    # a persisted DataFrame is shared by every downstream action)
+    # a persisted DataFrame is shared by every downstream action).
+    # Bounded: LRU-evicted past `subject_cache_max` entries and expired
+    # past `subject_cache_ttl_s` (the reference's 7-day Redis expiry) —
+    # a long-lived serving process must not accumulate persisted blocks
+    # for every distinct filter spec it has ever seen.
     _subject_cache: dict = field(default_factory=dict, repr=False)
+    subject_cache_max: int = 32
+    subject_cache_ttl_s: float = 7 * 24 * 3600.0
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -115,7 +121,7 @@ class Engine:
                 except Exception:
                     pass
         self._fts = None
-        for cached, _ in self._subject_cache.values():
+        for cached, _, _ in self._subject_cache.values():
             try:
                 cached.unpersist()
             except Exception:
@@ -360,14 +366,50 @@ class Engine:
             import json
 
             key = json.dumps(opts.get("filters", []), sort_keys=True)
-            hit = self._subject_cache.get(key)
+            hit = self._cache_get(key)
             if hit is not None:
                 return hit
         result = self._subjects_uncached(opts)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
-            self._subject_cache[key] = result
+            self._cache_put(key, result)
         return result
+
+    def _cache_get(self, key: str):
+        import time
+
+        ent = self._subject_cache.get(key)
+        if ent is None:
+            return None
+        subj, scores, expires = ent
+        if expires < time.time():
+            self._subject_cache.pop(key, None)
+            try:
+                subj.unpersist()
+            except Exception:
+                pass
+            return None
+        # LRU touch: re-insert to the dict's tail (insertion order IS
+        # the recency order here)
+        self._subject_cache.pop(key)
+        self._subject_cache[key] = ent
+        return subj, scores
+
+    def _cache_put(self, key: str, result) -> None:
+        import time
+
+        while len(self._subject_cache) >= max(1, self.subject_cache_max):
+            lru_key = next(iter(self._subject_cache))
+            evicted, _, _ = self._subject_cache.pop(lru_key)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass
+        self._subject_cache[key] = (
+            result[0],
+            result[1],
+            time.time() + self.subject_cache_ttl_s,
+        )
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
         """Combine filter subject sets with SQL set-operator PRECEDENCE,
@@ -546,13 +588,19 @@ class Engine:
             order_cols = [F.col("s_value").asc()]
         ordered = df.orderBy(*order_cols)
         paged = ordered.offset(start).limit(size) if start else ordered.limit(size)
-        # re-assert the order on the collected page (≤ size rows, one
-        # part). The constant partition key is deliberate: it bounds the
-        # window to the already-coalesced page AND keeps WindowExec from
-        # logging its partition-less "all data to one partition" warning
-        # on every query (noise that buries real warnings in the logs).
-        w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
-        out = paged.coalesce(1).withColumn("pos", F.row_number().over(w))
+        # pos WITHOUT a window: the page is coalesced to one partition
+        # and re-sorted within it, so monotonically_increasing_id() is
+        # exactly the 0-based row index (partition id 0 contributes no
+        # high bits) and the order columns' tiebreaks make it
+        # deterministic. A window would need an unpartitioned spec here
+        # — Spark 4.1's EliminateWindowPartitions folds any literal
+        # partition key away, leaving WindowExec to log its "all data
+        # to a single partition" warning on every query.
+        out = (
+            paged.coalesce(1)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("pos", (F.monotonically_increasing_id() + 1).cast("int"))
+        )
         return out.select("pos", "s", "s_value")
 
     # ---- aggregates ----------------------------------------------------

@@ -176,3 +176,42 @@ def test_sample_deterministic_no_global_sort(engine):
     # different n stays a prefix-compatible sample (consistent keys)
     s3, _ = engine.filter_subjects({"p": "id", "o": "sample 3"})
     assert sorted(r["s"] for r in s3.collect())[0] in a
+
+
+def test_subject_cache_lru_ttl_eviction(spark):
+    """The persisted subject-set cache is bounded: LRU past the cap
+    (evicted frames are unpersisted, freeing their blocks) and expired
+    past the TTL; hits keep returning the same persisted frame."""
+    from bikidata_spark import Engine, build_from_iterator
+
+    g = build_from_iterator(
+        spark, [(f"<e/{i}>", "<p/name>", f'"v{i}"') for i in range(8)]
+    ).cache()
+    eng = Engine(g)
+    eng.subject_cache_max = 3
+    specs = [{"filters": [{"p": "<p/name>", "o": f'"v{i}"'}]} for i in range(5)]
+    frames = [eng.subjects(s)[0] for s in specs]
+    assert len(eng._subject_cache) == 3  # capped
+    # the two oldest were evicted AND unpersisted
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[1].storageLevel.useMemory is False
+    assert frames[4].storageLevel.useMemory is True
+    # hit: same persisted frame object comes back (no recompute)
+    again, _ = eng.subjects(specs[4])
+    assert again is frames[4]
+    # LRU touch: hitting the oldest cached entry protects it from the
+    # next eviction
+    eng.subjects(specs[2])
+    eng.subjects({"filters": [{"p": "<p/name>", "o": '"v6"'}]})
+    keys = list(eng._subject_cache)  # JSON keys escape the inner quotes
+    assert any("v2" in k for k in keys) and not any("v3" in k for k in keys)
+    # TTL: an entry put under an already-elapsed TTL expires on its
+    # next read and recomputes (expiry is stamped at put time)
+    eng.subject_cache_ttl_s = -1.0
+    spec7 = {"filters": [{"p": "<p/name>", "o": '"v7"'}]}
+    first, _ = eng.subjects(spec7)
+    second, _ = eng.subjects(spec7)
+    assert second is not first
+    # (no storageLevel check here: the recomputed frame shares the same
+    # logical plan, and storageLevel resolves through the cache manager
+    # by plan — it would report the NEW entry's persistence)
