@@ -158,34 +158,61 @@ def main() -> None:
         finally:
             shutil.rmtree(store, ignore_errors=True)
 
-    # opt-in ANN-store section (SPARK_GRAFT_BENCH_ANN_STORE=1): persist
-    # the cell-partitioned IVF layout and serve a pruned top-k from it
-    if os.environ.get("SPARK_GRAFT_BENCH_ANN_STORE") == "1":
-        import shutil
-        import tempfile
+    # persisted-IVF serving (headline since r3; keys unchanged from the
+    # r2 opt-in run): write the cell-partitioned layout, serve a pruned
+    # top-k from it
+    import shutil
+    import tempfile
 
-        astore = tempfile.mkdtemp(prefix="bench_ivf_")
-        try:
-            timed(
-                "q_ann_store_write",
-                lambda: sim.write_ivf_store(embs, f"{astore}/ivf", refine_iters=2),
-            )
-            timed(
-                "q_ann_store_topk",
-                lambda: sim.ivf_store_topk(
-                    *sim.read_ivf_store(spark, f"{astore}/ivf"),
-                    embs.filter(F.col("vec_id") < 5),
-                ).count(),
-            )
-        finally:
-            shutil.rmtree(astore, ignore_errors=True)
+    astore = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        timed(
+            "q_ann_store_write",
+            lambda: sim.write_ivf_store(embs, f"{astore}/ivf", refine_iters=2),
+        )
+        timed(
+            "q_ann_store_topk",
+            lambda: sim.ivf_store_topk(
+                *sim.read_ivf_store(spark, f"{astore}/ivf"),
+                embs.filter(F.col("vec_id") < 5),
+            ).count(),
+        )
+    finally:
+        shutil.rmtree(astore, ignore_errors=True)
 
-    # opt-in stemmed-index section (SPARK_GRAFT_BENCH_STEM=1): the full
-    # Porter build cost relative to the plain q_fts_index entry
-    if os.environ.get("SPARK_GRAFT_BENCH_STEM") == "1":
-        from bikidata_spark.operators.fts import build_fts_index
+    # stemmed-index build (headline since r3): the full Porter build
+    # cost relative to the plain q_fts_index entry
+    from bikidata_spark.operators.fts import build_fts_index
 
-        timed("q_fts_index_stemmed", lambda: build_fts_index(graph.literals(), stem=True))
+    timed("q_fts_index_stemmed", lambda: build_fts_index(graph.literals(), stem=True))
+
+    # IVF-backed semantic filter (new in r3): store write + the pruned
+    # `semantic` serve path — the round's headline plan fix (the brute
+    # embeddings scan per query is gone when a store is loaded)
+    sstore = tempfile.mkdtemp(prefix="bench_sem_ivf_")
+    try:
+        sem_emb = embs.select(
+            F.xxhash64(
+                F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">"))
+            ).alias("s"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        sem_cents = embs.filter(F.col("vec_id") % 31 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv")
+        )
+        timed(
+            "q_semantic_store_write",
+            lambda: sim.write_ivf_store(sem_emb, f"{sstore}/ivf", "s", "vec", centroids=sem_cents),
+        )
+        qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+        seng = Engine(graph, embeddings=sem_emb)
+        seng.load_ivf(f"{sstore}/ivf", nprobe=2)
+        timed(
+            "q_semantic_filter_ivf",
+            lambda: seng._semantic_filter({"vector": qvec}, "", None)[0].count(),
+        )
+    finally:
+        shutil.rmtree(sstore, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(

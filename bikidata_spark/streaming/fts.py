@@ -228,7 +228,9 @@ def compact_fts_store(spark: SparkSession, store_dir: str, force: bool = False) 
     import os
     import shutil
 
-    if os.path.isdir(f"{store_dir}/_manifest") and not force:
+    from .manifest import versions
+
+    if versions(store_dir) and not force:
         raise RuntimeError(
             "FTS store has snapshot manifests pinning pre-compaction "
             "segments; compacting would break every committed version. "

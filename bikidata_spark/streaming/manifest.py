@@ -34,6 +34,21 @@ from ..graph import Graph
 from .mutations import read_store  # noqa: F401  (compact_store refuses when _manifest exists)
 
 SUBDIRS = ("triples", "terms", "tombstones")
+# index stores get the same commit protocol: their segment files are
+# pinned per version so time travel and vacuum compose with index
+# maintenance (streaming.fts appends / compact_fts_store folds)
+FTS_SUBDIRS = ("postings", "token_df", "doc_len", "stats", "seen", "meta")
+IVF_SUBDIRS = ("vectors", "centroids")
+
+
+def _detect_subdirs(store_dir: str) -> tuple[str, ...]:
+    """Which store layout lives here: quad log (triples/...), FTS index
+    (postings/...), or IVF vector store (vectors/...)."""
+    if os.path.isdir(os.path.join(store_dir, "postings")):
+        return FTS_SUBDIRS
+    if os.path.isdir(os.path.join(store_dir, "vectors")):
+        return IVF_SUBDIRS
+    return SUBDIRS
 
 
 def _manifest_dir(store_dir: str) -> str:
@@ -70,15 +85,19 @@ def read_manifest(store_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit_snapshot(store_dir: str) -> int:
+def commit_snapshot(store_dir: str, subdirs: tuple[str, ...] | None = None) -> int:
     """Pin the store's current file set as the next version; returns the
     version number. Atomic: the manifest is fully written to a temp path
     first, then hard-linked into place — a concurrent committer racing
-    for the same version number loses the link and retries on N+1."""
+    for the same version number loses the link and retries on N+1.
+
+    Works over any of the package's store layouts (quad log, FTS index,
+    IVF vector store) — the subdir set is auto-detected unless given."""
     md = _manifest_dir(store_dir)
     os.makedirs(md, exist_ok=True)
+    subdirs = subdirs or _detect_subdirs(store_dir)
     manifest = {
-        "files": {sub: _data_files(store_dir, sub) for sub in SUBDIRS},
+        "files": {sub: _data_files(store_dir, sub) for sub in subdirs},
         "committed_at": time.time(),
     }
     while True:
@@ -128,21 +147,94 @@ def read_snapshot(
     return Graph(triples=triples, terms=terms)
 
 
+def _manifest_for(store_dir: str, version: int | None) -> dict:
+    vs = versions(store_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots under {store_dir}")
+    return read_manifest(store_dir, vs[-1] if version is None else version)
+
+
+def _load_pinned(spark: SparkSession, store_dir: str, m: dict, sub: str):
+    """Read exactly one subdir's pinned files. ``basePath`` keeps the
+    partition columns (batch/bucket/cell) that directory names carry —
+    a plain multi-file read would lose them and with them the pruning."""
+    files = [os.path.join(store_dir, f) for f in m["files"].get(sub, [])]
+    if not files:
+        return None
+    return spark.read.option("basePath", os.path.join(store_dir, sub)).parquet(*files)
+
+
+def read_fts_snapshot(spark: SparkSession, store_dir: str, version: int | None = None):
+    """Open one committed version of an incremental FTS store as an
+    FtsIndex: exactly the manifest's segment files, so later appends
+    and compactions are invisible and old versions stay queryable until
+    vacuumed. Bucket pruning works as in ``read_incremental_fts``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.fts import FtsIndex
+
+    m = _manifest_for(store_dir, version)
+    meta = _load_pinned(spark, store_dir, m, "meta").collect()[0]
+    postings = _load_pinned(spark, store_dir, m, "postings").drop("batch")
+    token_df = (
+        _load_pinned(spark, store_dir, m, "token_df")
+        .drop("batch")
+        .groupBy("bucket", "token")
+        .agg(F.sum("df").alias("df"))
+    )
+    doc_len = _load_pinned(spark, store_dir, m, "doc_len").drop("batch")
+    stats = (
+        _load_pinned(spark, store_dir, m, "stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs = int(stats["n"] or 0)
+    return FtsIndex(
+        postings=postings,
+        token_df=token_df,
+        doc_len=doc_len,
+        n_docs=n_docs,
+        avgdl=(stats["s"] / n_docs) if n_docs else 1.0,
+        num_buckets=int(meta["num_buckets"]),
+        stem=bool(meta["stem"]),
+        strip=bool(meta["strip"]),
+    )
+
+
+def read_ivf_snapshot(spark: SparkSession, store_dir: str, version: int | None = None):
+    """(vectors, centroids) of one committed IVF-store version; the
+    ``cell`` partition column survives for pruned probes."""
+    m = _manifest_for(store_dir, version)
+    return (
+        _load_pinned(spark, store_dir, m, "vectors"),
+        _load_pinned(spark, store_dir, m, "centroids"),
+    )
+
+
 def vacuum(store_dir: str, keep_last: int = 1) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete data
     files that only those dropped manifests referenced. Files referenced
     by no manifest at all are uncommitted appends and are left alone."""
     vs = versions(store_dir)
-    kept_vs, dropped_vs = vs[-keep_last:], vs[:-keep_last]
+    # keep_last=0 drops every version PIN but deletes no data: the live
+    # tree is not a manifest, and "discard the snapshots" must not be
+    # "delete the store". (Also note vs[-0:] would keep them all — the
+    # negative-zero slice trap.)
+    if keep_last < 1:
+        for v in vs:
+            os.unlink(os.path.join(_manifest_dir(store_dir), f"v{v}.json"))
+        return {"dropped_versions": vs, "removed_files": []}
+    kept_vs = vs[-keep_last:]
+    dropped_vs = vs[: len(vs) - len(kept_vs)]
     kept: set[str] = set()
     for v in kept_vs:
         m = read_manifest(store_dir, v)
-        for sub in SUBDIRS:
+        for sub in m["files"]:  # whatever layout the manifest pinned
             kept.update(m["files"][sub])
     removed = []
     for v in dropped_vs:
         m = read_manifest(store_dir, v)
-        for sub in SUBDIRS:
+        for sub in m["files"]:
             for rel in m["files"][sub]:
                 path = os.path.join(store_dir, rel)
                 if rel not in kept and os.path.exists(path):

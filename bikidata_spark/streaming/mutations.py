@@ -117,7 +117,9 @@ def compact_store(spark: SparkSession, store_dir: str, force: bool = False) -> d
     import os
     import shutil
 
-    if os.path.isdir(f"{store_dir}/_manifest") and not force:
+    from .manifest import versions
+
+    if versions(store_dir) and not force:
         raise RuntimeError(
             "store has snapshot manifests pinning pre-compaction files; "
             "compacting would break every committed version. Vacuum/drop "

@@ -694,3 +694,89 @@ def test_fts_store_compaction(spark, tmp_path):
     assert inc2.match("fresh").count() == 1
     # the already-indexed literals did not double-index
     assert sorted(segs("postings")) == ["batch=-1", "batch=3"]
+
+
+def test_fts_store_snapshots_time_travel_and_vacuum(spark, tmp_path):
+    """Manifests over the incremental FTS store: a committed version
+    pins its segment files, later appends are invisible to it, old
+    versions stay queryable until vacuumed, and compaction refuses
+    while manifests pin segments."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from bikidata_spark.streaming.fts import (
+        compact_fts_store,
+        read_incremental_fts,
+        start_fts_ingest,
+    )
+    from bikidata_spark.streaming.manifest import (
+        commit_snapshot,
+        read_fts_snapshot,
+        vacuum,
+    )
+
+    src = tmp_path / "msrc"
+    src.mkdir()
+    store, ck = str(tmp_path / "mstore"), str(tmp_path / "mck")
+    (src / "b0.json").write_text(
+        _json.dumps({"action": "insert", "s": "<e/1>", "p": "<l>", "o": '"alpha one"', "g": ""})
+    )
+    start_fts_ingest(spark, str(src), store, ck, num_buckets=4).awaitTermination(60)
+    v1 = commit_snapshot(store)
+    (src / "b1.json").write_text(
+        _json.dumps({"action": "insert", "s": "<e/2>", "p": "<l>", "o": '"alpha two"', "g": ""})
+    )
+    start_fts_ingest(spark, str(src), store, ck, num_buckets=4).awaitTermination(60)
+    v2 = commit_snapshot(store)
+
+    old = read_fts_snapshot(spark, store, v1)
+    assert old.n_docs == 1 and old.match("alpha").count() == 1
+    assert old.match("two").count() == 0  # the later append is invisible
+    new = read_fts_snapshot(spark, store, v2)
+    assert new.n_docs == 2 and new.match("alpha").count() == 2
+    # live read agrees with the latest snapshot
+    live = read_incremental_fts(spark, store)
+    assert live.match("alpha").count() == 2
+    # compaction refuses while manifests pin segment files
+    with _pytest.raises(RuntimeError, match="manifest"):
+        compact_fts_store(spark, store)
+    # vacuum keeps only v2; append-only files shared with v2 survive
+    out = vacuum(store, keep_last=1)
+    assert out["dropped_versions"] == [v1]
+    assert read_fts_snapshot(spark, store).match("alpha").count() == 2
+    # vacuum keep_last=0 drops all version PINS but deletes no data;
+    # force-free compaction is then allowed again
+    out0 = vacuum(store, keep_last=0)
+    assert out0["dropped_versions"] == [v2] and out0["removed_files"] == []
+    compact_fts_store(spark, store)
+    assert read_incremental_fts(spark, store).match("alpha").count() == 2
+
+
+def test_ivf_store_snapshot(spark, tmp_path):
+    """Manifests over the persisted IVF store: the pinned version serves
+    the same pruned top-k as the live store, with the cell partition
+    column intact."""
+    from bikidata_spark.operators.similarity import (
+        ivf_store_topk,
+        read_ivf_store,
+        write_ivf_store,
+    )
+    from bikidata_spark.streaming.manifest import commit_snapshot, read_ivf_snapshot
+
+    embs = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 11) for d in range(6)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "istore")
+    write_ivf_store(embs, store, centroid_step=7)
+    v = commit_snapshot(store)
+    assert v == 1
+    qs = embs.filter("vec_id < 2")
+    live = sorted(
+        map(tuple, ivf_store_topk(*read_ivf_store(spark, store), qs, k=3).collect())
+    )
+    snap_vecs, snap_cents = read_ivf_snapshot(spark, store)
+    assert "cell" in snap_vecs.columns
+    snap = sorted(map(tuple, ivf_store_topk(snap_vecs, snap_cents, qs, k=3).collect()))
+    assert snap == live
