@@ -353,6 +353,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rdf_total"] = total_run
 
+    # score-weighted facet: buckets ranked by summed BM25 relevance of
+    # their subjects, not raw membership counts (single-token query so
+    # each literal's score is ONE product — bit-identical across
+    # engines; the 6dp DECIMAL sum makes the weight order-independent)
+    def facet_weighted_run(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        subj, scores = eng.subjects({"filters": [{"p": "fts", "o": "customer"}]})
+        return eng.facet(subj, "<p/mktsegment>", scores=scores)
+
+    q["rdf_facet_weighted"] = facet_weighted_run
+
     # --- semantic (vector) filter --------------------------------------
     def semantic_run(spark, sf_dir):
         eng = _engine(spark, sf_dir)
@@ -650,10 +661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_filter_not",
         "rdf_filter_mixed_chain",
         "rdf_filter_graph_multi",
-        # text / regex / semantic search
+        # text / regex / semantic search (accent twin demoted past the
+        # fold in r3 — its translate map is fuzz- and pytest-covered)
         "rdf_fts",
         "rdf_fts_stemmed",
-        "rdf_fts_accent",
         "rdf_fts_hop2",
         "rdf_regex",
         "rdf_property_hop",
@@ -661,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_semantic_ivf",
         # aggregates, paging, paths, hydration, introspection
         "rdf_facet_nation",
+        "rdf_facet_weighted",
         "rdf_page_default_order",
         "rdf_page_order_label",
         "rdf_paths",
@@ -812,6 +824,31 @@ WHERE T0.p = '<p/nation>' AND T0.o = '<e/nation/5>'"""
 SELECT COUNT(T.s) AS count, T.o AS val FROM quads T JOIN s_results S ON T.s = S.s
 WHERE T.p = '<p/nation>' GROUP BY T.o"""
     )
+    # score-weighted facet: full BM25 mirror (tokenize → postings → df/
+    # dl/avgdl → idf·tf_part) for the single-token query 'customer',
+    # per-subject MAX, then the 6dp DECIMAL weight sum per facet value —
+    # the same constants (k1=1.2, b=0.75) the Spark expression embeds
+    from bikidata_spark.operators.fts import BM25_B, BM25_K1, strip_accents_sql
+
+    o["rdf_facet_weighted"] = _with_quads(
+        f""", lits AS (SELECT DISTINCT o AS lit FROM quads WHERE o LIKE '"%'),
+toks AS (SELECT lit, unnest(list_filter(string_split_regex({strip_accents_sql("lower(lit)")}, '[^a-z0-9]+'), x -> x != '')) AS t FROM lits),
+post AS (SELECT lit, t, COUNT(*) AS tf FROM toks GROUP BY lit, t),
+df AS (SELECT t, COUNT(*) AS df FROM post GROUP BY t),
+dl AS (SELECT lit, SUM(tf) AS dl FROM post GROUP BY lit),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+hit AS (
+  SELECT post.lit,
+         ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5)/(df.df + 0.5))
+           * (post.tf * {BM25_K1 + 1!r})
+           / (post.tf + {BM25_K1!r} * ({1 - BM25_B!r} + {BM25_B!r} * dl.dl / stats.avgdl)) AS score
+  FROM post JOIN df ON post.t = df.t JOIN dl ON dl.lit = post.lit, stats
+  WHERE post.t = 'customer'),
+sc AS (SELECT q.s, MAX(h.score) AS score FROM quads q JOIN hit h ON q.o = h.lit GROUP BY q.s)
+SELECT COUNT(*) AS count, CAST(SUM(CAST(round(sc.score, 6) AS DECIMAL(28,10))) AS DOUBLE) AS weight, t.o AS val
+FROM sc JOIN quads t ON t.s = sc.s AND t.p = '<p/mktsegment>' GROUP BY t.o"""
+    )
+
     o["rdf_agg_properties"] = _with_quads(
         "SELECT COUNT(*) AS count, p AS val FROM quads GROUP BY p"
     )

@@ -604,15 +604,43 @@ class Engine:
         return out.select("pos", "s", "s_value")
 
     # ---- aggregates ----------------------------------------------------
-    def facet(self, s_results: DataFrame | None, agg: str) -> DataFrame:
+    def facet(
+        self, s_results: DataFrame | None, agg: str, scores: DataFrame | None = None
+    ) -> DataFrame:
         """Facet counts over the (filtered or whole-corpus) subject set
         (reference query.py:744-753, 824-832) → (count, val), ordered
         count-desc like the reference (val tiebreak for determinism —
-        facet outputs are distinct-value-sized, so the sort is tiny)."""
+        facet outputs are distinct-value-sized, so the sort is tiny).
+
+        With ``scores`` (the (s, score) frame a scored filter — fts or
+        semantic — produced), the facet is WEIGHTED: each subject
+        contributes its score to its facet value, so relevance, not raw
+        membership, ranks the buckets → (count, weight, val) ordered
+        weight-desc. Weights sum per-subject scores rounded to 6dp as
+        DECIMAL — exact and partition-order-independent, so the result
+        is bit-reproducible (and DuckDB-mirrorable)."""
         t = self.graph.triples
         if s_results is not None:
             t = t.join(s_results.select("s"), "s", "left_semi")
         terms = self.graph.terms.select("hash", F.col("value").alias("val"))
+        if scores is not None and agg not in ("properties", "graphs"):
+            base = t.filter(F.col("p") == H(str(agg))).join(scores, "s", "left")
+            grouped = base.groupBy("o").agg(
+                F.count("s").alias("count"),
+                F.sum(
+                    F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).cast(
+                        "decimal(28,10)"
+                    )
+                )
+                .cast("double")
+                .alias("weight"),
+            )
+            out = grouped.join(terms, grouped.o == terms.hash).select(
+                "count", "weight", "val"
+            )
+            return out.orderBy(
+                F.col("weight").desc(), F.col("count").desc(), F.col("val").asc()
+            )
         if agg == "properties":
             grouped = t.groupBy("p").agg(F.count("*").alias("count"))
             out = grouped.join(terms, grouped.p == terms.hash).select("count", "val")

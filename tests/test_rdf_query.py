@@ -215,3 +215,20 @@ def test_subject_cache_lru_ttl_eviction(spark):
     # (no storageLevel check here: the recomputed frame shares the same
     # logical plan, and storageLevel resolves through the cache manager
     # by plan — it would report the NEW entry's persistence)
+
+
+def test_facet_score_weighted(engine):
+    """A scored filter weights facet buckets by summed relevance: the
+    weight column exists, orders the output, and the unweighted facet
+    is unchanged."""
+    subj, scores = engine.subjects({"filters": [{"p": "fts", "o": "customer"}]})
+    assert scores is not None
+    weighted = engine.facet(subj, "<p/mktsegment>", scores=scores).collect()
+    assert [c for c in weighted[0].asDict()] == ["count", "weight", "val"]
+    ws = [r["weight"] for r in weighted]
+    assert ws == sorted(ws, reverse=True) and all(w > 0 for w in ws)
+    plain = engine.facet(subj, "<p/mktsegment>").collect()
+    assert [c for c in plain[0].asDict()] == ["count", "val"]
+    assert {r["val"] for r in plain} == {r["val"] for r in weighted}
+    # counts agree between the two shapes
+    assert {(r["count"], r["val"]) for r in plain} == {(r["count"], r["val"]) for r in weighted}
