@@ -107,6 +107,8 @@ class Engine:
     _subject_cache: dict = field(default_factory=dict, repr=False)
     subject_cache_max: int = 32
     subject_cache_ttl_s: float = 7 * 24 * 3600.0
+    _subject_cache_hits: int = field(default=0, repr=False)
+    _subject_cache_misses: int = field(default=0, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -368,7 +370,9 @@ class Engine:
             key = json.dumps(opts.get("filters", []), sort_keys=True)
             hit = self._cache_get(key)
             if hit is not None:
+                self._subject_cache_hits += 1
                 return hit
+            self._subject_cache_misses += 1
         result = self._subjects_uncached(opts)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
@@ -410,6 +414,17 @@ class Engine:
             result[1],
             time.time() + self.subject_cache_ttl_s,
         )
+
+    def cache_stats(self) -> dict:
+        """Driver-local snapshot of the persisted subject-set cache —
+        no Spark job is triggered."""
+        return {
+            "entries": len(self._subject_cache),
+            "max": self.subject_cache_max,
+            "ttl_s": self.subject_cache_ttl_s,
+            "hits": self._subject_cache_hits,
+            "misses": self._subject_cache_misses,
+        }
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
         """Combine filter subject sets with SQL set-operator PRECEDENCE,

@@ -56,11 +56,25 @@ class Serving:
 
     def __init__(self, engine: Engine, num_workers: int = 4):
         self.engine = engine
+        self._num_workers = num_workers
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="bikidata-serve"
         )
         self._cache: dict[str, tuple[float, str]] = {}
         self._cache_lock = threading.Lock()
+        # operational counters (the reference reads queue depth straight
+        # off Redis with LLEN, reference workers.py:23-56; without Redis
+        # we count submissions/completions ourselves). All guarded by
+        # _cache_lock — they are touched on the same paths.
+        self._started_at = time.time()
+        self._submitted = 0  # work items handed to the pool
+        self._completed = 0  # work items finished (success or error)
+        self._in_flight = 0  # currently executing on a worker thread
+        self._queries_served = 0
+        self._cache_hits = 0
+        self._cache_misses = 0
+        self._mutations_applied = 0
+        self._errors = 0
         # bumped on every graph swap: a query computed against the
         # pre-mutation graph must not enter the cache after the swap's
         # clear(), or it would serve stale results for up to the TTL
@@ -72,6 +86,21 @@ class Serving:
 
     # ---- queries -------------------------------------------------------
     def _query_blocking(self, opts: dict) -> dict:
+        with self._cache_lock:
+            self._in_flight += 1
+        try:
+            return self._query_inner(opts)
+        except Exception:
+            with self._cache_lock:
+                self._errors += 1
+            raise
+        finally:
+            with self._cache_lock:
+                self._in_flight -= 1
+                self._queries_served += 1
+                self._completed += 1
+
+    def _query_inner(self, opts: dict) -> dict:
         # one scheduler pool per worker thread: under
         # spark.scheduler.mode=FAIR (BIKIDATA_SPARK_SCHEDULER=FAIR)
         # concurrent queries share executors round-robin
@@ -85,9 +114,11 @@ class Serving:
             with self._cache_lock:
                 hit = self._cache.get(query_hash)
                 if hit and hit[0] > time.time():
+                    self._cache_hits += 1
                     return json.loads(hit[1])
         received = time.time()
         with self._cache_lock:
+            self._cache_misses += 1
             generation = self._generation
         result = self.engine.query(opts)
         # reference workers.py:101-103: timing metadata on fresh results
@@ -107,6 +138,8 @@ class Serving:
 
     async def query_async(self, opts: dict, timeout: int = 60) -> dict:
         loop = asyncio.get_running_loop()
+        with self._cache_lock:
+            self._submitted += 1
         fut = loop.run_in_executor(self._pool, self._query_blocking, dict(opts))
         try:
             return await asyncio.wait_for(fut, timeout=timeout)
@@ -115,6 +148,16 @@ class Serving:
 
     # ---- mutations -----------------------------------------------------
     def _mutate_blocking(self, action: str, data: list[dict], are_hashes: bool) -> dict:
+        with self._cache_lock:
+            self._in_flight += 1
+        try:
+            return self._mutate_inner(action, data, are_hashes)
+        finally:
+            with self._cache_lock:
+                self._in_flight -= 1
+                self._completed += 1
+
+    def _mutate_inner(self, action: str, data: list[dict], are_hashes: bool) -> dict:
         if are_hashes and action != "delete":
             return {"error": "are_hashes is only supported for deletes"}
         received = time.time()
@@ -128,6 +171,7 @@ class Serving:
                 with self._cache_lock:
                     self._cache.clear()  # results may be stale now
                     self._generation += 1  # in-flight queries must not cache
+                    self._mutations_applied += 1
         result["msg_received_time"] = received
         result["msg_processed_time"] = time.time()
         return result
@@ -151,6 +195,8 @@ class Serving:
     async def _mutate_async(self, action, s, p, o, g, timeout, are_hashes) -> dict:
         data = [{"s": s, "p": p, "o": o, "g": g}]
         loop = asyncio.get_running_loop()
+        with self._cache_lock:
+            self._submitted += 1
         fut = loop.run_in_executor(
             self._pool, self._mutate_blocking, action, data, are_hashes
         )
@@ -158,6 +204,40 @@ class Serving:
             return await asyncio.wait_for(fut, timeout=timeout)
         except asyncio.TimeoutError:
             raise TimeoutError("Query timed out") from None
+
+    # ---- introspection ---------------------------------------------------
+    def status(self) -> dict:
+        """Operational snapshot — the surface the reference gets for free
+        from Redis (``LLEN`` queue depth, key counts; reference
+        workers.py:23-56, 96-107). Everything here is driver-local
+        bookkeeping: no Spark job is triggered, so it is safe to poll.
+
+        ``queue_depth`` counts submitted-but-not-yet-finished work items
+        beyond the ones currently executing (the Redis list length
+        analogue); ``in_flight`` is what the worker threads are running
+        right now.
+        """
+        now = time.time()
+        with self._cache_lock:
+            live = sum(1 for exp, _ in self._cache.values() if exp > now)
+            return {
+                "workers": self._num_workers,
+                "uptime_s": round(now - self._started_at, 3),
+                "queue_depth": max(0, self._submitted - self._completed - self._in_flight),
+                "in_flight": self._in_flight,
+                "queries_served": self._queries_served,
+                "mutations_applied": self._mutations_applied,
+                "errors": self._errors,
+                "generation": self._generation,
+                "result_cache": {
+                    "entries": len(self._cache),
+                    "live_entries": live,
+                    "hits": self._cache_hits,
+                    "misses": self._cache_misses,
+                    "ttl_s": CACHE_TTL_S,
+                },
+                "subject_cache": self.engine.cache_stats(),
+            }
 
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)

@@ -19,9 +19,19 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     every expression-heavy operator downstream (shingling, hashing,
     vector math) on a single core. At production scale inputs arrive in
     hundreds of splits and this is a no-op — we never repartition DOWN,
-    so no shuffle is added where the source is already parallel."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    so no shuffle is added where the source is already parallel.
+
+    Partition-count introspection goes through the JVM query execution
+    (no ``df.rdd``, which would build a Python RDD wrapper and force a
+    plan conversion per call); anything unavailable — e.g. under Spark
+    Connect, where there is no SparkContext — degrades to returning the
+    DataFrame untouched rather than failing."""
+    try:
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # Spark Connect / remote session: no JVM handle
+        return df if min_partitions is None else df.repartition(min_partitions)
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -194,3 +194,37 @@ def test_serving_delete_by_hash(serving):
     # hash-addressed INSERT is refused (delete-only surface, like the reference)
     r = serving._mutate_blocking("insert", [{"s": 1, "p": 2, "o": 3}], True)
     assert "error" in r
+
+
+def test_status_endpoint(serving):
+    """The operational surface the reference reads off Redis (LLEN /
+    key counts): counters move with real traffic and never trigger a
+    Spark job."""
+    s0 = serving.status()
+    assert s0["workers"] == 2
+    assert s0["queries_served"] == 0
+    assert s0["in_flight"] == 0
+    assert s0["queue_depth"] == 0
+    assert s0["result_cache"]["entries"] == 0
+    assert s0["subject_cache"]["entries"] == 0
+
+    async def go():
+        opts = {"filters": [{"p": "<p/name>", "o": '"alpha"'}]}
+        await serving.query_async(opts)
+        await serving.query_async(opts)  # result-cache hit
+        await serving.insert_async("<e/9>", "<p/name>", '"iota"')
+        await serving.query_async({"filters": [{"p": "<p/name>", "o": '"iota"'}]})
+
+    asyncio.run(go())
+    s1 = serving.status()
+    assert s1["queries_served"] == 3
+    assert s1["result_cache"]["hits"] == 1
+    assert s1["result_cache"]["misses"] == 2
+    assert s1["result_cache"]["entries"] == 1  # insert cleared the pre-swap entry
+    assert s1["mutations_applied"] == 1
+    assert s1["generation"] == 1
+    assert s1["in_flight"] == 0 and s1["queue_depth"] == 0
+    assert s1["errors"] == 0
+    assert s1["uptime_s"] >= s0["uptime_s"]
+    sc = s1["subject_cache"]
+    assert sc["entries"] >= 1 and sc["misses"] >= 1 and sc["max"] == 32
