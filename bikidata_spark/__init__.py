@@ -6,7 +6,7 @@ plus large-scale training-data pipeline operators (dedup, similarity
 search, text analysis, multimodal plumbing).
 """
 
-from .functions.embed import BatchedProvider
+from .functions.embed import BatchedProvider, HttpEmbeddingClient
 from .functions.porter import porter_stem
 from .graph import Graph, build_from_iterator, from_string_quads, read_graph, write_graph
 from .plans.query import Engine
@@ -14,6 +14,7 @@ from .serving import Serving, TimeoutError
 
 __all__ = [
     "BatchedProvider",
+    "HttpEmbeddingClient",
     "Graph",
     "Engine",
     "Serving",

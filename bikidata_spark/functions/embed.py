@@ -1,18 +1,25 @@
 """Embedding provider seam.
 
 The reference calls a hosted embedding API (reference semantic.py:15-38,
-Cohere embed-v4.0, dim 1024). This container has no network access, so
-the provider is pluggable: pass ``embed_fn`` to the Engine, or rely on
-``fake_embedding`` — a deterministic md5-seeded pseudo-embedding that
-keeps every downstream code path (vector literals, broadcast, cosine
-math) real and testable.
+Cohere embed-v4.0, dim 1024). The full production stack exists here:
+``HttpEmbeddingClient`` (stdlib urllib, Cohere-v2 request/response
+shape) → ``BatchedProvider`` (96-batching, retry, pacing) →
+``build_semantic`` (Arrow-batched pandas UDF). The transport is
+integration-tested against an in-process localhost HTTP server; only a
+hosted endpoint + API key are absent from this container. For offline
+runs, ``fake_embedding`` is a deterministic md5-seeded pseudo-embedding
+that keeps every downstream code path (vector literals, broadcast,
+cosine math) real and testable.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import time
+import urllib.error
+import urllib.request
 
 
 class BatchedProvider:
@@ -73,6 +80,80 @@ class BatchedProvider:
         for i in range(0, len(texts), self.batch_size):
             out.extend(self._paced_call(texts[i : i + self.batch_size]))
         return out
+
+
+class HttpEmbeddingClient:
+    """Stdlib HTTP transport for a hosted batch-embedding endpoint,
+    mirroring the reference's Cohere v2 contract (reference
+    semantic.py:28-38: POST model/texts/input_type/output_dimension,
+    read ``embeddings.float``). Usable as ``BatchedProvider``'s
+    ``call``::
+
+        client = HttpEmbeddingClient(url, api_key=key, dim=1024)
+        provider = BatchedProvider(client, batch_size=96)
+
+    Pure ``urllib`` — no third-party SDK, so it works anywhere Python
+    does; executor-local like the provider (holds no connection state,
+    each call is an independent request). ``response_path`` walks the
+    reply JSON to the list-of-vectors, defaulting to the Cohere shape
+    ``("embeddings", "float")``; pass e.g. ``("data",)`` for
+    OpenAI-style replies whose items are ``{"embedding": [...]}``
+    (dicts with an ``embedding`` key are unwrapped per item).
+
+    Raising on HTTP/shape errors is deliberate: ``BatchedProvider``
+    owns retry/backoff/pacing, the transport stays dumb."""
+
+    def __init__(
+        self,
+        url: str,
+        api_key: str | None = None,
+        model: str = "embed-v4.0",
+        input_type: str = "search_document",
+        dim: int | None = 1024,
+        timeout_s: float = 30.0,
+        extra_payload: dict | None = None,
+        response_path: tuple = ("embeddings", "float"),
+        opener=None,
+    ):
+        self.url = url
+        self.api_key = api_key
+        self.model = model
+        self.input_type = input_type
+        self.dim = dim
+        self.timeout_s = timeout_s
+        self.extra_payload = extra_payload or {}
+        self.response_path = tuple(response_path)
+        self._open = opener or urllib.request.urlopen
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        payload: dict = {
+            "model": self.model,
+            "texts": list(texts),
+            "input_type": self.input_type,
+            "embedding_types": ["float"],
+            **self.extra_payload,
+        }
+        if self.dim is not None:
+            payload["output_dimension"] = self.dim
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            self.url, data=json.dumps(payload).encode("utf-8"), headers=headers
+        )
+        with self._open(req, timeout=self.timeout_s) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        node = body
+        for key in self.response_path:
+            node = node[key]
+        vecs = [v["embedding"] if isinstance(v, dict) else v for v in node]
+        if self.dim is not None:
+            for v in vecs:
+                if len(v) != self.dim:
+                    raise ValueError(
+                        f"endpoint returned dim={len(v)}, expected {self.dim}"
+                    )
+        return [[float(x) for x in v] for v in vecs]
 
 
 def build_semantic(graph, dim: int = 64, hops: int = 2, embed_fn=None, provider=None):

@@ -173,6 +173,90 @@ def test_batched_provider_batching_retry_pacing():
         p3.embed_many(["x"])
 
 
+def test_http_embedding_client_against_local_server():
+    """Real HTTP round trip: an in-process localhost server speaking
+    the Cohere-v2-style contract (reference semantic.py:28-38) proves
+    the stdlib transport end-to-end — request shape, auth header,
+    batching via BatchedProvider, retry on 500, dim validation."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bikidata_spark.functions.embed import BatchedProvider, HttpEmbeddingClient
+
+    seen = {"bodies": [], "auth": [], "fail_next": 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["bodies"].append(body)
+            seen["auth"].append(self.headers.get("Authorization"))
+            if seen["fail_next"]:
+                seen["fail_next"] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            dim = body["output_dimension"]
+            vecs = [[float(len(t))] * dim for t in body["texts"]]
+            reply = _json.dumps({"embeddings": {"float": vecs}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(reply)))
+            self.end_headers()
+            self.wfile.write(reply)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/v2/embed"
+        client = HttpEmbeddingClient(url, api_key="k", dim=4)
+        provider = BatchedProvider(client, batch_size=2, backoff_s=0, sleep=lambda s: None)
+        out = provider.embed_many(["a", "bb", "ccc"])
+        assert out == [[1.0] * 4, [2.0] * 4, [3.0] * 4]
+        # the 500 consumed one request; retry made it 3 successful + 1 failed
+        assert len(seen["bodies"]) == 3 and seen["auth"][0] == "Bearer k"
+        ok = [b for b in seen["bodies"]]
+        assert ok[0]["model"] == "embed-v4.0" and ok[0]["input_type"] == "search_document"
+        assert [len(b["texts"]) for b in ok] == [2, 2, 1]  # 96-style batching (here 2)
+
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_embedding_client_response_paths():
+    """OpenAI-style replies ({'data': [{'embedding': [...]}]}) decode
+    via response_path without a live server (opener injected)."""
+    import io
+    import json as _json
+
+    from bikidata_spark.functions.embed import HttpEmbeddingClient
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(req, timeout):
+        body = _json.loads(req.data)
+        vecs = [{"embedding": [float(len(t)), 0.0]} for t in body["texts"]]
+        return FakeResp(_json.dumps({"data": vecs}).encode())
+
+    c = HttpEmbeddingClient("http://x/v1/embeddings", dim=2, response_path=("data",), opener=opener)
+    assert c(["ab", "c"]) == [[2.0, 0.0], [1.0, 0.0]]
+
+    import pytest as _pytest
+
+    c_bad = HttpEmbeddingClient("http://x", dim=3, response_path=("data",), opener=opener)
+    with _pytest.raises(ValueError):  # endpoint dim != declared dim
+        c_bad(["ab"])
+
+
 def test_build_semantic_with_provider(spark):
     from bikidata_spark.functions.embed import BatchedProvider, build_semantic, fake_embedding
 
