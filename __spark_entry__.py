@@ -100,14 +100,13 @@ def _stem_engine(spark: SparkSession, sf_dir: str) -> Engine:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and truncate to micros (the data
-    has no sub-microsecond precision)."""
+    """The driver has shipped events.parquet as TIMESTAMP(NANOS) (reads
+    as long under nanosAsLong), as timestamp[us] (reads as
+    TIMESTAMP_NTZ), and may ship plain TIMESTAMP next — delegate to the
+    dtype-branching normalizer shared by every events operator."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return ev.to_event_frame(df)
 
 
 # ---------------------------------------------------------------------------

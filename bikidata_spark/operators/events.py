@@ -14,10 +14,31 @@ from pyspark.sql import functions as F
 from ..session import ensure_parallelism
 
 
+def to_event_frame(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to session-tz TIMESTAMP whatever
+    the source encoding. The upstream parquet has shipped three shapes
+    so far — TIMESTAMP(NANOS) (readable only as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``), ``timestamp[us]`` (read
+    as TIMESTAMP_NTZ by pyspark 4), and plain TIMESTAMP — so every
+    events operator funnels through this dtype-branching guard instead
+    of assuming one historical encoding.
+
+    The NTZ→TZ cast is an exact relabel under the engine's fixed UTC
+    session timezone (session.py pins ``spark.sql.session.timeZone``);
+    the long branch assumes nanos, the only integer encoding the data
+    has ever used."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def hourly_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour aggregate per event_type:
     (hour, event_type, n, total)."""
-    events = ensure_parallelism(events)
+    events = ensure_parallelism(to_event_frame(events))
     return (
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -63,7 +84,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Batch twin of the streaming stateful operator; one window pass
     (partition by user), integer session ids — deterministic."""
-    events = ensure_parallelism(events)
+    events = ensure_parallelism(to_event_frame(events))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.lit(gap_minutes * 60)
     with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))
@@ -104,6 +125,13 @@ def asof_join(
     Ties between a left and right row at the SAME timestamp match
     (inclusive <=), mirroring DuckDB.
     """
+    # NTZ on either side would poison the union dtype; numeric on-cols
+    # pass through untouched (to_event_frame's long branch is only for
+    # the canonical events table, not generic keys)
+    if dict(left.dtypes).get(on) == "timestamp_ntz":
+        left = left.withColumn(on, F.col(on).cast("timestamp"))
+    if dict(right.dtypes).get(on) == "timestamp_ntz":
+        right = right.withColumn(on, F.col(on).cast("timestamp"))
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     rid = F.row_number().over(
         Window.partitionBy(by, on).orderBy(*[F.col(c).desc() for c in right.columns])
@@ -192,7 +220,7 @@ def funnel(
     join and groupBy reuses that partitioning (subset-clustering), so a
     k-stage funnel costs one real shuffle plus k partition-local
     reductions, not k shuffles."""
-    events = ensure_parallelism(events)
+    events = ensure_parallelism(to_event_frame(events))
     cur = (
         events.filter(F.col("event_type") == stages[0])
         .groupBy("user_id")

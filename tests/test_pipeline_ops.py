@@ -597,3 +597,54 @@ def test_connected_components_star_equals_label(spark):
     ca = sorted(tuple(r) for r in dd.dedup_clusters(df).collect())
     cb = sorted(tuple(r) for r in dd.dedup_clusters(df, algorithm="star").collect())
     assert ca == cb
+
+
+def test_event_frame_dtype_normalization(spark):
+    """Every encoding the upstream events.parquet has shipped — nanos-
+    as-long, TIMESTAMP_NTZ, and plain TIMESTAMP — must produce identical
+    operator output (session tz is UTC, so NTZ→TZ is an exact relabel)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.events import funnel, hourly_agg, sessionize, to_event_frame
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+    rows = [
+        (1, base_us, 7, "view", 1.0, "{}"),
+        (2, base_us + 60_000_000, 7, "click", 2.0, "{}"),
+        (3, base_us + 120_000_000, 7, "purchase", 3.0, "{}"),
+        (4, base_us + 7_200_000_000, 7, "view", 4.0, "{}"),
+    ]
+    schema_long = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    as_nanos = spark.createDataFrame([(e, t * 1000, u, et, v, p) for e, t, u, et, v, p in rows], schema_long)
+    naive = [
+        (e, dt.datetime.utcfromtimestamp(t / 1e6), u, et, v, p) for e, t, u, et, v, p in rows
+    ]
+    as_ntz = spark.createDataFrame(
+        naive, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    as_tz = spark.createDataFrame(
+        naive, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    variants = {"nanos_long": as_nanos, "ntz": as_ntz, "tz": as_tz}
+
+    for name, df in variants.items():
+        assert dict(to_event_frame(df).dtypes)["ts"] == "timestamp", name
+
+    def snap(op):
+        outs = {}
+        for name, df in variants.items():
+            out = op(df)
+            # unix_micros on the result proves the column is TZ-typed
+            ts_cols = [c for c, t in out.dtypes if t == "timestamp"]
+            for c in ts_cols:
+                out = out.withColumn(c, F.unix_micros(c))
+            outs[name] = sorted(map(tuple, out.collect()))
+        assert outs["nanos_long"] == outs["ntz"] == outs["tz"], op.__name__
+        return outs["tz"]
+
+    assert len(snap(hourly_agg)) == 4  # 3 types in hour 1 + view in hour 3
+    assert snap(funnel) == [(7, base_us, base_us + 60_000_000, base_us + 120_000_000)]
+    sess = snap(sessionize)
+    assert [r[2] for r in sess] == [3, 1]  # 2h gap splits the sessions
