@@ -215,6 +215,16 @@ def main() -> None:
         shutil.rmtree(sstore, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
+    # the 13 sections benchmarked since r2 — their subtotal is the
+    # round-over-round comparable number; `value` also counts sections
+    # added later, so it moves when coverage widens, not just when the
+    # engine does
+    R2_KEYS = (
+        "q_build_index q_fts_index q_boolean_filter q_fts_search "
+        "q_property_hop q_order_page q_facet q_dedup_minhash q_dedup_exact "
+        "q_ann_topk q_ann_ivf q_text_analysis q_events_sessionize"
+    ).split()
+    comparable = round(sum(times[k] for k in R2_KEYS if k in times), 3)
     print(
         json.dumps(
             {
@@ -223,6 +233,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "headline_r2_keys": comparable,
             }
         )
     )

@@ -16,10 +16,21 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import math
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
+
+log = logging.getLogger(__name__)
+
+
+class NonRetryableEmbeddingError(Exception):
+    """A request the endpoint deterministically rejects (4xx other than
+    429: bad API key, oversize payload, malformed body). Retrying can
+    never succeed, so :class:`BatchedProvider` re-raises immediately
+    instead of burning its exponential backoff budget."""
 
 
 class BatchedProvider:
@@ -69,6 +80,8 @@ class BatchedProvider:
                         f"provider returned {len(out)} vectors for {len(chunk)} texts"
                     )
                 return out
+            except NonRetryableEmbeddingError:
+                raise
             except Exception:
                 if attempt >= self.max_retries:
                     raise
@@ -114,6 +127,8 @@ class HttpEmbeddingClient:
         extra_payload: dict | None = None,
         response_path: tuple = ("embeddings", "float"),
         opener=None,
+        max_tokens: int | None = 8000,
+        truncate: str | None = "END",
     ):
         self.url = url
         self.api_key = api_key
@@ -124,6 +139,20 @@ class HttpEmbeddingClient:
         self.extra_payload = extra_payload or {}
         self.response_path = tuple(response_path)
         self._open = opener or urllib.request.urlopen
+        # Cohere parity (reference semantic.py:28-38 sends both): texts
+        # past the model's limit are truncated server-side instead of
+        # 400-ing the whole batch. Pass None for endpoints that reject
+        # unknown fields (e.g. OpenAI-shape).
+        self.max_tokens = max_tokens
+        self.truncate = truncate
+        scheme = urllib.parse.urlsplit(url).scheme.lower()
+        host = (urllib.parse.urlsplit(url).hostname or "").lower()
+        if api_key and scheme != "https" and host not in ("localhost", "127.0.0.1", "::1"):
+            log.warning(
+                "embedding API key will be sent over non-TLS url %s — "
+                "use https:// (plain http is only safe for localhost tests)",
+                url,
+            )
 
     def __call__(self, texts: list[str]) -> list[list[float]]:
         payload: dict = {
@@ -135,14 +164,25 @@ class HttpEmbeddingClient:
         }
         if self.dim is not None:
             payload["output_dimension"] = self.dim
+        if self.max_tokens is not None:
+            payload.setdefault("max_tokens", self.max_tokens)
+        if self.truncate is not None:
+            payload.setdefault("truncate", self.truncate)
         headers = {"Content-Type": "application/json"}
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"
         req = urllib.request.Request(
             self.url, data=json.dumps(payload).encode("utf-8"), headers=headers
         )
-        with self._open(req, timeout=self.timeout_s) as resp:
-            body = json.loads(resp.read().decode("utf-8"))
+        try:
+            with self._open(req, timeout=self.timeout_s) as resp:
+                body = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500 and e.code != 429:
+                raise NonRetryableEmbeddingError(
+                    f"endpoint rejected request ({e.code} {e.reason})"
+                ) from e
+            raise
         node = body
         for key in self.response_path:
             node = node[key]

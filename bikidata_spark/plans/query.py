@@ -19,6 +19,8 @@ Design (Spark-first, 100 TB-minded):
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -27,6 +29,8 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..operators.fts import FtsIndex, build_fts_index
+
+log = logging.getLogger(__name__)
 
 RDFS_LABEL_IRI = "<http://www.w3.org/2000/01/rdf-schema#label>"
 MAX_PATH_DEPTH = 24
@@ -109,6 +113,10 @@ class Engine:
     subject_cache_ttl_s: float = 7 * 24 * 3600.0
     _subject_cache_hits: int = field(default=0, repr=False)
     _subject_cache_misses: int = field(default=0, repr=False)
+    # how many `semantic` filters ran WITHOUT an IVF store (full
+    # embeddings scan per query — fine for a batch job, a silent
+    # scale-killer in a serving deployment; see _semantic_filter)
+    _semantic_fallback_scans: int = field(default=0, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -335,6 +343,16 @@ class Engine:
                 .crossJoin(F.broadcast(qdf))
             )
         else:
+            # the exact brute path is the reference's own shape, but in a
+            # serving deployment it full-scans the embeddings table per
+            # query — count and warn so it can't happen silently
+            self._semantic_fallback_scans += 1
+            log.warning(
+                "semantic filter running without an IVF store: full "
+                "embeddings scan per query (call Engine.load_ivf() to "
+                "partition-prune; fallback count=%d)",
+                self._semantic_fallback_scans,
+            )
             emb = self.embeddings.crossJoin(F.broadcast(qdf))
         dot = F.aggregate(
             F.zip_with("vec", "qvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
@@ -424,6 +442,7 @@ class Engine:
             "ttl_s": self.subject_cache_ttl_s,
             "hits": self._subject_cache_hits,
             "misses": self._subject_cache_misses,
+            "semantic_fallback_scans": self._semantic_fallback_scans,
         }
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:

@@ -397,3 +397,110 @@ def test_semantic_filter_ivf_store(spark, tmp_path):
     all_subj, _ = eng._semantic_filter({"vector": qvec}, "", None)
     assert {r["s"] for r in all_subj.collect()} == brute
     eng._ivf = None
+
+
+def test_semantic_fallback_scan_telemetry(spark, caplog):
+    """A `semantic` filter served WITHOUT an IVF store must warn and
+    count the full-scan fallback (a silent per-query full scan is a
+    production scale-killer); the IVF-served path must not count."""
+    import logging
+
+    quads = spark.createDataFrame(
+        [("<e/0>", "<label>", '"zero"', "")], "s string, p string, o string, g string"
+    )
+    g = from_string_quads(quads)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vid int, raw array<double>"
+    ).select(
+        F.xxhash64(F.concat(F.lit("<e/"), F.col("vid").cast("string"), F.lit(">"))).alias("s"),
+        F.col("raw").alias("vec"),
+    )
+    eng = Engine(g, embeddings=emb)
+    assert eng.cache_stats()["semantic_fallback_scans"] == 0
+    with caplog.at_level(logging.WARNING, logger="bikidata_spark.plans.query"):
+        subj, _ = eng._semantic_filter({"vector": [1.0, 0.0]}, "", None)
+        subj.collect()
+    assert eng.cache_stats()["semantic_fallback_scans"] == 1
+    assert any("without an IVF store" in r.message for r in caplog.records)
+
+    # Serving.status() surfaces the counter (driver-local, no Spark job)
+    from bikidata_spark.serving import Serving
+
+    srv = Serving(eng, num_workers=1)
+    try:
+        assert srv.status()["subject_cache"]["semantic_fallback_scans"] == 1
+    finally:
+        srv.close()
+
+
+def test_http_embedding_client_payload_and_error_contract(caplog):
+    """Cohere parity + failure behavior: default payload carries
+    truncate=END/max_tokens (reference semantic.py:28-38), 4xx (except
+    429) is never retried, and a cleartext-credential URL warns."""
+    import io
+    import json as _json
+    import logging
+    import urllib.error
+
+    import pytest as _pytest
+
+    from bikidata_spark.functions.embed import (
+        BatchedProvider,
+        HttpEmbeddingClient,
+        NonRetryableEmbeddingError,
+    )
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    bodies = []
+
+    def ok_opener(req, timeout):
+        body = _json.loads(req.data)
+        bodies.append(body)
+        vecs = [[0.0]] * len(body["texts"])
+        return FakeResp(_json.dumps({"embeddings": {"float": vecs}}).encode())
+
+    c = HttpEmbeddingClient("https://api.example/v2/embed", dim=1, opener=ok_opener)
+    c(["x"])
+    assert bodies[0]["truncate"] == "END" and bodies[0]["max_tokens"] == 8000
+    # opt-out for endpoints that reject unknown fields
+    c2 = HttpEmbeddingClient(
+        "https://api.example/v2/embed", dim=1, opener=ok_opener, max_tokens=None, truncate=None
+    )
+    c2(["x"])
+    assert "truncate" not in bodies[1] and "max_tokens" not in bodies[1]
+
+    calls = {"n": 0}
+
+    def unauthorized(req, timeout):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(req.full_url, 401, "Unauthorized", {}, None)
+
+    c401 = HttpEmbeddingClient("https://api.example/v2/embed", dim=1, opener=unauthorized)
+    p = BatchedProvider(c401, max_retries=5, backoff_s=0, sleep=lambda s: None)
+    with _pytest.raises(NonRetryableEmbeddingError):
+        p.embed_many(["x"])
+    assert calls["n"] == 1  # deterministic rejection: no retries
+
+    def throttled(req, timeout):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(req.full_url, 429, "Too Many Requests", {}, None)
+
+    c429 = HttpEmbeddingClient("https://api.example/v2/embed", dim=1, opener=throttled)
+    p429 = BatchedProvider(c429, max_retries=2, backoff_s=0, sleep=lambda s: None)
+    calls["n"] = 0
+    with _pytest.raises(urllib.error.HTTPError):
+        p429.embed_many(["x"])
+    assert calls["n"] == 3  # 429 IS retried (initial + 2 retries)
+
+    with caplog.at_level(logging.WARNING, logger="bikidata_spark.functions.embed"):
+        HttpEmbeddingClient("http://api.example/v2/embed", api_key="secret")
+        HttpEmbeddingClient("http://127.0.0.1:9/v2/embed", api_key="secret")
+        HttpEmbeddingClient("https://api.example/v2/embed", api_key="secret")
+    warns = [r for r in caplog.records if "non-TLS" in r.message]
+    assert len(warns) == 1 and "api.example" in warns[0].message
