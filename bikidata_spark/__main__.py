@@ -4,8 +4,8 @@
     python -m bikidata_spark query  <store_dir> '<json opts>'
     python -m bikidata_spark total  <store_dir>
     python -m bikidata_spark serve  <store_dir> [num_workers]
-    python -m bikidata_spark compact  <log_store_dir>
-    python -m bikidata_spark compact-fts <fts_store_dir>
+    python -m bikidata_spark compact  <store_dir>   # quad-log, FTS, or IVF — auto-detected
+    python -m bikidata_spark compact-fts <fts_store_dir>  # (back-compat alias)
     python -m bikidata_spark snapshot <log_store_dir>
     python -m bikidata_spark vacuum   <log_store_dir> [keep_last]
     python -m bikidata_spark prepare  <docs.parquet> <out_dir> [eval.parquet]
@@ -126,10 +126,16 @@ def main(argv: list[str]) -> int:
         print(json.dumps({"total": eng.total()}))
         return 0
     if cmd == "compact":
-        from .streaming.mutations import compact_store
-
+        # one maintenance verb over every store layout, detected the
+        # same way the snapshot manifests detect it (manifest.py)
+        if os.path.isdir(os.path.join(argv[1], "postings")):
+            from .streaming.fts import compact_fts_store as _compact
+        elif os.path.isdir(os.path.join(argv[1], "vectors")):
+            from .operators.similarity import compact_ivf_store as _compact
+        else:
+            from .streaming.mutations import compact_store as _compact
         try:
-            print(json.dumps(compact_store(spark, argv[1], force="--force" in argv)))
+            print(json.dumps(_compact(spark, argv[1], force="--force" in argv)))
         except RuntimeError as e:  # snapshots pin pre-compaction files
             print(json.dumps({"error": str(e)}))
             return 1

@@ -325,6 +325,81 @@ def write_ivf_store(
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_store(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Add vectors to an existing IVF store WITHOUT re-clustering: cells
+    are assigned against the store's committed centroids (broadcast,
+    shuffle-free) and the rows land as new files inside their cell
+    directories, so partition pruning keeps working unchanged. This is
+    the streaming-ingest shape at corpus scale — re-running k-means per
+    micro-batch would be absurd; centroid drift is instead repaid by the
+    next full ``write_ivf_store`` rebuild.
+
+    Duplicate ids are the caller's contract (like most ANN builders):
+    re-appending an id adds a second copy until a rebuild. Returns the
+    number of rows appended."""
+    spark = vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    v = _as_double(
+        ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+    )
+    carr = _cent_arr(cents)
+    assign = v.crossJoin(F.broadcast(carr)).select(
+        "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
+    )
+    n = assign.count()
+    (
+        assign.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    return n
+
+
+def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
+    """Fold each cell's accumulated append files into one file per cell
+    (the LSM maintenance job ``compact_store``/``compact_fts_store``
+    are for the other two layouts): after thousands of
+    ``append_ivf_store`` micro-batches a probed cell directory holds
+    thousands of small parquet files and the pruned scan pays per-file
+    open cost instead of per-row. Exact duplicate rows (same id, vector,
+    cell) are dropped; cell assignment is untouched.
+
+    Refuses when a ``_manifest`` directory pins pre-compaction files
+    (same guard as the other stores) unless ``force=True``."""
+    import os
+    import shutil
+
+    from ..streaming.manifest import versions
+
+    if versions(store_dir) and not force:
+        raise RuntimeError(
+            "IVF store has snapshot manifests pinning pre-compaction "
+            "files; compacting would break every committed version. "
+            "Vacuum/drop the snapshots first, or pass force=True."
+        )
+    vectors = spark.read.parquet(f"{store_dir}/vectors").distinct()
+    tmp = f"{store_dir}/_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        vectors.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{tmp}/vectors")
+    )
+    n = spark.read.parquet(f"{tmp}/vectors").count()
+    shutil.rmtree(f"{store_dir}/vectors", ignore_errors=True)
+    os.rename(f"{tmp}/vectors", f"{store_dir}/vectors")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"vectors": n}
+
+
 def read_ivf_store(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(vectors, centroids) of a persisted IVF store; ``vectors``
     carries the ``cell`` partition column for pruned scans."""

@@ -327,6 +327,29 @@ def test_cli_store_maintenance(spark, tmp_path, capsys):
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["dropped_versions"] == [1]
 
+    # the same verb auto-detects the other store layouts
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.similarity import write_ivf_store
+    from bikidata_spark.streaming.fts import bootstrap_fts_store
+    from bikidata_spark.streaming.mutations import read_store
+
+    ivf = str(tmp_path / "civf")
+    write_ivf_store(
+        spark.createDataFrame(
+            [(i, [float(i % 2), 1.0 - i % 2]) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        ),
+        ivf,
+    )
+    assert cli(["compact", ivf]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["vectors"] == 6
+
+    fts = str(tmp_path / "cfts")
+    bootstrap_fts_store(read_store(spark, store).literals(), fts, num_buckets=2)
+    assert cli(["compact", fts]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["segments"] == 1
+
 
 def test_funnel_stream_stateful(spark, tmp_path):
     from bikidata_spark.streaming.events import funnel_stream, read_event_stream
@@ -780,3 +803,145 @@ def test_ivf_store_snapshot(spark, tmp_path):
     assert "cell" in snap_vecs.columns
     snap = sorted(map(tuple, ivf_store_topk(snap_vecs, snap_cents, qs, k=3).collect()))
     assert snap == live
+
+
+def test_cross_layout_snapshot_lifecycle(spark, tmp_path):
+    """Full commit-protocol lifecycle interleaved across ALL THREE store
+    layouts (quad log, incremental FTS, IVF vectors) in one scenario:
+    bootstrap → snapshot v1 → append → snapshot v2 → time-travel reads →
+    compact refused while pinned → vacuum pins away → compact → fresh
+    snapshot reads the compacted store. Each layout is also tested
+    alone elsewhere; the interleaving here is where protocol bugs
+    (shared manifest code, layout detection, pin accounting) hide."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.fts import build_fts_index
+    from bikidata_spark.operators.similarity import (
+        append_ivf_store,
+        compact_ivf_store,
+        ivf_store_topk,
+        read_ivf_store,
+        write_ivf_store,
+    )
+    from bikidata_spark.streaming.fts import (
+        bootstrap_fts_store,
+        compact_fts_store,
+        read_incremental_fts,
+        start_fts_ingest,
+    )
+    from bikidata_spark.streaming.manifest import (
+        commit_snapshot,
+        read_fts_snapshot,
+        read_ivf_snapshot,
+        read_snapshot,
+        vacuum,
+        versions,
+    )
+    from bikidata_spark.streaming.mutations import compact_store, read_store, start_ingest
+
+    quad_store = str(tmp_path / "quads")
+    fts_store = str(tmp_path / "fts")
+    ivf_store = str(tmp_path / "ivf")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    # ---- bootstrap all three ----------------------------------------
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"action": "insert", "s": f"<e/{i}>", "p": "<label>", "o": f'"alpha doc {i}"', "g": ""})
+            for i in range(4)
+        )
+    )
+    start_ingest(spark, str(src), quad_store, str(tmp_path / "qck")).awaitTermination(60)
+    g1 = read_store(spark, quad_store)
+    bootstrap_fts_store(g1.literals(), fts_store, num_buckets=4)
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 if i % 2 else 0.0, 0.0 if i % 2 else 1.0, 0.1 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    write_ivf_store(vecs, ivf_store)
+
+    v1 = {s: commit_snapshot(s) for s in (quad_store, fts_store, ivf_store)}
+    assert all(v == 1 for v in v1.values())
+
+    # ---- appends on every layout ------------------------------------
+    (src / "b2.json").write_text(
+        json.dumps({"action": "insert", "s": "<e/9>", "p": "<label>", "o": '"bravo doc 9"', "g": ""})
+    )
+    start_ingest(spark, str(src), quad_store, str(tmp_path / "qck")).awaitTermination(60)
+    start_fts_ingest(spark, str(src), fts_store, str(tmp_path / "fck"), num_buckets=4).awaitTermination(60)
+    extra = spark.createDataFrame(
+        [(100, [0.5, 0.5, 0.0]), (101, [0.9, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert append_ivf_store(extra, ivf_store) == 2
+
+    v2 = {s: commit_snapshot(s) for s in (quad_store, fts_store, ivf_store)}
+    assert all(v == 2 for v in v2.values())
+
+    # ---- time travel: v1 is pre-append on every layout ---------------
+    assert read_snapshot(spark, quad_store, 1).triples.count() == 4
+    assert read_snapshot(spark, quad_store, 2).triples.count() == 5
+    assert read_fts_snapshot(spark, fts_store, 1).match("bravo").count() == 0
+    assert read_fts_snapshot(spark, fts_store, 2).match("bravo").count() == 1
+    sv1, _ = read_ivf_snapshot(spark, ivf_store, 1)
+    sv2, _ = read_ivf_snapshot(spark, ivf_store, 2)
+    assert sv1.count() == 8 and sv2.count() == 10
+
+    # ---- compaction refuses while any manifest pins files ------------
+    for fn, store in (
+        (compact_store, quad_store),
+        (compact_fts_store, fts_store),
+        (compact_ivf_store, ivf_store),
+    ):
+        with pytest.raises(RuntimeError, match="manifest"):
+            fn(spark, store)
+
+    # vacuum to latest-only: pins for v1 drop everywhere, v2 still reads
+    for s in (quad_store, fts_store, ivf_store):
+        assert vacuum(s, keep_last=1)["dropped_versions"] == [1]
+        assert versions(s) == [2]
+    assert read_snapshot(spark, quad_store).triples.count() == 5
+
+    # reference state before compaction (order-insensitive)
+    pre_quads = sorted(tuple(r) for r in read_store(spark, quad_store).triples.collect())
+    pre_fts = sorted(
+        (r["lit"], round(r["score"], 9))
+        for r in read_incremental_fts(spark, fts_store).match("doc").collect()
+    )
+    q = spark.createDataFrame([(0, [0.0, 1.0, 0.0])], "vec_id long, embedding array<double>")
+    pre_ann = sorted(
+        tuple(r) for r in ivf_store_topk(*read_ivf_store(spark, ivf_store), q, k=3).collect()
+    )
+
+    # ---- drop remaining pins, compact all three, verify unchanged ----
+    for s in (quad_store, fts_store, ivf_store):
+        vacuum(s, keep_last=0)
+    compact_store(spark, quad_store)
+    compact_fts_store(spark, fts_store)
+    n_files_before = len(_glob.glob(f"{ivf_store}/vectors/cell=*/*.parquet"))
+    compact_ivf_store(spark, ivf_store)
+    n_files_after = len(_glob.glob(f"{ivf_store}/vectors/cell=*/*.parquet"))
+    assert n_files_after < n_files_before  # append files folded per cell
+
+    assert sorted(tuple(r) for r in read_store(spark, quad_store).triples.collect()) == pre_quads
+    post_fts = sorted(
+        (r["lit"], round(r["score"], 9))
+        for r in read_incremental_fts(spark, fts_store).match("doc").collect()
+    )
+    assert post_fts == pre_fts  # BM25 identical pre/post compaction
+    post_ann = sorted(
+        tuple(r) for r in ivf_store_topk(*read_ivf_store(spark, ivf_store), q, k=3).collect()
+    )
+    assert post_ann == pre_ann
+
+    # ---- the protocol composes again on the compacted stores ---------
+    for s in (quad_store, fts_store, ivf_store):
+        assert commit_snapshot(s) == 1  # version counter restarted post-vacuum(0)
+    assert read_snapshot(spark, quad_store, 1).triples.count() == 5
+    assert read_fts_snapshot(spark, fts_store, 1).match("alpha").count() == 4
+    rv, _ = read_ivf_snapshot(spark, ivf_store, 1)
+    assert rv.count() == 10
