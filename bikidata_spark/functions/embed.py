@@ -196,21 +196,57 @@ class HttpEmbeddingClient:
         return [[float(x) for x in v] for v in vecs]
 
 
-def build_semantic(graph, dim: int = 64, hops: int = 2, embed_fn=None, provider=None):
+# Executor-side provider cache: one provider instance per (Python
+# worker process, build_semantic call). The module stays imported in
+# reused workers, so connections/pacing state survive across tasks
+# instead of being rebuilt per Arrow batch.
+_WORKER_PROVIDERS: dict = {}
+
+
+def _worker_provider(token: str, factory):
+    prov = _WORKER_PROVIDERS.get(token)
+    if prov is None:
+        prov = _WORKER_PROVIDERS[token] = factory()
+    return prov
+
+
+def build_semantic(
+    graph, dim: int = 64, hops: int = 2, embed_fn=None, provider=None, provider_factory=None
+):
     """Build the per-subject embedding table (s, vec) from entity text
     (reference semantic.py:41-87: embeds the ``fts`` table rows in
     batches). Spark-native: entity_text → Arrow-batched pandas UDF, so
     embedding runs partition-parallel (the reference loops batches in
     one process). Pass ``provider`` (a :class:`BatchedProvider`) to hit
     a real batch endpoint with retry/pacing; with no codec/API in this
-    container, the default is the deterministic fake."""
+    container, the default is the deterministic fake.
+
+    ``provider_factory`` is the production variant of ``provider``: a
+    zero-arg callable run ON THE EXECUTOR (cached per Python worker) to
+    build the provider there — connections, auth state, and pacing
+    clocks then live worker-local instead of being pickled from the
+    driver, and 1000 executors each pace their own request stream. The
+    driver never constructs a client."""
     from pyspark.sql.functions import pandas_udf
 
     from ..operators.fts import entity_text
 
     fn = embed_fn or fake_embedding
 
-    if provider is not None:
+    if provider_factory is not None:
+        import uuid
+
+        token = uuid.uuid4().hex  # pickled by value into every task
+
+        @pandas_udf("array<double>")
+        def embed(texts):
+            import pandas as pd
+
+            prov = _worker_provider(token, provider_factory)
+            vecs = prov.embed_many([t or "" for t in texts])
+            return pd.Series(vecs)
+
+    elif provider is not None:
 
         @pandas_udf("array<double>")
         def embed(texts):

@@ -504,3 +504,88 @@ def test_http_embedding_client_payload_and_error_contract(caplog):
         HttpEmbeddingClient("https://api.example/v2/embed", api_key="secret")
     warns = [r for r in caplog.records if "non-TLS" in r.message]
     assert len(warns) == 1 and "api.example" in warns[0].message
+
+
+def test_build_semantic_http_end_to_end(spark, tmp_path):
+    """The full production semantic chain with the REAL client class:
+    graph → entity text → Arrow UDF whose HttpEmbeddingClient+
+    BatchedProvider are constructed ON THE EXECUTOR (provider_factory)
+    → localhost HTTP endpoint → embeddings → persisted IVF store →
+    `semantic` filter served from it. No embedding call ever runs in
+    the driver process (the factory asserts it)."""
+    import json as _json
+    import os
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bikidata_spark.functions.embed import (
+        BatchedProvider,
+        HttpEmbeddingClient,
+        fake_embedding,
+    )
+    from bikidata_spark.functions.embed import build_semantic
+    from bikidata_spark.operators.similarity import write_ivf_store
+
+    DIM = 8
+    served = {"requests": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            served["requests"] += 1
+            vecs = [fake_embedding(t, body["output_dimension"]) for t in body["texts"]]
+            reply = _json.dumps({"embeddings": {"float": vecs}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(reply)))
+            self.end_headers()
+            self.wfile.write(reply)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/v2/embed"
+    driver_pid = os.getpid()
+
+    def factory():
+        # runs on the executor python worker; pyspark workers are
+        # separate processes even on local[N], so this trips if the
+        # embedding path ever executes driver-side
+        assert os.getpid() != driver_pid, "provider constructed in the driver"
+        return BatchedProvider(
+            HttpEmbeddingClient(url, api_key="k", dim=DIM), batch_size=4
+        )
+
+    try:
+        quads = spark.createDataFrame(
+            [(f"<e/{i}>", "<label>", f'"topic {i % 3} item {i}"', "") for i in range(9)],
+            "s string, p string, o string, g string",
+        )
+        g = from_string_quads(quads)
+        emb = build_semantic(g, dim=DIM, hops=1, provider_factory=factory)
+        rows = {r["s"]: r["vec"] for r in emb.collect()}
+        assert len(rows) == 9 and served["requests"] >= 1
+        # byte-identical to what the endpoint returns for the same text
+        # (proves the HTTP round trip carried the vectors, no fallback)
+        et = {r["s"]: r["text"] for r in __import__("bikidata_spark.operators.fts", fromlist=["entity_text"]).entity_text(g, hops=1).collect()}
+        for s, vec in rows.items():
+            assert vec == fake_embedding(et[s], DIM)
+
+        # persist to the IVF serving layout and serve a semantic query
+        path = str(tmp_path / "http_sem_ivf")
+        cents = emb.limit(2).select(
+            F.monotonically_increasing_id().alias("cid"), F.col("vec").alias("cv")
+        )
+        write_ivf_store(emb, path, "s", "vec", centroids=cents)
+        eng = Engine(g, embeddings=emb)
+        eng.load_ivf(path, nprobe=2)
+        target = list(rows)[4]
+        subj, scores = eng._semantic_filter({"vector": rows[target]}, "", None)
+        got = {r["s"] for r in subj.collect()}
+        assert target in got  # distance 0 to itself within probed cells
+        assert eng.cache_stats()["semantic_fallback_scans"] == 0  # IVF path, not brute
+    finally:
+        srv.shutdown()
+        srv.server_close()
