@@ -648,3 +648,101 @@ def test_event_frame_dtype_normalization(spark):
     assert snap(funnel) == [(7, base_us, base_us + 60_000_000, base_us + 120_000_000)]
     sess = snap(sessionize)
     assert [r[2] for r in sess] == [3, 1]  # 2h gap splits the sessions
+
+
+def test_skewed_key_resilience(spark):
+    """Skew probe (documented factor: hot key carries 1000x the median).
+    At 100 TB one hot user/token/parent is the norm, so the heavy
+    operators must keep their scale-safe shapes under skew:
+
+    - funnel/groupBy: partial (map-side) aggregation must appear in the
+      executed plan — the hot key then ships one row per upstream
+      partition through the shuffle, not its raw row count;
+    - joins on a skewed key: AQE's skew-join must engage (skewed
+      partition split into subpartitions) once a partition crosses the
+      skew thresholds;
+    - sessionize: a hot user serializes within its own window partition
+      by definition, but output must stay correct and other users'
+      work must still spread across partitions.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.events import funnel, sessionize
+
+    HOT, N_HOT, N_COLD_USERS, N_COLD = 1, 20_000, 200, 20
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    stages = ("view", "click", "purchase")
+    for u in range(2, 2 + N_COLD_USERS):
+        for i in range(N_COLD):
+            rows.append((eid, base + dt.timedelta(seconds=10 * i), u, stages[i % 3]))
+            eid += 1
+    for i in range(N_HOT):
+        rows.append((eid, base + dt.timedelta(seconds=i), HOT, stages[i % 3]))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+
+    # --- funnel: hot key must combine map-side before the shuffle -----
+    fun = funnel(events)
+    plan = fun._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan[:2000]
+    got = {r["user_id"] for r in fun.collect()}
+    assert HOT in got and len(got) == 1 + N_COLD_USERS  # every user completes
+
+    # --- sessionize: correct under the hot user -----------------------
+    sess = sessionize(events, gap_minutes=30)
+    agg = {r["user_id"]: r["n"] for r in sess.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()}
+    assert agg[HOT] == N_HOT and all(agg[u] == N_COLD for u in range(2, 2 + N_COLD_USERS))
+
+    # --- AQE skew-join engages on a hot join key ----------------------
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # Shape constraints for the split to be legal: (a) only ONE side
+        # skewed — a self-join is skewed on both sides of the same
+        # partition and cannot be split; (b) no keyed agg downstream —
+        # a groupBy on the join key would require the join's hash
+        # partitioning and veto the split; (c) enough post-compression
+        # bytes — identical longs lz4 away to nothing, so carry an
+        # incompressible sha2 payload.
+        # the dim side must reach the join as a bare shuffle: a
+        # distinct()/aggregate between shuffle and join breaks the
+        # SMJ(Sort(Shuffle), Sort(Shuffle)) pattern the skew rule matches
+        left = events.select(
+            "user_id", "event_id", F.sha2(F.col("event_id").cast("string"), 256).alias("pay")
+        )
+        right = spark.createDataFrame(
+            [(u, "u") for u in [HOT] + list(range(2, 2 + N_COLD_USERS))],
+            "user_id long, tag string",
+        )
+        # count() through the same DataFrame object so the inspected
+        # queryExecution is the one AQE actually finalized
+        # the agg must CONSUME the payload or Catalyst prunes it out of
+        # the shuffle and the partition compresses under the threshold
+        j = left.join(right, "user_id").agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("pay").alias("mx")
+        )
+        expected = N_HOT + N_COLD_USERS * N_COLD
+        assert j.collect()[0]["cnt"] == expected
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in jplan or "skewed" in jplan.lower(), jplan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
