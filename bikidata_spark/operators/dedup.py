@@ -304,9 +304,14 @@ def connected_components(
     every round cuts the growing lineage — the classic
     iterative-algorithm pattern on Spark (GraphX/GraphFrames does the
     same under the hood, without needing either library)."""
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b"), F.col("id_a")))
+    # the symmetrized edge list joins into EVERY round: persist it once
+    # or each iteration re-executes the upstream pair plan (for minhash
+    # candidates that is the whole shingle→hash→band pipeline, per round)
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b"), F.col("id_a")))
+        .persist()
+    )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
@@ -342,6 +347,7 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    sym.unpersist()  # labels is checkpointed; nothing downstream needs sym
     return labels.select("id", F.col("comp").alias("component"))
 
 
@@ -362,10 +368,14 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     into a star after its first large-star instead of being re-visited
     every round. Both ops are one map-side-combined groupBy + one join
     per round; localCheckpoint cuts lineage."""
+    # materialize the input edge list up front: round 1 references it
+    # several times (min-neighbor agg + join on both star ops) and would
+    # otherwise re-execute the upstream pair plan for each
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def _min_nbr(e: DataFrame) -> DataFrame:

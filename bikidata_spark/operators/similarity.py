@@ -193,6 +193,13 @@ def kmeans_refine(
         mean = F.round(
             F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"), quantize
         ).alias("m")
+    # each iteration's centroid set is MATERIALIZED (persist + count):
+    # without it, iteration i's plan nests every earlier iteration's
+    # crossJoin+agg and the downstream consumer re-executes the whole
+    # chain per action — plan depth and work both grow with iters. The
+    # persisted set is k rows (tiny); lineage is kept, so executor loss
+    # just recomputes instead of failing.
+    prev = None
     for _ in range(iters):
         carr = _cent_arr(cents)
         assign = v.crossJoin(F.broadcast(carr)).select(
@@ -205,7 +212,11 @@ def kmeans_refine(
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
-        )
+        ).persist()
+        cents.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     return cents
 
 
@@ -304,6 +315,12 @@ def write_ivf_store(
         ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
     )
+    # the corpus is scanned once per refine iteration plus once for the
+    # final assignment; persist it across those passes (at true corpus
+    # scale run the refinement on a sample instead — Lloyd converges on
+    # a sketch of the distribution, not the full table)
+    if refine_iters > 0:
+        v = v.persist()
     if centroids is not None:
         cents = _as_double(centroids.select("cid", "cv"), "cv")
     else:
@@ -323,6 +340,11 @@ def write_ivf_store(
         .parquet(f"{path}/vectors")
     )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    for df in (v, cents):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def append_ivf_store(
