@@ -7,18 +7,22 @@ per-row Python work on large binary payloads (no per-row pickling, and
 the pipeline stays partition-parallel: media bytes never concentrate on
 the driver).
 
-Image/video codecs (PIL/ffmpeg) are NOT in this container, so those
-decode kernels are STUBBED: they raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic byte-hash feature is
-produced so the full Spark plumbing (schema, batching, partitioning) is
-real and tested.
+ALL THREE modalities have REAL kernels for their codec-free container
+formats (pure stdlib + numpy — deterministic on any engine):
 
-Audio is REAL: ``decode_wav`` parses RIFF/WAVE PCM headers in pure
-stdlib+numpy (no codec needed) and ``wav_features`` computes windowed
-RMS + log-spectral-band features, so ``extract_features`` /
-``media_similarity_topk`` run non-fake end-to-end on ``audio/wav``
-payloads — one genuinely working modality through the same mapInPandas
-shape the stubbed ones will use when codecs exist.
+- audio: ``decode_wav`` (RIFF/WAVE PCM) + ``wav_features`` (windowed
+  RMS + log-spectral bands);
+- image: ``decode_image`` (PPM ``P6`` and uncompressed 24-bit BMP) +
+  ``image_features`` (luminance stats + histogram) + a numpy
+  nearest-neighbor ``resize_images``;
+- video: ``decode_y4m`` (YUV4MPEG2 — the raw interchange format ffmpeg
+  pipes speak) + ``sample_frames`` at a given period + per-sampled-
+  frame features averaged.
+
+COMPRESSED codecs (JPEG/PNG/H.264 — PIL/ffmpeg) are NOT in this
+container; those mimes still raise ``NotImplementedError`` unless
+``fake=True`` (deterministic byte-hash feature), clearly marked. The
+compressed path would slot into the same ``decode_*`` seam.
 """
 
 from __future__ import annotations
@@ -143,15 +147,175 @@ def wav_features(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return bands + rms + [zcr]
 
 
+_IMAGE_MIMES = ("image/x-portable-pixmap", "image/ppm", "image/bmp", "image/x-bmp")
+_VIDEO_MIMES = ("video/x-yuv4mpeg", "video/y4m")
+
+
+def decode_image(payload: bytes, mime: str | None = None):
+    """Decode a codec-free image payload to an (H, W, 3) uint8 array.
+
+    Formats: PPM ``P6`` (binary, maxval <= 255, ``#`` comments) and BMP
+    (BITMAPINFOHEADER family, 24-bit, BI_RGB uncompressed, top-down or
+    bottom-up). Both are raw raster containers — parseable with
+    stdlib + numpy, no codec. Raises ValueError on anything else."""
+    import numpy as np
+
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"P6":
+        pos, toks = 2, []
+        while len(toks) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = toks
+        if maxval > 255 or w <= 0 or h <= 0:
+            raise ValueError(f"unsupported ppm: {w}x{h} maxval={maxval}")
+        need = w * h * 3
+        raster = payload[pos : pos + need]
+        if len(raster) < need:
+            raise ValueError("truncated ppm raster")
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise ValueError(f"unsupported bmp: bpp={bpp} compression={comp}")
+        flip = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        need = stride * h
+        raster = payload[off : off + need]
+        if len(raster) < need:
+            raise ValueError("truncated bmp raster")
+        rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return img[::-1] if flip else img
+    raise ValueError(f"not a PPM/BMP payload (mime={mime!r})")
+
+
+def encode_ppm(img) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM ``P6`` bytes (the round-trip twin
+    of ``decode_image``; resize outputs re-enter the pipeline as PPM)."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def image_features(payload: bytes, mime: str | None = None, dim: int = _FEATURE_DIM) -> list[float]:
+    """Real image feature kernel: ``dim - 4`` luminance-histogram bins
+    plus mean/std luminance, horizontal+vertical gradient energy, and
+    log aspect ratio. Deterministic pure-numpy math."""
+    import numpy as np
+
+    img = decode_image(payload, mime).astype(np.float64)
+    lum = img @ np.array([0.299, 0.587, 0.114])  # ITU-R BT.601 luma
+    nb = dim - 4
+    hist, _ = np.histogram(lum, bins=nb, range=(0.0, 255.0))
+    hist = hist / max(lum.size, 1)
+    gx = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
+    return list(hist) + [
+        float(lum.mean() / 255.0),
+        float(lum.std() / 255.0),
+        float((gx + gy) / 255.0),
+        float(np.log(lum.shape[1] / lum.shape[0])),
+    ]
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 stream (ffmpeg's raw pipe format — a text
+    header plus uncompressed planar frames; no codec) into
+    (fps, [frame Y planes as (H, W) uint8 arrays]).
+
+    Colorspaces: C420* (chroma quarter-size), C422, C444, Cmono. Only
+    the luma plane is returned — features and frame sampling are
+    grayscale, chroma is skipped, which also halves the bytes touched."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    num, den, cs = 25, 1, "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            cs = t[1:]
+    if not w or not h or num <= 0:
+        raise ValueError("y4m header missing W/H/F")
+    ysz = w * h
+    if cs.startswith("420"):
+        fsz = ysz + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("422"):
+        fsz = ysz + 2 * ((w // 2) * h)
+    elif cs.startswith("444"):
+        fsz = 3 * ysz
+    elif cs.startswith("mono"):
+        fsz = ysz
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("corrupt y4m: missing FRAME marker")
+        pos = payload.index(b"\n", pos) + 1  # frame params ignored
+        plane = payload[pos : pos + ysz]
+        if len(plane) < ysz:
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(plane, dtype=np.uint8).reshape(h, w))
+        pos += fsz
+    return num / den, frames
+
+
+def y4m_features(payload: bytes, every_ms: int = 1000, dim: int = _FEATURE_DIM) -> list[float]:
+    """Real video feature kernel: per-frame luminance features
+    (histogram + stats, same formula as ``image_features``) averaged
+    over frames sampled every ``every_ms`` — the standard cheap video
+    descriptor (frame-sample → per-frame embed → pool)."""
+    import numpy as np
+
+    fps, frames = decode_y4m(payload)
+    if not frames:
+        return [0.0] * dim
+    step = max(1, int(round(fps * every_ms / 1000.0)))
+    picked = frames[::step]
+    feats = [
+        image_features(encode_ppm(np.repeat(f[:, :, None], 3, axis=2)), dim=dim)
+        for f in picked
+    ]
+    return [float(sum(col)) / len(feats) for col in zip(*feats)]
+
+
 def _real_feature(payload: bytes | None, mime: str | None) -> list[float]:
     if payload is None:
         return [0.0] * _FEATURE_DIM
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wav_features(payload)
+    if mime in _IMAGE_MIMES:
+        return image_features(payload, mime)
+    if mime in _VIDEO_MIMES:
+        return y4m_features(payload)
     raise NotImplementedError(
         f"decode for mime={mime!r} requires a codec library not present "
-        "in this environment (audio/wav is implemented; pass fake=True "
-        "for the deterministic test kernel on other modalities)"
+        "in this environment (wav/ppm/bmp/y4m are implemented; pass "
+        "fake=True for the deterministic test kernel on other formats)"
     )
 
 
@@ -176,15 +340,27 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize kernel — STUB (no codec in container). With fake=True the
-    payload passes through and only metadata is rewritten, exercising
-    the full distributed path."""
+    """Distributed image resize. REAL for the codec-free formats
+    (PPM/BMP): decode → numpy nearest-neighbor index-sample → re-encode
+    as PPM (mime rewritten accordingly). Other mimes raise unless
+    ``fake=True`` (payload passthrough, metadata rewrite only)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("image resize requires PIL/opencv")
             out = pdf.copy()
+            if not fake:
+                pays, mimes = [], []
+                for p, m in zip(pdf["payload"], pdf["mime"]):
+                    img = decode_image(p, m)
+                    h, w = img.shape[0], img.shape[1]
+                    ri = (np.arange(height) * h) // height
+                    ci = (np.arange(width) * w) // width
+                    pays.append(encode_ppm(img[ri][:, ci]))
+                    mimes.append("image/x-portable-pixmap")
+                out["payload"] = pays
+                out["mime"] = mimes
             out["width"] = width
             out["height"] = height
             yield out
@@ -207,9 +383,11 @@ def media_similarity_topk(
 
 
 def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFrame:
-    """Frame sampling for video payloads — STUB kernel. With fake=True
-    emits one synthetic frame row per sampled timestamp derived from
-    duration_ms, exercising the 1→N mapInPandas fan-out shape."""
+    """Frame sampling for video payloads, the 1→N mapInPandas fan-out.
+    REAL for YUV4MPEG2: decode, pick one frame per ``every_ms`` of
+    timeline (timestamps from the stream's frame rate), emit each luma
+    plane as a grayscale PPM payload. Compressed containers raise
+    unless ``fake=True`` (synthetic rows from duration_ms)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -219,16 +397,26 @@ def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFr
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("frame sampling requires ffmpeg")
             rows = {"media_id": [], "frame_ts_ms": [], "frame": []}
             for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                for ts in range(0, max(dur, 1), every_ms):
+                if fake:
+                    dur = int(r["duration_ms"] or 0)
+                    for ts in range(0, max(dur, 1), every_ms):
+                        rows["media_id"].append(r["media_id"])
+                        rows["frame_ts_ms"].append(ts)
+                        rows["frame"].append(r["payload"])
+                    continue
+                fps, frames = decode_y4m(r["payload"])
+                step = max(1, int(round(fps * every_ms / 1000.0)))
+                for i in range(0, len(frames), step):
                     rows["media_id"].append(r["media_id"])
-                    rows["frame_ts_ms"].append(ts)
-                    rows["frame"].append(r["payload"])
+                    rows["frame_ts_ms"].append(int(round(i * 1000.0 / fps)))
+                    rows["frame"].append(
+                        encode_ppm(np.repeat(frames[i][:, :, None], 3, axis=2))
+                    )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema)

@@ -945,3 +945,129 @@ def test_cross_layout_snapshot_lifecycle(spark, tmp_path):
     assert read_fts_snapshot(spark, fts_store, 1).match("alpha").count() == 4
     rv, _ = read_ivf_snapshot(spark, ivf_store, 1)
     assert rv.count() == 10
+
+
+def _ppm(img) -> bytes:
+    import numpy as np
+
+    return mm.encode_ppm(np.asarray(img, dtype=np.uint8))
+
+
+def _bmp24(img) -> bytes:
+    """Hand-assemble an uncompressed 24-bit bottom-up BMP (padded rows)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        line = bytearray(row[:, ::-1].tobytes())  # RGB -> BGR
+        line += b"\x00" * (stride - w * 3)
+        raster += line
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def _y4m(frames, fps=(2, 1)) -> bytes:
+    """Assemble a C420 YUV4MPEG2 stream from (H, W) uint8 luma planes."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n" % (w, h, *fps))
+    for f in frames:
+        out += b"FRAME\n"
+        out += np.asarray(f, dtype=np.uint8).tobytes()
+        out += b"\x80" * (2 * ((w // 2) * (h // 2)))  # neutral chroma
+    return bytes(out)
+
+
+def test_image_decode_roundtrip_and_formats():
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
+    # PPM comments + multi-whitespace header
+    with_comment = b"P6\n# a comment\n3 2\n# more\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_image(with_comment), img)
+    # BMP: bottom-up, BGR, padded rows — decodes to the same pixels
+    assert np.array_equal(mm.decode_image(_bmp24(img)), img)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_image_features_and_similarity(spark):
+    """Real image kernels end-to-end through mapInPandas: a near-copy
+    ranks closer than a structurally different image."""
+    import numpy as np
+
+    base = np.zeros((8, 8, 3), dtype=np.uint8)
+    base[:, 4:] = 255  # half black / half white
+    near = base.copy()
+    near[0, 0] = 10  # tiny perturbation
+    other = np.tile(np.arange(0, 255, 32, dtype=np.uint8).reshape(1, 8, 1), (8, 1, 3))
+    rows = [(1, bytearray(_ppm(base))), (2, bytearray(_ppm(near))), (3, bytearray(_bmp24(other)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    mimes = {1: "image/x-portable-pixmap", 2: "image/x-portable-pixmap", 3: "image/bmp"}
+    media = mm.attach_media(df, "media_id", "payload", "x").withColumn(
+        "mime",
+        F.when(F.col("media_id") == 3, "image/bmp").otherwise("image/x-portable-pixmap"),
+    )
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert len(feats) == 3 and all(len(v) == 16 for v in feats.values())
+    q = media.filter(F.col("media_id") == 1)
+    ranked = mm.media_similarity_topk(media, q, k=2).collect()
+    order = [r["neighbor"] for r in sorted(ranked, key=lambda r: r["rank"])]
+    assert order[0] == 2  # the near-copy outranks the gradient image
+
+
+def test_image_resize_nearest(spark):
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, 2:] = 200  # bottom-right quadrant bright
+    df = spark.createDataFrame([(1, bytearray(_ppm(img)))], "media_id long, payload binary")
+    media = mm.attach_media(df, "media_id", "payload", "image/ppm")
+    out = mm.resize_images(media, 2, 2).collect()[0]
+    assert (out["width"], out["height"], out["mime"]) == (2, 2, "image/x-portable-pixmap")
+    small = mm.decode_image(bytes(out["payload"]))
+    assert small.shape == (2, 2, 3)
+    # nearest-neighbor keeps exact source pixels: quadrant structure survives
+    assert small[0, 0].tolist() == [0, 0, 0] and small[1, 1].tolist() == [200, 200, 200]
+
+
+def test_y4m_decode_sample_and_features(spark):
+    import numpy as np
+
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in (0, 60, 120, 180)]
+    payload = _y4m(frames, fps=(2, 1))  # 2 fps -> 500 ms per frame
+    fps, decoded = mm.decode_y4m(payload)
+    assert fps == 2.0 and len(decoded) == 4
+    assert np.array_equal(decoded[3], frames[3])
+
+    df = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    media = mm.attach_media(df, "media_id", "payload", "video/x-yuv4mpeg")
+    # every 1000 ms at 2 fps -> frames 0 and 2, timestamps 0 and 1000
+    got = sorted(
+        (r["frame_ts_ms"], mm.decode_image(bytes(r["frame"]))[0, 0, 0])
+        for r in mm.sample_frames(media, every_ms=1000).collect()
+    )
+    assert got == [(0, 0), (1000, 120)]
+    feats = mm.extract_features(media).collect()[0]["feature"]
+    assert len(feats) == 16 and feats[-4] > 0.0  # mean luminance of sampled frames
