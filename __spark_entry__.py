@@ -513,6 +513,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_ann_ivf_store"] = ann_store
 
+    # append path: store built WITHOUT the held-out slice (vec_id%97==3),
+    # which is then appended against the committed centroids — the
+    # centroid seed therefore comes from the base set only, and the
+    # oracle mirrors that exactly. No refine: raw seed centroids keep
+    # the SQL twin simple.
+    _IVF_APPEND_STORES: dict[str, str] = {}
+
+    def ann_append(spark, sf_dir):
+        path = _IVF_APPEND_STORES.get(sf_dir)
+        e = embs(spark, sf_dir)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="ivf_append_") + "/ivf"
+            sim.write_ivf_store(
+                e.filter(F.col("vec_id") % 97 != 3), path, "vec_id", "embedding"
+            )
+            sim.append_ivf_store(
+                e.filter(F.col("vec_id") % 97 == 3), path, "vec_id", "embedding"
+            )
+            _IVF_APPEND_STORES[sf_dir] = path
+        vectors, cents = sim.read_ivf_store(spark, path)
+        return sim.ivf_store_topk(
+            vectors, cents,
+            e.filter(F.col("vec_id") < ANN_NQ),
+            "vec_id", "embedding", ANN_K,
+        )
+
+    q["pipe_ann_ivf_append"] = ann_append
+
     q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
     q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")
@@ -1190,6 +1220,30 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
     # identical parameters => identical results to the k-means query;
     # the store variant only changes WHERE the vectors are scanned from
     o["pipe_ann_ivf_store"] = o["pipe_ann_ivf_kmeans"]
+
+    # append path: centroid seed from the base (non-held-out) slice;
+    # every vector — base and appended alike — assigns to those fixed
+    # centroids, which is exactly what append_ivf_store does on disk
+    o["pipe_ann_ivf_append"] = f"""
+WITH {EMB_D},
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0 AND vec_id % 97 != 3),
+assign AS (
+  SELECT nid, nv, cid AS cell FROM (
+    SELECT e.vec_id AS nid, e.v AS nv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c0 c) WHERE crn = 1),
+probes AS (
+  SELECT qid, qv, cid AS cell FROM (
+    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS crn
+    FROM e, c0 c WHERE e.vec_id < {ANN_NQ}) WHERE crn <= 2),
+scored AS (
+  SELECT p.qid, a.nid AS neighbor, list_cosine_similarity(a.nv, p.qv) AS sim
+  FROM assign a JOIN probes p ON a.cell = p.cell AND a.nid != p.qid)
+SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     o["pipe_text_tokens"] = f"""

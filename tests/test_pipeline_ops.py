@@ -746,3 +746,41 @@ def test_skewed_key_resilience(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_ivf_append_keeps_pruning_and_results(spark, tmp_path):
+    """Appending to an IVF store must leave the serving plan intact:
+    the probed top-k still partition-prunes on `cell` (PartitionFilters
+    in the executed scan) and the appended vectors are reachable via
+    their assigned cells; compaction folds files without changing
+    results."""
+    import glob
+    import re
+
+    path = str(tmp_path / "ivf_app")
+    base = spark.createDataFrame(
+        [(i, [1.0 if i % 2 else 0.0, 0.0 if i % 2 else 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    sim.write_ivf_store(base, path, centroid_step=7)
+
+    # an appended vector aligned with the axis-0 cluster
+    extra = spark.createDataFrame([(100, [1.0, 0.01])], "vec_id long, embedding array<double>")
+    assert sim.append_ivf_store(extra, path) == 1
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    topk = sim.ivf_store_topk(*sim.read_ivf_store(spark, path), q, k=21, nprobe=1)
+    rows = topk.collect()
+    assert 100 in {r["neighbor"] for r in rows}  # appended vector served
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:1500]
+
+    before = {(r["neighbor"], r["rank"]) for r in rows}
+    n_files = len(glob.glob(f"{path}/vectors/cell=*/*.parquet"))
+    sim.compact_ivf_store(spark, path)
+    assert len(glob.glob(f"{path}/vectors/cell=*/*.parquet")) < n_files
+    after = {
+        (r["neighbor"], r["rank"])
+        for r in sim.ivf_store_topk(*sim.read_ivf_store(spark, path), q, k=21, nprobe=1).collect()
+    }
+    assert after == before
