@@ -188,3 +188,66 @@ SELECT CAST(row_number() OVER (ORDER BY s) AS INT) AS pos, s FROM page"""
     got.sort()
     want = sorted((r[0], r[1]) for r in duck.execute(sql).fetchall())
     assert got == want, opts
+
+
+@st.composite
+def facet_opts(draw):
+    picks = draw(opt_chains(PAGE_POOL))
+    agg = draw(
+        st.sampled_from(["<p/nation>", "<p/mktsegment>", "<p/type>", "properties", "graphs"])
+    )
+    return picks, agg
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(drawn=facet_opts())
+def test_fuzz_facets(engine, duck, drawn):
+    """Facet counts over random filter chains match DuckDB for value
+    facets AND the properties/graphs meta-facets (the aggregates:
+    surface of query(opts), previously pinned only at hand-picked
+    points)."""
+    picks, agg = drawn
+    s_results, _ = engine.subjects({"filters": [fd for fd, _ in picks]})
+    got = {
+        (r["count"], r["val"]) for r in engine.facet(s_results, agg).collect()
+    }
+    if agg == "properties":
+        inner = "SELECT COUNT(*) AS count, T.p AS val FROM quads T JOIN s_results S ON T.s = S.s GROUP BY T.p"
+    elif agg == "graphs":
+        inner = (
+            "SELECT COUNT(*) AS count, T.g AS val FROM quads T JOIN s_results S ON T.s = S.s "
+            "WHERE T.g != '' GROUP BY T.g"
+        )
+    else:
+        inner = (
+            f"SELECT COUNT(T.s) AS count, T.o AS val FROM quads T JOIN s_results S ON T.s = S.s "
+            f"WHERE T.p = '{agg}' GROUP BY T.o"
+        )
+    want = {
+        (r[0], r[1])
+        for r in duck.execute(
+            _oracle(f", s_results AS ({chain_sql(picks)})\n{inner}")
+        ).fetchall()
+    }
+    assert got == want, (agg, [fd for fd, _ in picks])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(picks=opt_chains(PAGE_POOL), only=st.booleans())
+def test_fuzz_hydration_projection(engine, duck, picks, only):
+    """only_properties / exclude_properties over random subject sets:
+    the hydrated (s, p, o) triples match DuckDB exactly. size covers
+    the whole subject set so page order cannot mask a projection bug."""
+    props = ["<p/nation>", "<p/mktsegment>"]
+    opts = {"filters": [fd for fd, _ in picks], "size": 100000}
+    key = "only_properties" if only else "exclude_properties"
+    opts[key] = props
+    got = {(r["s"], r["p"], r["o"]) for r in engine.hydrate_df(opts).collect()}
+    plist = ", ".join(f"'{p}'" for p in props)
+    cond = f"T.p IN ({plist})" if only else f"T.p NOT IN ({plist})"
+    sql = _oracle(
+        f""", s_results AS ({chain_sql(picks)})
+SELECT DISTINCT T.s, T.p, T.o FROM quads T JOIN s_results S ON T.s = S.s WHERE {cond}"""
+    )
+    want = {(r[0], r[1], r[2]) for r in duck.execute(sql).fetchall()}
+    assert got == want, opts
