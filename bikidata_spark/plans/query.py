@@ -20,6 +20,7 @@ Design (Spark-first, 100 TB-minded):
 from __future__ import annotations
 
 import logging
+import threading
 
 from dataclasses import dataclass, field
 from functools import reduce
@@ -117,6 +118,10 @@ class Engine:
     # embeddings scan per query — fine for a batch job, a silent
     # scale-killer in a serving deployment; see _semantic_filter)
     _semantic_fallback_scans: int = field(default=0, repr=False)
+    # guards the subject cache's pop/re-insert LRU touch and eviction
+    # loop plus the stat counters — Serving drives this engine from a
+    # thread pool, and an unguarded pop(key) races to a KeyError
+    _cache_lock: object = field(default_factory=threading.RLock, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -131,12 +136,13 @@ class Engine:
                 except Exception:
                     pass
         self._fts = None
-        for cached, _, _ in self._subject_cache.values():
-            try:
-                cached.unpersist()
-            except Exception:
-                pass
-        self._subject_cache = {}
+        with self._cache_lock:
+            for cached, _, _ in self._subject_cache.values():
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
+            self._subject_cache = {}
 
     # ---- indexes -------------------------------------------------------
     @property
@@ -346,7 +352,8 @@ class Engine:
             # the exact brute path is the reference's own shape, but in a
             # serving deployment it full-scans the embeddings table per
             # query — count and warn so it can't happen silently
-            self._semantic_fallback_scans += 1
+            with self._cache_lock:
+                self._semantic_fallback_scans += 1
             log.warning(
                 "semantic filter running without an IVF store: full "
                 "embeddings scan per query (call Engine.load_ivf() to "
@@ -387,10 +394,13 @@ class Engine:
 
             key = json.dumps(opts.get("filters", []), sort_keys=True)
             hit = self._cache_get(key)
+            with self._cache_lock:
+                if hit is not None:
+                    self._subject_cache_hits += 1
+                else:
+                    self._subject_cache_misses += 1
             if hit is not None:
-                self._subject_cache_hits += 1
                 return hit
-            self._subject_cache_misses += 1
         result = self._subjects_uncached(opts)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
@@ -400,50 +410,53 @@ class Engine:
     def _cache_get(self, key: str):
         import time
 
-        ent = self._subject_cache.get(key)
-        if ent is None:
-            return None
-        subj, scores, expires = ent
-        if expires < time.time():
+        with self._cache_lock:
+            ent = self._subject_cache.get(key)
+            if ent is None:
+                return None
+            subj, scores, expires = ent
+            if expires < time.time():
+                self._subject_cache.pop(key, None)
+                try:
+                    subj.unpersist()
+                except Exception:
+                    pass
+                return None
+            # LRU touch: re-insert to the dict's tail (insertion order
+            # IS the recency order here)
             self._subject_cache.pop(key, None)
-            try:
-                subj.unpersist()
-            except Exception:
-                pass
-            return None
-        # LRU touch: re-insert to the dict's tail (insertion order IS
-        # the recency order here)
-        self._subject_cache.pop(key)
-        self._subject_cache[key] = ent
-        return subj, scores
+            self._subject_cache[key] = ent
+            return subj, scores
 
     def _cache_put(self, key: str, result) -> None:
         import time
 
-        while len(self._subject_cache) >= max(1, self.subject_cache_max):
-            lru_key = next(iter(self._subject_cache))
-            evicted, _, _ = self._subject_cache.pop(lru_key)
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass
-        self._subject_cache[key] = (
-            result[0],
-            result[1],
-            time.time() + self.subject_cache_ttl_s,
-        )
+        with self._cache_lock:
+            while len(self._subject_cache) >= max(1, self.subject_cache_max):
+                lru_key = next(iter(self._subject_cache))
+                evicted, _, _ = self._subject_cache.pop(lru_key)
+                try:
+                    evicted.unpersist()
+                except Exception:
+                    pass
+            self._subject_cache[key] = (
+                result[0],
+                result[1],
+                time.time() + self.subject_cache_ttl_s,
+            )
 
     def cache_stats(self) -> dict:
         """Driver-local snapshot of the persisted subject-set cache —
         no Spark job is triggered."""
-        return {
-            "entries": len(self._subject_cache),
-            "max": self.subject_cache_max,
-            "ttl_s": self.subject_cache_ttl_s,
-            "hits": self._subject_cache_hits,
-            "misses": self._subject_cache_misses,
-            "semantic_fallback_scans": self._semantic_fallback_scans,
-        }
+        with self._cache_lock:
+            return {
+                "entries": len(self._subject_cache),
+                "max": self.subject_cache_max,
+                "ttl_s": self.subject_cache_ttl_s,
+                "hits": self._subject_cache_hits,
+                "misses": self._subject_cache_misses,
+                "semantic_fallback_scans": self._semantic_fallback_scans,
+            }
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
         """Combine filter subject sets with SQL set-operator PRECEDENCE,
