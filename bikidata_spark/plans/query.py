@@ -708,7 +708,14 @@ class Engine:
         """Ancestor chains via `prop` edges: (s, pos, ancestor) with
         pos=1 the parent (reference query.py:802-822 recursive CTE →
         bounded iterative join; page-sized frontier, so each step is a
-        broadcast-sized join against the edge set)."""
+        broadcast-sized join against the edge set).
+
+        Cycle semantics match the reference: its CTE grows paths
+        bottom-up FROM ROOTS (nodes with no parent), so a subject whose
+        ancestor chain never reaches a root — a cycle — gets NO path at
+        all. The walk-up formulation detects that as a chain still
+        alive at ``MAX_PATH_DEPTH``: those subjects' rows are dropped
+        rather than emitting the cycle's repeating ancestors."""
         edges = (
             self.graph.triples.filter(F.col("p") == H(prop))
             .select(F.col("s").alias("child"), F.col("o").alias("parent"))
@@ -726,7 +733,12 @@ class Engine:
             rows.append(cur.select("src", F.lit(depth).alias("pos"), F.col("cur").alias("ancestor")))
         if not rows:
             return self.graph.spark.createDataFrame([], "src long, pos int, ancestor long")
-        return reduce(lambda a, b: a.union(b), rows)
+        out = reduce(lambda a, b: a.union(b), rows)
+        if not cur.isEmpty():
+            # chains still walking at the depth bound never reached a
+            # root: cyclic (or absurdly deep) — reference emits nothing
+            out = out.join(cur.select("src").distinct(), "src", "left_anti")
+        return out
 
     def paths_values(self, opts: dict, prop: str) -> DataFrame:
         """Ancestor chains for the filtered subject set, as lexical

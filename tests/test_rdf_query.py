@@ -232,3 +232,36 @@ def test_facet_score_weighted(engine):
     assert {r["val"] for r in plain} == {r["val"] for r in weighted}
     # counts agree between the two shapes
     assert {(r["count"], r["val"]) for r in plain} == {(r["count"], r["val"]) for r in weighted}
+
+
+def test_paths_cycle_semantics(spark):
+    """Reference parity on cyclic parent chains (reference query.py:
+    804-815 grows paths FROM ROOTS, so a cycle — unreachable from any
+    root — yields NO path): cycle members produce zero path rows while
+    acyclic subjects keep their full chains."""
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = [
+        # acyclic chain: a -> b -> c (c is a root)
+        ("<e/a>", "<p/parent>", "<e/b>", ""),
+        ("<e/b>", "<p/parent>", "<e/c>", ""),
+        # 2-cycle: x -> y -> x
+        ("<e/x>", "<p/parent>", "<e/y>", ""),
+        ("<e/y>", "<p/parent>", "<e/x>", ""),
+        # type markers so a filter can select all four
+        *[(s, "<p/type>", "<c/thing>", "") for s in ("<e/a>", "<e/b>", "<e/c>", "<e/x>", "<e/y>")],
+    ]
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    )
+    eng = Engine(g)
+    subs, _ = eng.subjects({"filters": [{"p": "<p/type>", "o": "<c/thing>"}]})
+    got = {
+        (r["s"], r["pos"], r["ancestor"])
+        for r in eng.paths_values({"filters": [{"p": "<p/type>", "o": "<c/thing>"}]}, "<p/parent>").collect()
+    }
+    assert got == {
+        ("<e/a>", 1, "<e/b>"),
+        ("<e/a>", 2, "<e/c>"),
+        ("<e/b>", 1, "<e/c>"),
+    }  # x and y (the cycle) emit nothing; c is a root with no parents
