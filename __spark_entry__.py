@@ -543,6 +543,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_ann_ivf_append"] = ann_append
 
+    # URL scrubbing: documents carry no URLs, so the query plants two
+    # deterministic ones per doc (one with mixed-case host) — the
+    # oracle plants the identical strings, so extraction, domain
+    # lowering/dedup, density, and global replace are all exercised
+    def text_urls(spark, sf_dir):
+        from bikidata_spark.functions.text import url_stats
+
+        d = docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://Example.com/"),
+                F.col("source"),
+                F.lit(" and http://cdn.example.net/x?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        return url_stats(d, "doc_id", "text")
+
+    q["pipe_text_urls"] = text_urls
+
     q["pipe_text_tokens"] = lambda spark, sf: token_count(docs(spark, sf), "doc_id", "text")
     q["pipe_text_quality"] = lambda spark, sf: quality_score(docs(spark, sf), "doc_id", "text")
     q["pipe_text_langid"] = lambda spark, sf: lang_id(docs(spark, sf), "doc_id", "text")
@@ -1246,6 +1267,24 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
 """
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    o["pipe_text_urls"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' see https://Example.com/' || source ||
+         ' and http://cdn.example.net/x?id=' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_urls,
+  CAST(len(list_distinct(list_transform(
+      regexp_extract_all(text, 'https?://([^/ \t\n\r]+)', 1), x -> lower(x)))) AS BIGINT) AS n_domains,
+  round(CASE WHEN len(string_split_regex(trim(text), '[ \t\n\r]+')) > 0
+             THEN len(regexp_extract_all(text, 'https?://[^ \t\n\r]+'))
+                  / len(string_split_regex(trim(text), '[ \t\n\r]+'))
+             ELSE 0.0 END, 6) AS url_density,
+  regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS clean_text
+FROM d
+"""
+
     o["pipe_text_tokens"] = f"""
 WITH {TOKLIST}
 SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM toklist

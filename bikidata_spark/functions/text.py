@@ -106,6 +106,38 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+URL_RE = "https?://[^ \\t\\n\\r]+"
+DOMAIN_RE = "https?://([^/ \\t\\n\\r]+)"
+
+
+def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """URL extraction / scrubbing — the boilerplate-and-link-spam stage
+    of a corpus-cleaning pipeline: (id, n_urls, n_domains,
+    url_density, clean_text). ``n_domains`` counts DISTINCT lowercased
+    hosts; ``url_density`` is URLs per whitespace token (link farms
+    score high); ``clean_text`` replaces each URL with ``<URL>``. Pure
+    JVM regex — the patterns are POSIX-simple so an external engine
+    (DuckDB oracle) evaluates them identically."""
+    df = ensure_parallelism(df)
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+    domains = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(DOMAIN_RE), F.lit(1)),
+            F.lower,
+        )
+    )
+    n_toks = F.size(F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+"))
+    return df.select(
+        F.col(id_col),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(domains).cast("long").alias("n_domains"),
+        F.round(
+            F.when(n_toks > 0, F.size(urls) / n_toks).otherwise(F.lit(0.0)), 6
+        ).alias("url_density"),
+        F.regexp_replace(F.col(text_col), URL_RE, "<URL>").alias("clean_text"),
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
     """Corpus vocabulary: (token, n) for tokens occurring >= min_count
     times. One explode + one map-side-combined groupBy."""

@@ -784,3 +784,21 @@ def test_ivf_append_keeps_pruning_and_results(spark, tmp_path):
         for r in sim.ivf_store_topk(*sim.read_ivf_store(spark, path), q, k=21, nprobe=1).collect()
     }
     assert after == before
+
+
+def test_url_stats(spark):
+    from bikidata_spark.functions.text import url_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "read https://A.com/x and https://a.com/y plus http://b.org end"),
+            (2, "no links at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in url_stats(df, "doc_id", "text").collect()}
+    # 3 urls but only 2 distinct lowercased domains (A.com == a.com)
+    assert out[1]["n_urls"] == 3 and out[1]["n_domains"] == 2
+    assert out[1]["clean_text"] == "read <URL> and <URL> plus <URL> end"
+    assert abs(out[1]["url_density"] - round(3 / 7, 6)) < 1e-9
+    assert out[2]["n_urls"] == 0 and out[2]["clean_text"] == "no links at all"
