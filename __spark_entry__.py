@@ -60,13 +60,19 @@ SOURCE_CAP = 10  # per-source document cap
 CAP_BUCKETS = 4  # sub-quota buckets for the skew-free cap variant
 
 # ---------------------------------------------------------------------------
-# engine cache (one graph per sf_dir per process)
+# engine cache (one graph per sf_dir per SESSION — a cached DataFrame
+# from a stopped session is unusable, so a recreated SparkSession must
+# not be served another session's plans)
 # ---------------------------------------------------------------------------
-_ENGINES: dict[str, Engine] = {}
+_ENGINES: dict[tuple, Engine] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    return (id(spark), sf_dir)
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> Engine:
-    eng = _ENGINES.get(sf_dir)
+    eng = _ENGINES.get(_cache_key(spark, sf_dir))
     if eng is None:
         graph = from_string_quads(string_quads(spark, sf_dir)).cache()
         emb = (
@@ -77,13 +83,14 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
             )
         )
         eng = Engine(graph, embeddings=emb)
-        _ENGINES[sf_dir] = eng
+        _ENGINES[_cache_key(spark, sf_dir)] = eng
     return eng
 
 
-_STEM_ENGINES: dict[str, Engine] = {}
-# persisted minhash candidate pairs per sf_dir — shared by the three
-# dedup entries that consume them (see minhash_pairs in queries())
+_STEM_ENGINES: dict[tuple, Engine] = {}
+# persisted minhash candidate pairs per (session, sf_dir) — shared by
+# the three dedup entries that consume them (see minhash_pairs in
+# queries())
 _MINHASH_PAIRS: dict = {}
 
 
@@ -91,14 +98,14 @@ def _stem_engine(spark: SparkSession, sf_dir: str) -> Engine:
     """Engine whose FTS index stems tokens (the reference's default
     indexing mode uses a porter stemmer; ours is the deterministic
     porter-1a subset — see operators/fts.py)."""
-    se = _STEM_ENGINES.get(sf_dir)
+    se = _STEM_ENGINES.get(_cache_key(spark, sf_dir))
     if se is None:
         from bikidata_spark.operators.fts import build_fts_index
 
         base = _engine(spark, sf_dir)
         se = Engine(base.graph)
         se._fts = build_fts_index(base.graph.literals(), stem=True)
-        _STEM_ENGINES[sf_dir] = se
+        _STEM_ENGINES[_cache_key(spark, sf_dir)] = se
     return se
 
 
@@ -437,12 +444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries stay independent tests of what they actually differ in
     # (banding vs label-prop vs star clustering)
     def minhash_pairs(spark, sf_dir):
-        df = _MINHASH_PAIRS.get(sf_dir)
+        key = _cache_key(spark, sf_dir)
+        df = _MINHASH_PAIRS.get(key)
         if df is None:
             df = dd.minhash_lsh_pairs(
                 docs(spark, sf_dir), "doc_id", "text", MINHASH_NUM_HASHES, MINHASH_K, *MINHASH_J
             ).persist()
-            _MINHASH_PAIRS[sf_dir] = df
+            _MINHASH_PAIRS[key] = df
         return df
 
     q["pipe_dedup_minhash"] = minhash_pairs

@@ -127,8 +127,8 @@ class HttpEmbeddingClient:
         extra_payload: dict | None = None,
         response_path: tuple = ("embeddings", "float"),
         opener=None,
-        max_tokens: int | None = 8000,
-        truncate: str | None = "END",
+        max_tokens: int | None | str = "auto",
+        truncate: str | None = "auto",
     ):
         self.url = url
         self.api_key = api_key
@@ -141,10 +141,13 @@ class HttpEmbeddingClient:
         self._open = opener or urllib.request.urlopen
         # Cohere parity (reference semantic.py:28-38 sends both): texts
         # past the model's limit are truncated server-side instead of
-        # 400-ing the whole batch. Pass None for endpoints that reject
-        # unknown fields (e.g. OpenAI-shape).
-        self.max_tokens = max_tokens
-        self.truncate = truncate
+        # 400-ing the whole batch. "auto" sends them ONLY on the Cohere
+        # reply shape — an OpenAI-shape endpoint (custom response_path)
+        # would 400 on the unknown fields. Pass explicit values (or
+        # None) to override either way.
+        cohere_shape = self.response_path == ("embeddings", "float")
+        self.max_tokens = (8000 if cohere_shape else None) if max_tokens == "auto" else max_tokens
+        self.truncate = ("END" if cohere_shape else None) if truncate == "auto" else truncate
         scheme = urllib.parse.urlsplit(url).scheme.lower()
         host = (urllib.parse.urlsplit(url).hostname or "").lower()
         if api_key and scheme != "https" and host not in ("localhost", "127.0.0.1", "::1"):
@@ -178,7 +181,9 @@ class HttpEmbeddingClient:
             with self._open(req, timeout=self.timeout_s) as resp:
                 body = json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
-            if 400 <= e.code < 500 and e.code != 429:
+            # 408 (request timeout) and 429 (throttle) are transient —
+            # leave them to BatchedProvider's retry/backoff budget
+            if 400 <= e.code < 500 and e.code not in (408, 429):
                 raise NonRetryableEmbeddingError(
                     f"endpoint rejected request ({e.code} {e.reason})"
                 ) from e
@@ -199,13 +204,24 @@ class HttpEmbeddingClient:
 # Executor-side provider cache: one provider instance per (Python
 # worker process, build_semantic call). The module stays imported in
 # reused workers, so connections/pacing state survive across tasks
-# instead of being rebuilt per Arrow batch.
+# instead of being rebuilt per Arrow batch. Bounded: a long-lived
+# worker serving many build_semantic calls must not accumulate one
+# provider (connections, auth state) per historical job.
 _WORKER_PROVIDERS: dict = {}
+_WORKER_PROVIDERS_MAX = 4
 
 
 def _worker_provider(token: str, factory):
     prov = _WORKER_PROVIDERS.get(token)
     if prov is None:
+        while len(_WORKER_PROVIDERS) >= _WORKER_PROVIDERS_MAX:
+            stale = _WORKER_PROVIDERS.pop(next(iter(_WORKER_PROVIDERS)))
+            close = getattr(stale, "close", None)
+            if callable(close):
+                try:
+                    close()
+                except Exception:
+                    pass
         prov = _WORKER_PROVIDERS[token] = factory()
     return prov
 

@@ -258,8 +258,8 @@ def decode_y4m(payload: bytes):
             num, den = (int(x) for x in t[1:].split(":"))
         elif t[0] == "C":
             cs = t[1:]
-    if not w or not h or num <= 0:
-        raise ValueError("y4m header missing W/H/F")
+    if not w or not h or num <= 0 or den <= 0:
+        raise ValueError("y4m header missing or invalid W/H/F")
     ysz = w * h
     if cs.startswith("420"):
         fsz = ysz + 2 * ((w // 2) * (h // 2))

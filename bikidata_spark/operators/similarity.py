@@ -127,6 +127,19 @@ def lsh_ann_topk(
     )
 
 
+def _localized(cents: DataFrame) -> DataFrame:
+    """Collect a persisted centroid frame to the driver, unpersist the
+    cached copy, and return it as a literal local DataFrame — for
+    consumers (lazy top-k plans) that have no post-action hook at which
+    to unpersist. Centroid sets are k rows by construction."""
+    rows = cents.collect()
+    try:
+        cents.unpersist()
+    except Exception:
+        pass
+    return cents.sparkSession.createDataFrame(rows, cents.schema)
+
+
 def _cent_arr(cents: DataFrame) -> DataFrame:
     """Centroids folded into ONE row holding an array<struct<cid,cv>>
     sorted by cid — the broadcastable form of the centroid set. Joining
@@ -262,7 +275,11 @@ def ivf_ann_topk(
         F.col("nid").alias("cid"), F.col("nv").alias("cv")
     )
     if refine_iters > 0:
-        cents = kmeans_refine(v, cents, refine_iters, quantize=quantize)
+        # kmeans_refine returns a PERSISTED frame expecting the caller
+        # to unpersist; a lazy top-k has no after-the-action hook, so
+        # localize the (tiny, k-row) centroid set to the driver and
+        # release the cached copy immediately — no leak per call
+        cents = _localized(kmeans_refine(v, cents, refine_iters, quantize=quantize))
 
     carr = _cent_arr(cents)
     assign = v.crossJoin(F.broadcast(carr)).select(
@@ -374,7 +391,9 @@ def append_ivf_store(
     assign = v.crossJoin(F.broadcast(carr)).select(
         "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
     )
-    n = assign.count()
+    # row count == input count; counting v avoids running the broadcast
+    # centroid fold twice (once for the count, once for the write)
+    n = v.count()
     (
         assign.repartition("cell")
         .write.mode("append")

@@ -122,6 +122,11 @@ class Engine:
     # loop plus the stat counters — Serving drives this engine from a
     # thread pool, and an unguarded pop(key) races to a KeyError
     _cache_lock: object = field(default_factory=threading.RLock, repr=False)
+    # bumped by replace_graph: a query thread that computed its subject
+    # set against the OLD graph must not repopulate the cache after the
+    # swap (the key is only the filter spec, so a stale insert would be
+    # served until TTL). _cache_put drops inserts from older generations.
+    _graph_generation: int = field(default=0, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -137,6 +142,7 @@ class Engine:
                     pass
         self._fts = None
         with self._cache_lock:
+            self._graph_generation += 1
             for cached, _, _ in self._subject_cache.values():
                 try:
                     cached.unpersist()
@@ -401,10 +407,11 @@ class Engine:
                     self._subject_cache_misses += 1
             if hit is not None:
                 return hit
+        gen = self._graph_generation
         result = self._subjects_uncached(opts)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
-            self._cache_put(key, result)
+            self._cache_put(key, result, gen)
         return result
 
     def _cache_get(self, key: str):
@@ -428,10 +435,26 @@ class Engine:
             self._subject_cache[key] = ent
             return subj, scores
 
-    def _cache_put(self, key: str, result) -> None:
+    def _cache_put(self, key: str, result, gen: int | None = None) -> None:
         import time
 
         with self._cache_lock:
+            if gen is not None and gen != self._graph_generation:
+                # computed against a graph that has since been swapped
+                # out — caching it would serve pre-mutation results
+                try:
+                    result[0].unpersist()
+                except Exception:
+                    pass
+                return
+            prev = self._subject_cache.pop(key, None)
+            if prev is not None:
+                # two threads raced the same miss: drop the loser's
+                # persisted copy instead of leaking it in storage
+                try:
+                    prev[0].unpersist()
+                except Exception:
+                    pass
             while len(self._subject_cache) >= max(1, self.subject_cache_max):
                 lru_key = next(iter(self._subject_cache))
                 evicted, _, _ = self._subject_cache.pop(lru_key)
@@ -735,9 +758,16 @@ class Engine:
             return self.graph.spark.createDataFrame([], "src long, pos int, ancestor long")
         out = reduce(lambda a, b: a.union(b), rows)
         if not cur.isEmpty():
-            # chains still walking at the depth bound never reached a
-            # root: cyclic (or absurdly deep) — reference emits nothing
-            out = out.join(cur.select("src").distinct(), "src", "left_anti")
+            # a frontier row at the depth bound is only a CYCLE (or an
+            # over-deep chain) if its node still has a parent — a chain
+            # of length exactly MAX_PATH_DEPTH ends at a root here and
+            # must keep its rows (the reference CTE would emit it)
+            unfinished = (
+                cur.join(edges, cur.cur == edges.child)
+                .select("src")
+                .distinct()
+            )
+            out = out.join(unfinished, "src", "left_anti")
         return out
 
     def paths_values(self, opts: dict, prop: str) -> DataFrame:
