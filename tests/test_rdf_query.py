@@ -265,3 +265,54 @@ def test_paths_cycle_semantics(spark):
         ("<e/a>", 2, "<e/c>"),
         ("<e/b>", 1, "<e/c>"),
     }  # x and y (the cycle) emit nothing; c is a root with no parents
+
+
+def test_paths_exact_depth_bound_kept(spark):
+    """A chain of length exactly MAX_PATH_DEPTH terminates at a root and
+    must keep all its rows; one link deeper (never reaching a root
+    within the bound) is treated like a cycle and dropped."""
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.plans.query import MAX_PATH_DEPTH
+
+    n = MAX_PATH_DEPTH
+    quads = [(f"<e/{i}>", "<p/parent>", f"<e/{i+1}>", "") for i in range(n)]
+    quads += [("<e/0>", "<p/type>", "<c/thing>", "")]
+    # a second, deeper chain: d0 -> ... -> d{n+1}
+    quads += [(f"<d/{i}>", "<p/parent>", f"<d/{i+1}>", "") for i in range(n + 1)]
+    quads += [("<d/0>", "<p/type>", "<c/thing>", "")]
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    )
+    eng = Engine(g)
+    rows = eng.paths_values(
+        {"filters": [{"p": "<p/type>", "o": "<c/thing>"}]}, "<p/parent>"
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["s"], []).append((r["pos"], r["ancestor"]))
+    # exact-depth chain: full path, ending at the root
+    assert sorted(by_src["<e/0>"]) == [(i, f"<e/{i}>") for i in range(1, n + 1)]
+    # over-deep chain: still walking at the bound -> dropped entirely
+    assert "<d/0>" not in by_src
+
+
+def test_subject_cache_generation_guard(spark):
+    """A subject set computed against a graph that was swapped out
+    mid-flight must NOT be cached (it would serve pre-mutation results
+    for up to the TTL)."""
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(
+        [("<e/1>", "<p>", '"v"', "")], "s string, p string, o string, g string"
+    )
+    g = from_string_quads(quads)
+    eng = Engine(g)
+    stale_gen = eng._graph_generation
+    result = eng._subjects_uncached({"filters": [{"p": "<p>", "o": ""}]})
+    result = (result[0].persist(), result[1])
+    eng.replace_graph(from_string_quads(quads))  # mutation lands first
+    eng._cache_put("k", result, stale_gen)
+    assert eng.cache_stats()["entries"] == 0  # stale insert dropped
+    # a current-generation insert still caches
+    eng._cache_put("k", result, eng._graph_generation)
+    assert eng.cache_stats()["entries"] == 1
