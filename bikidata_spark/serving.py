@@ -103,9 +103,14 @@ class Serving:
     def _query_inner(self, opts: dict) -> dict:
         # one scheduler pool per worker thread: under
         # spark.scheduler.mode=FAIR (BIKIDATA_SPARK_SCHEDULER=FAIR)
-        # concurrent queries share executors round-robin
-        sc = self.engine.graph.spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", threading.current_thread().name)
+        # concurrent queries share executors round-robin. Spark Connect
+        # has no SparkContext — pools are a classic-session refinement,
+        # not a correctness requirement, so degrade silently there.
+        try:
+            sc = self.engine.graph.spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", threading.current_thread().name)
+        except Exception:
+            pass
         query_hash = hashlib.md5(
             json.dumps(opts, sort_keys=True).encode("utf8")
         ).hexdigest()
