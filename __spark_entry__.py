@@ -65,9 +65,37 @@ CAP_BUCKETS = 4  # sub-quota buckets for the skew-free cap variant
 # not be served another session's plans)
 # ---------------------------------------------------------------------------
 _ENGINES: dict[tuple, Engine] = {}
+# weakrefs to every session that has cache entries; lets _cache_key
+# sweep dead sessions' engines/pairs out instead of pinning them for
+# the process lifetime
+_SESSION_REFS: dict[int, object] = {}
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _sweep_caches() -> None:
+    dead = set()
+    for sid, ref in list(_SESSION_REFS.items()):
+        s = ref()
+        if s is None or _session_stopped(s):
+            dead.add(sid)
+            del _SESSION_REFS[sid]
+    if dead:
+        for cache in (_ENGINES, _STEM_ENGINES, _MINHASH_PAIRS):
+            for k in [k for k in cache if k[0] in dead]:
+                del cache[k]
 
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    import weakref
+
+    _sweep_caches()
+    _SESSION_REFS.setdefault(id(spark), weakref.ref(spark))
     return (id(spark), sf_dir)
 
 

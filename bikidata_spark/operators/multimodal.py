@@ -353,6 +353,12 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
             if not fake:
                 pays, mimes = [], []
                 for p, m in zip(pdf["payload"], pdf["mime"]):
+                    # NULL payloads pass through untouched (same
+                    # tolerance as extract_features' zero vector)
+                    if p is None:
+                        pays.append(None)
+                        mimes.append(m)
+                        continue
                     img = decode_image(p, m)
                     h, w = img.shape[0], img.shape[1]
                     ri = (np.arange(height) * h) // height
@@ -408,6 +414,9 @@ def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFr
                         rows["media_id"].append(r["media_id"])
                         rows["frame_ts_ms"].append(ts)
                         rows["frame"].append(r["payload"])
+                    continue
+                if r["payload"] is None:
+                    # NULL payload → no frames, not a job-killing raise
                     continue
                 fps, frames = decode_y4m(r["payload"])
                 step = max(1, int(round(fps * every_ms / 1000.0)))

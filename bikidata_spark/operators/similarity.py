@@ -388,18 +388,24 @@ def append_ivf_store(
         "nv",
     )
     carr = _cent_arr(cents)
-    assign = v.crossJoin(F.broadcast(carr)).select(
-        "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
-    )
-    # row count == input count; counting v avoids running the broadcast
-    # centroid fold twice (once for the count, once for the write)
-    n = v.count()
-    (
-        assign.repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors")
-    )
+    # persist the projected input across the count and the write so both
+    # actions see the same rows even when the source plan is
+    # nondeterministic (sample/limit/shuffle-dependent), and the scan
+    # runs once instead of twice
+    v = v.persist()
+    try:
+        assign = v.crossJoin(F.broadcast(carr)).select(
+            "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
+        )
+        n = v.count()
+        (
+            assign.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/vectors")
+        )
+    finally:
+        v.unpersist()
     return n
 
 
@@ -425,8 +431,10 @@ def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
             "files; compacting would break every committed version. "
             "Vacuum/drop the snapshots first, or pass force=True."
         )
+    _recover_ivf_store(store_dir)
     vectors = spark.read.parquet(f"{store_dir}/vectors").distinct()
     tmp = f"{store_dir}/_compacting"
+    old = f"{store_dir}/_old_vectors"
     shutil.rmtree(tmp, ignore_errors=True)
     (
         vectors.repartition("cell")
@@ -435,15 +443,39 @@ def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
         .parquet(f"{tmp}/vectors")
     )
     n = spark.read.parquet(f"{tmp}/vectors").count()
-    shutil.rmtree(f"{store_dir}/vectors", ignore_errors=True)
+    # atomic-ish swap: park the live dir aside, slide the compacted one
+    # in, THEN delete — a crash at any point leaves either the old or
+    # the new data reachable (never neither), and _recover_ivf_store
+    # rolls a half-finished swap back on the next open
+    os.rename(f"{store_dir}/vectors", old)
     os.rename(f"{tmp}/vectors", f"{store_dir}/vectors")
+    shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return {"vectors": n}
+
+
+def _recover_ivf_store(store_dir: str) -> None:
+    """Heal a store whose last ``compact_ivf_store`` died mid-swap: if
+    the live ``vectors`` dir is missing but the parked ``_old_vectors``
+    survives, roll back to the pre-compaction data (the compacted copy
+    in ``_compacting`` holds the same rows, but the parked dir is the
+    one known-fully-written); then clear any leftover work dirs."""
+    import os
+    import shutil
+
+    vec = f"{store_dir}/vectors"
+    old = f"{store_dir}/_old_vectors"
+    tmp = f"{store_dir}/_compacting"
+    if not os.path.isdir(vec) and os.path.isdir(old):
+        os.rename(old, vec)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_ivf_store(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(vectors, centroids) of a persisted IVF store; ``vectors``
     carries the ``cell`` partition column for pruned scans."""
+    _recover_ivf_store(path)
     return (
         spark.read.parquet(f"{path}/vectors"),
         spark.read.parquet(f"{path}/centroids"),

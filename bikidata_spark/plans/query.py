@@ -35,6 +35,9 @@ log = logging.getLogger(__name__)
 
 RDFS_LABEL_IRI = "<http://www.w3.org/2000/01/rdf-schema#label>"
 MAX_PATH_DEPTH = 24
+# paths(): join levels per localCheckpoint+isEmpty probe — batching
+# cuts driver round-trips ~3× while keeping lineage bounded
+_CHECK_EVERY = 3
 SAMPLE_SEED = 42
 
 
@@ -736,38 +739,95 @@ class Engine:
         Cycle semantics match the reference: its CTE grows paths
         bottom-up FROM ROOTS (nodes with no parent), so a subject whose
         ancestor chain never reaches a root — a cycle — gets NO path at
-        all. The walk-up formulation detects that as a chain still
-        alive at ``MAX_PATH_DEPTH``: those subjects' rows are dropped
-        rather than emitting the cycle's repeating ancestors."""
+        all. The walk-up formulation detects a cycle as a frontier node
+        REVISITING a node already on that subject's chain; those
+        subjects' rows are dropped. Merely-deep acyclic chains (longer
+        than ``MAX_PATH_DEPTH``) keep walking — the reference CTE is
+        unbounded and emits them in full — with a logged warning and a
+        hard safety cap of ``8 × MAX_PATH_DEPTH``.
+
+        Driver round-trips are batched: ``_CHECK_EVERY`` join levels
+        share one ``localCheckpoint`` + one ``isEmpty`` probe, so a
+        d-deep walk costs ~2·d/3 driver actions instead of 2·d, while
+        lineage stays bounded (each level is rooted at most 2 joins
+        past a checkpoint)."""
         edges = (
             self.graph.triples.filter(F.col("p") == H(prop))
             .select(F.col("s").alias("child"), F.col("o").alias("parent"))
         )
-        cur = subjects.select(F.col("s").alias("src"), F.col("s").alias("cur"))
+        start = subjects.select(F.col("s").alias("src"), F.col("s").alias("cur"))
+        cur = start
         rows = []
-        for depth in range(1, MAX_PATH_DEPTH + 1):
-            cur = (
-                cur.join(edges, cur.cur == edges.child)
-                .select("src", F.col("parent").alias("cur"))
-            )
+        cyclic_accum = None
+        hard_cap = MAX_PATH_DEPTH * 8
+        depth = 0
+        warned = False
+        while depth < hard_cap:
+            batch = []
+            for _ in range(min(_CHECK_EVERY, hard_cap - depth)):
+                depth += 1
+                cur = (
+                    cur.join(edges, cur.cur == edges.child)
+                    .select("src", F.col("parent").alias("cur"))
+                )
+                batch.append((depth, cur))
             cur = cur.localCheckpoint(eager=True)
+            batch[-1] = (batch[-1][0], cur)
+            rows.extend(
+                df.select("src", F.lit(d).alias("pos"), F.col("cur").alias("ancestor"))
+                for d, df in batch
+            )
             if cur.isEmpty():
                 break
-            rows.append(cur.select("src", F.lit(depth).alias("pos"), F.col("cur").alias("ancestor")))
+            if depth >= MAX_PATH_DEPTH:
+                # cycle check: a frontier node already on its subject's
+                # chain (or the subject itself) can never reach a root —
+                # drop that subject, keep walking the genuinely-deep ones
+                # rows[-1] IS the current frontier depth — a node is a
+                # revisit only if it appeared STRICTLY EARLIER on the
+                # chain, so the seen-set stops one level short
+                seen = reduce(
+                    lambda a, b: a.union(b),
+                    [start]
+                    + [r.select("src", F.col("ancestor").alias("cur")) for r in rows[:-1]],
+                )
+                cyclic = (
+                    cur.join(seen, ["src", "cur"], "left_semi")
+                    .select("src")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                cyclic_accum = (
+                    cyclic if cyclic_accum is None else cyclic_accum.union(cyclic)
+                )
+                cur = cur.join(cyclic, "src", "left_anti").localCheckpoint(eager=True)
+                if cur.isEmpty():
+                    break
+                if not warned:
+                    log.warning(
+                        "paths(%s): acyclic ancestor chain deeper than "
+                        "MAX_PATH_DEPTH=%d; continuing to the %d-level "
+                        "safety cap",
+                        prop,
+                        MAX_PATH_DEPTH,
+                        hard_cap,
+                    )
+                    warned = True
         if not rows:
             return self.graph.spark.createDataFrame([], "src long, pos int, ancestor long")
         out = reduce(lambda a, b: a.union(b), rows)
         if not cur.isEmpty():
-            # a frontier row at the depth bound is only a CYCLE (or an
-            # over-deep chain) if its node still has a parent — a chain
-            # of length exactly MAX_PATH_DEPTH ends at a root here and
-            # must keep its rows (the reference CTE would emit it)
-            unfinished = (
-                cur.join(edges, cur.cur == edges.child)
-                .select("src")
-                .distinct()
+            # still alive at the hard cap: treat like the old bounded
+            # behavior — drop those subjects rather than emit a torso
+            log.warning(
+                "paths(%s): chain still alive at the %d-level safety cap; "
+                "dropping its subjects' rows",
+                prop,
+                hard_cap,
             )
-            out = out.join(unfinished, "src", "left_anti")
+            out = out.join(cur.select("src").distinct(), "src", "left_anti")
+        if cyclic_accum is not None:
+            out = out.join(cyclic_accum, "src", "left_anti")
         return out
 
     def paths_values(self, opts: dict, prop: str) -> DataFrame:

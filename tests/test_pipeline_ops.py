@@ -786,6 +786,42 @@ def test_ivf_append_keeps_pruning_and_results(spark, tmp_path):
     assert after == before
 
 
+def test_ivf_compact_crash_recovery(spark, tmp_path):
+    """compact_ivf_store's swap must never strand the store: simulate
+    both crash windows (live dir parked aside but compacted dir not yet
+    slid in; compacted dir in but parked dir not yet deleted) and assert
+    the next open recovers a readable, correct store."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ivf_crash")
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    sim.write_ivf_store(base, path, centroid_step=5)
+    expect = {tuple(r) for r in spark.read.parquet(f"{path}/vectors").select("nid").collect()}
+
+    # window 1: crash after parking the live dir, before the slide-in
+    os.rename(f"{path}/vectors", f"{path}/_old_vectors")
+    vectors, _ = sim.read_ivf_store(spark, path)
+    assert {tuple(r) for r in vectors.select("nid").collect()} == expect
+    assert not os.path.exists(f"{path}/_old_vectors")
+
+    # window 2: crash after the slide-in, before cleanup — leftover
+    # parked dir and work dir must be cleared, live data untouched
+    shutil.copytree(f"{path}/vectors", f"{path}/_old_vectors")
+    os.makedirs(f"{path}/_compacting/vectors", exist_ok=True)
+    vectors, _ = sim.read_ivf_store(spark, path)
+    assert {tuple(r) for r in vectors.select("nid").collect()} == expect
+    assert not os.path.exists(f"{path}/_old_vectors")
+    assert not os.path.exists(f"{path}/_compacting")
+
+    # and a straight compact on the recovered store still works
+    out = sim.compact_ivf_store(spark, path)
+    assert out["vectors"] == 12
+
+
 def test_url_stats(spark):
     from bikidata_spark.functions.text import url_stats
 

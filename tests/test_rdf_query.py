@@ -269,17 +269,24 @@ def test_paths_cycle_semantics(spark):
 
 def test_paths_exact_depth_bound_kept(spark):
     """A chain of length exactly MAX_PATH_DEPTH terminates at a root and
-    must keep all its rows; one link deeper (never reaching a root
-    within the bound) is treated like a cycle and dropped."""
+    must keep all its rows; a DEEPER acyclic chain is emitted in full
+    too (the reference CTE is unbounded — r5 closed the old silent drop
+    at the bound), while a cycle deeper than the bound still emits
+    nothing."""
     from bikidata_spark import Engine, from_string_quads
     from bikidata_spark.plans.query import MAX_PATH_DEPTH
 
     n = MAX_PATH_DEPTH
     quads = [(f"<e/{i}>", "<p/parent>", f"<e/{i+1}>", "") for i in range(n)]
     quads += [("<e/0>", "<p/type>", "<c/thing>", "")]
-    # a second, deeper chain: d0 -> ... -> d{n+1}
-    quads += [(f"<d/{i}>", "<p/parent>", f"<d/{i+1}>", "") for i in range(n + 1)]
+    # a second, deeper chain: d0 -> ... -> d{n+4}
+    deep = n + 4
+    quads += [(f"<d/{i}>", "<p/parent>", f"<d/{i+1}>", "") for i in range(deep)]
     quads += [("<d/0>", "<p/type>", "<c/thing>", "")]
+    # a cycle entered beyond the bound: c0 -> ... -> c{n+1} -> c{n}
+    quads += [(f"<c/{i}>", "<p/parent>", f"<c/{i+1}>", "") for i in range(n + 1)]
+    quads += [(f"<c/{n+1}>", "<p/parent>", f"<c/{n}>", "")]
+    quads += [("<c/0>", "<p/type>", "<c/thing>", "")]
     g = from_string_quads(
         spark.createDataFrame(quads, "s string, p string, o string, g string")
     )
@@ -292,8 +299,10 @@ def test_paths_exact_depth_bound_kept(spark):
         by_src.setdefault(r["s"], []).append((r["pos"], r["ancestor"]))
     # exact-depth chain: full path, ending at the root
     assert sorted(by_src["<e/0>"]) == [(i, f"<e/{i}>") for i in range(1, n + 1)]
-    # over-deep chain: still walking at the bound -> dropped entirely
-    assert "<d/0>" not in by_src
+    # over-deep acyclic chain: full path (reference parity)
+    assert sorted(by_src["<d/0>"]) == [(i, f"<d/{i}>") for i in range(1, deep + 1)]
+    # late cycle: never reaches a root -> no rows at all
+    assert "<c/0>" not in by_src
 
 
 def test_subject_cache_generation_guard(spark):

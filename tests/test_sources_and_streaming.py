@@ -1071,3 +1071,30 @@ def test_y4m_decode_sample_and_features(spark):
     assert got == [(0, 0), (1000, 120)]
     feats = mm.extract_features(media).collect()[0]["feature"]
     assert len(feats) == 16 and feats[-4] > 0.0  # mean luminance of sampled frames
+
+
+def test_media_kernels_tolerate_null_payloads(spark):
+    """A NULL payload row must not kill the job in ANY real kernel:
+    extract_features maps it to the zero vector, resize_images passes it
+    through untouched, sample_frames emits no frames for it."""
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    vid = _y4m([np.full((4, 4), 9, dtype=np.uint8)], fps=(2, 1))
+    rows = [(1, bytearray(_ppm(img))), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = mm.attach_media(df, "media_id", "payload", "image/x-portable-pixmap")
+
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert feats[2] == [0.0] * 16
+
+    out = {r["media_id"]: r for r in mm.resize_images(media, 2, 2).collect()}
+    assert out[2]["payload"] is None
+    assert out[2]["mime"] == "image/x-portable-pixmap"  # untouched
+    assert mm.decode_image(bytes(out[1]["payload"])).shape == (2, 2, 3)
+
+    vrows = [(1, bytearray(vid)), (2, None)]
+    vdf = spark.createDataFrame(vrows, "media_id long, payload binary")
+    vmedia = mm.attach_media(vdf, "media_id", "payload", "video/x-yuv4mpeg")
+    frames = mm.sample_frames(vmedia, every_ms=1000).collect()
+    assert {r["media_id"] for r in frames} == {1}
