@@ -147,21 +147,34 @@ def wav_features(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return bands + rms + [zcr]
 
 
-_IMAGE_MIMES = ("image/x-portable-pixmap", "image/ppm", "image/bmp", "image/x-bmp")
+_IMAGE_MIMES = (
+    "image/x-portable-pixmap",
+    "image/ppm",
+    "image/bmp",
+    "image/x-bmp",
+    "image/jpeg",
+    "image/jpg",
+)
 _VIDEO_MIMES = ("video/x-yuv4mpeg", "video/y4m")
 
 
 def decode_image(payload: bytes, mime: str | None = None):
-    """Decode a codec-free image payload to an (H, W, 3) uint8 array.
+    """Decode an image payload to an (H, W, 3) uint8 array.
 
-    Formats: PPM ``P6`` (binary, maxval <= 255, ``#`` comments) and BMP
+    Formats: PPM ``P6`` (binary, maxval <= 255, ``#`` comments), BMP
     (BITMAPINFOHEADER family, 24-bit, BI_RGB uncompressed, top-down or
-    bottom-up). Both are raw raster containers — parseable with
-    stdlib + numpy, no codec. Raises ValueError on anything else."""
+    bottom-up), and baseline-sequential JPEG (pure-numpy decoder,
+    functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
+    intervals; progressive raises NotImplementedError). Raises
+    ValueError on anything else."""
     import numpy as np
 
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"P6":
         pos, toks = 2, []
         while len(toks) < 3:
@@ -314,17 +327,18 @@ def _real_feature(payload: bytes | None, mime: str | None) -> list[float]:
         return y4m_features(payload)
     raise NotImplementedError(
         f"decode for mime={mime!r} requires a codec library not present "
-        "in this environment (wav/ppm/bmp/y4m are implemented; pass "
-        "fake=True for the deterministic test kernel on other formats)"
+        "in this environment (wav/ppm/bmp/baseline-jpeg/y4m are "
+        "implemented; pass fake=True for the deterministic test kernel "
+        "on other formats)"
     )
 
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """(media_id, feature: array<double>) via Arrow-batched mapInPandas.
 
-    fake=False runs the real kernel: WAV payloads decode and featurize
-    (``wav_features``); other mimes raise until their codec exists —
-    STUB, clearly marked."""
+    fake=False runs the real kernels: WAV/PCM audio, PPM/BMP/baseline
+    JPEG images, Y4M video; other mimes raise until their codec exists
+    — STUB, clearly marked."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

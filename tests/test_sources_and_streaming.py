@@ -1073,6 +1073,82 @@ def test_y4m_decode_sample_and_features(spark):
     assert len(feats) == 16 and feats[-4] > 0.0  # mean luminance of sampled frames
 
 
+def test_jpeg_roundtrip_modes():
+    """Pure-numpy baseline JPEG codec: encode→decode stays within
+    quantization error for grayscale, 4:4:4, 4:2:0, and restart-marker
+    streams, on non-multiple-of-MCU dimensions."""
+    import numpy as np
+
+    from bikidata_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:21, 0:19]
+    img = np.stack([yy * 9, xx * 11, (yy + xx) * 4], axis=2).astype(np.uint8)
+    for sub, ri, tol in (("444", 0, 6), ("444", 2, 6), ("420", 0, 12), ("420", 3, 12)):
+        dec = decode_jpeg(encode_jpeg(img, subsampling=sub, restart_interval=ri))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol, (sub, ri)
+    gray = (yy * 7 % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, qt=np.ones(64)))
+    assert dec.shape == (21, 19, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+    # channels replicate for grayscale
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+
+
+def test_jpeg_fixture_decodes():
+    """The committed fixture guards against encoder/decoder co-drift:
+    gradient_420.jpg must keep decoding to (a lossy neighborhood of)
+    its committed PPM twin."""
+    import pathlib
+
+    import numpy as np
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    jpg = (fix / "gradient_420.jpg").read_bytes()
+    expect = mm.decode_image((fix / "gradient.ppm").read_bytes())
+    got = mm.decode_image(jpg)  # magic-byte dispatch, no mime needed
+    assert got.shape == expect.shape == (37, 29, 3)
+    err = np.abs(got.astype(int) - expect.astype(int))
+    assert err.max() <= 10 and err.mean() <= 4.0
+
+
+def test_jpeg_progressive_raises():
+    import numpy as np
+    import pytest
+
+    from bikidata_spark.functions.jpeg import encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        mm.decode_image(bytes(payload))
+
+
+def test_jpeg_similarity_ranking(spark):
+    """End-to-end Spark run on JPEG payloads: the near-copy outranks a
+    structurally different image, same contract as the PPM/BMP test."""
+    import numpy as np
+
+    from bikidata_spark.functions.jpeg import encode_jpeg
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    base[:, 8:] = 255
+    near = base.copy()
+    near[0, 0] = 12
+    other = np.tile(np.arange(0, 255, 16, dtype=np.uint8).reshape(1, 16, 1), (16, 1, 3))
+    rows = [
+        (1, bytearray(encode_jpeg(base))),
+        (2, bytearray(encode_jpeg(near, subsampling="420"))),
+        (3, bytearray(encode_jpeg(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = mm.attach_media(df, "media_id", "payload", "image/jpeg")
+    ranked = mm.media_similarity_topk(media, media.filter(F.col("media_id") == 1), k=2).collect()
+    order = [r["neighbor"] for r in sorted(ranked, key=lambda r: r["rank"])]
+    assert order[0] == 2
+
+
 def test_media_kernels_tolerate_null_payloads(spark):
     """A NULL payload row must not kill the job in ANY real kernel:
     extract_features maps it to the zero vector, resize_images passes it
