@@ -92,17 +92,41 @@ def _sweep_caches() -> None:
 
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    import os
     import weakref
 
     _sweep_caches()
     _SESSION_REFS.setdefault(id(spark), weakref.ref(spark))
-    return (id(spark), sf_dir)
+    # persisted-graph mode (SPARK_GRAFT_GRAPH_STORE) serves different
+    # plans than the cached-fixture mode — never mix them in one cache
+    return (id(spark), sf_dir, os.environ.get("SPARK_GRAFT_GRAPH_STORE", ""))
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine per (session, sf_dir). Default: in-memory cached graph
+    (fast oracle runs). With ``SPARK_GRAFT_GRAPH_STORE=<dir>`` set, the
+    graph and FTS index are written to / read from a persisted store
+    instead — every query then scans parquet like a cluster would,
+    which is what the cluster-shaped plan audit
+    (tools/planaudit.py --cluster) measures: PushedFilters /
+    PartitionFilters must populate, not InMemoryTableScan."""
+    import os
+
     eng = _ENGINES.get(_cache_key(spark, sf_dir))
     if eng is None:
-        graph = from_string_quads(string_quads(spark, sf_dir)).cache()
+        store = os.environ.get("SPARK_GRAFT_GRAPH_STORE")
+        if store:
+            from bikidata_spark.graph import read_graph, write_graph
+            from bikidata_spark.operators.fts import write_fts_index
+
+            slug = sf_dir.strip("/").replace("/", "_")
+            gdir = f"{store}/{slug}/graph"
+            fdir = f"{store}/{slug}/fts"
+            if not os.path.isdir(gdir):
+                write_graph(from_string_quads(string_quads(spark, sf_dir)), gdir)
+            graph = read_graph(spark, gdir)
+        else:
+            graph = from_string_quads(string_quads(spark, sf_dir)).cache()
         emb = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .select(
@@ -111,6 +135,10 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
             )
         )
         eng = Engine(graph, embeddings=emb)
+        if store:
+            if not os.path.isdir(fdir):
+                write_fts_index(eng.fts, fdir, num_buckets=16)
+            eng.load_fts(fdir)
         _ENGINES[_cache_key(spark, sf_dir)] = eng
     return eng
 

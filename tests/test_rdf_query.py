@@ -325,3 +325,58 @@ def test_subject_cache_generation_guard(spark):
     # a current-generation insert still caches
     eng._cache_put("k", result, eng._graph_generation)
     assert eng.cache_stats()["entries"] == 1
+
+
+def test_cluster_shaped_plans(spark, tmp_path, monkeypatch):
+    """The cluster-shaped audit (r4 #2): with size-based broadcasts OFF
+    (autoBroadcastJoinThreshold=-1) and the engine serving from a
+    PERSISTED graph+FTS store, representative gate queries must (a)
+    introduce no cartesian / nested-loop joins beyond the designed
+    one-row centroid folds, (b) reach the parquet store with
+    PushedFilters, and (c) partition-prune the FTS token buckets.
+    Mirrors `tools/planaudit.py --cluster` (full 77-query sweep writes
+    docs/PLAN_AUDIT_CLUSTER.json)."""
+    import importlib.util
+    import os
+    from pathlib import Path
+
+    SF_DIR = os.environ.get("BIKIDATA_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_cluster", str(Path(__file__).resolve().parent.parent / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tools.planaudit import audit_plan
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_STORE", str(tmp_path / "store"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        qs = mod.queries()
+        picks = [
+            "rdf_filter_must",
+            "rdf_fts",
+            "rdf_paths",
+            "rdf_facet_nation",
+            "rdf_semantic_ivf",
+            "pipe_dedup_minhash",
+            "pipe_events_asof",
+        ]
+        recs = {}
+        for name in picks:
+            df = qs[name](spark, SF_DIR)
+            recs[name] = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        # centroid folds are the ONLY tolerated nested loops
+        nlj_ok = {"rdf_semantic_ivf"}
+        for name, r in recs.items():
+            assert r["cartesian"] == 0, (name, r)
+            assert r["nested_loop_join"] == 0 or name in nlj_ok, (name, r)
+        # persisted-store scans push their filters down
+        for name in ("rdf_filter_must", "rdf_fts", "rdf_paths", "rdf_facet_nation"):
+            assert recs[name]["pushed_filters"], (name, recs[name])
+        # FTS buckets and IVF cells partition-prune
+        assert recs["rdf_fts"]["partition_filters"]
+        assert recs["rdf_semantic_ivf"]["partition_filters"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

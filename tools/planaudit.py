@@ -16,7 +16,15 @@ so this compile-only audit does not report them — run a query through
 Output: one JSON object per line per entry, and a summary line. Writes
 ``docs/PLAN_AUDIT.json`` when run from the repo root.
 
-Usage: python tools/planaudit.py [sf_dir] [name_filter]
+``--cluster`` audits the CLUSTER-SHAPED plans instead of the laptop
+ones: the session runs with ``spark.sql.autoBroadcastJoinThreshold=-1``
+(no size-based broadcasts — only the explicit ``F.broadcast()`` hints
+that are part of the design survive) and the RDF engine serves from a
+PERSISTED graph + FTS store (``SPARK_GRAFT_GRAPH_STORE``), so scans are
+parquet scans whose PushedFilters/PartitionFilters must populate, not
+InMemoryTableScans. Writes ``docs/PLAN_AUDIT_CLUSTER.json``.
+
+Usage: python tools/planaudit.py [--cluster] [sf_dir] [name_filter]
 """
 
 from __future__ import annotations
@@ -51,10 +59,18 @@ def audit_plan(plan: str) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = [a for a in sys.argv[1:] if a != "--cluster"]
+    cluster = "--cluster" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    name_filter = argv[1] if len(argv) > 1 else ""
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    if cluster:
+        import tempfile
+
+        os.environ["SPARK_GRAFT_GRAPH_STORE"] = tempfile.mkdtemp(prefix="cluster_store_")
     spark = get_spark("planaudit")
+    if cluster:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     out: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
         if name_filter and name_filter not in name:
@@ -71,12 +87,18 @@ def main() -> int:
         "entries": len(out),
         "errors": sum(1 for r in out.values() if "error" in r),
         "with_cartesian": sorted(n for n, r in out.items() if r.get("cartesian")),
+        "with_nested_loop": sorted(n for n, r in out.items() if r.get("nested_loop_join")),
         "with_python_eval": sorted(n for n, r in out.items() if r.get("python_eval")),
+        "with_pushed_filters": sum(1 for r in out.values() if r.get("pushed_filters")),
+        "with_partition_filters": sum(1 for r in out.values() if r.get("partition_filters")),
+        "with_inmemory_scan": sum(1 for r in out.values() if r.get("inmemory_scan")),
         "sf_dir": sf_dir,
+        "cluster_shaped": cluster,
     }
     print(json.dumps({"summary": summary}))
     if not name_filter:
-        audit_path = Path(__file__).resolve().parent.parent / "docs" / "PLAN_AUDIT.json"
+        name = "PLAN_AUDIT_CLUSTER.json" if cluster else "PLAN_AUDIT.json"
+        audit_path = Path(__file__).resolve().parent.parent / "docs" / name
         audit_path.write_text(json.dumps({"queries": out, "summary": summary}, indent=1))
     return 0
 
