@@ -28,6 +28,71 @@ from bikidata_spark.session import get_spark
 from bikidata_spark.sources.rdfize import string_quads
 
 
+def _serving_workload(engine: Engine, qvec: list[float], n: int = 24, workers: int = 8) -> dict:
+    """Drive ``Serving`` with ``n`` concurrent mixed queries and return
+    latency stats. Caches are off so every query does real work."""
+    import asyncio
+    import statistics
+
+    from bikidata_spark.serving import Serving
+
+    segs = ['"BUILDING"', '"AUTOMOBILE"', '"MACHINERY"', '"HOUSEHOLD"', '"FURNITURE"']
+    opts_list = []
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            opts_list.append(
+                {"filters": [{"p": "fts", "o": "customer"}], "size": 10, "start": i, "use_cache": False}
+            )
+        elif kind == 1:
+            opts_list.append(
+                {
+                    "size": 0,
+                    "filters": [{"p": "<p/mktsegment>", "o": segs[i % 5]}],
+                    "aggregates": ["<p/nation>"],
+                    "use_cache": False,
+                }
+            )
+        elif kind == 2:
+            opts_list.append(
+                {"filters": [{"p": "semantic", "vector": qvec}], "size": 5, "use_cache": False}
+            )
+        else:
+            opts_list.append(
+                {
+                    "filters": [{"p": "id", "o": f"<e/customer/{i + 1}>"}],
+                    "paths": ["<p/parent>"],
+                    "size": 1,
+                    "use_cache": False,
+                }
+            )
+    srv = Serving(engine, num_workers=workers)
+    lat: list[float] = []
+
+    async def one(o):
+        t0 = time.perf_counter()
+        await srv.query_async(o, timeout=600)
+        lat.append(time.perf_counter() - t0)
+
+    async def run_all():
+        await asyncio.gather(*(one(o) for o in opts_list))
+
+    t0 = time.perf_counter()
+    asyncio.run(run_all())
+    wall = time.perf_counter() - t0
+    srv.close()
+    lat.sort()
+    return {
+        "queries": len(lat),
+        "workers": workers,
+        "wall_s": round(wall, 3),
+        "qps": round(len(lat) / wall, 2),
+        "p50_s": round(statistics.median(lat), 3),
+        "p95_s": round(lat[max(0, int(round(len(lat) * 0.95)) - 1)], 3),
+        "max_s": round(lat[-1], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -190,6 +255,7 @@ def main() -> None:
     # `semantic` serve path — the round's headline plan fix (the brute
     # embeddings scan per query is gone when a store is loaded)
     sstore = tempfile.mkdtemp(prefix="bench_sem_ivf_")
+    serving_stats: dict[str, dict] = {}
     try:
         sem_emb = embs.select(
             F.xxhash64(
@@ -211,6 +277,35 @@ def main() -> None:
             "q_semantic_filter_ivf",
             lambda: seng._semantic_filter({"vector": qvec}, "", None)[0].count(),
         )
+
+        # concurrent serving (new r5): 24 mixed queries (fts / facet /
+        # semantic / paths) through the Serving facade, 8 worker
+        # threads. Run once on this (FIFO) session, then restart the
+        # session with spark.scheduler.mode=FAIR and run the identical
+        # workload — per-query latency includes queue wait, so p95
+        # captures head-of-line blocking. Engine state is rebuilt
+        # untimed; the persisted semantic IVF store survives the
+        # restart on disk.
+        seng._fts = eng._fts  # reuse the already-built FTS index
+        serving_stats["fifo"] = _serving_workload(seng, qvec)
+        spark.stop()
+        os.environ["BIKIDATA_SPARK_SCHEDULER"] = "FAIR"
+        spark = get_spark("bikidata-bench-fair")
+        graph2 = from_string_quads(string_quads(spark, sf_dir)).cache()
+        graph2.triples.count()
+        embs2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sem_emb2 = embs2.select(
+            F.xxhash64(
+                F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">"))
+            ).alias("s"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        feng = Engine(graph2, embeddings=sem_emb2)
+        feng.load_ivf(f"{sstore}/ivf", nprobe=2)
+        feng.fts  # build untimed, as on the FIFO side
+        t0 = time.perf_counter()
+        serving_stats["fair"] = _serving_workload(feng, qvec)
+        times["q_serving_concurrent"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(sstore, ignore_errors=True)
 
@@ -234,6 +329,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "headline_r2_keys": comparable,
+                "serving": serving_stats,
             }
         )
     )

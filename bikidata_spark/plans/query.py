@@ -380,7 +380,15 @@ class Engine:
         scored = (
             emb.withColumn("distance", F.lit(1.0) - sim)
             .filter(F.col("distance") < 0.5)
-            .select("s", (F.lit(1.0) / F.col("distance")).alias("score"))
+            # an exact match (distance 0) outranks everything; the
+            # conditional keeps ANSI mode from raising DIVIDE_BY_ZERO
+            # (when() short-circuits, so the division never sees 0)
+            .select(
+                "s",
+                F.when(F.col("distance") <= 0.0, F.lit(float("inf")))
+                .otherwise(F.lit(1.0) / F.col("distance"))
+                .alias("score"),
+            )
         )
         t = self.graph.triples
         if gc is not None:
