@@ -200,6 +200,57 @@ def main() -> None:
     )
     timed("q_events_sessionize", lambda: ev.sessionize(events).count())
 
+    # N-Triples ingest (new r5): the reference's primary ingest path is
+    # gzipped N-Triples dumps. Serialize the triplization once
+    # (untimed harness step), then time the distributed .nt.gz parse +
+    # dictionary-encoded graph build; parity with the rdfize build is
+    # checked as (row count, order-insensitive xxhash64 fold) and
+    # reported in the JSON line.
+    import shutil
+    import tempfile
+
+    from bikidata_spark.sources.ntriples import read_nt
+
+    ntdir = tempfile.mkdtemp(prefix="bench_nt_")
+    nt_parity = False
+    try:
+        quads = string_quads(spark, sf_dir)
+        (
+            quads.select(F.concat_ws(" ", "s", "p", "o").alias("v"))
+            .select(F.concat(F.col("v"), F.lit(" .")).alias("value"))
+            .write.option("compression", "gzip")
+            .mode("overwrite")
+            .text(f"{ntdir}/dump.nt")
+        )
+        nt_graph = None
+
+        def nt_ingest():
+            nonlocal nt_graph
+            # persist the parse: the dictionary build makes two passes
+            # (triples + terms), and re-running gzip+regex per pass is
+            # the expensive part of a text source
+            parsed = read_nt(spark, f"{ntdir}/dump.nt").persist()
+            nt_graph = from_string_quads(parsed).cache()
+            nt_graph.triples.count()
+            nt_graph.terms.count()
+            parsed.unpersist()
+
+        timed("q_nt_ingest", nt_ingest)
+
+        def graph_sig(g):
+            row = g.triples.select(
+                F.count("*").alias("n"), F.bit_xor(F.xxhash64("s", "p", "o")).alias("h")
+            ).first()
+            return (row["n"], row["h"])
+
+        # rdfize comparison graph with graphs stripped (N-Triples has
+        # no graph field)
+        base = from_string_quads(quads.withColumn("g", F.lit("")))
+        nt_parity = graph_sig(nt_graph) == graph_sig(base)
+        nt_graph.unpersist()
+    finally:
+        shutil.rmtree(ntdir, ignore_errors=True)
+
     # opt-in persisted-store section (SPARK_GRAFT_BENCH_STORE=1): write
     # the (p,s)-sorted parquet store and run a pruned property lookup
     # from it — the cold-start path a cluster would take; kept out of
@@ -329,6 +380,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "headline_r2_keys": comparable,
+                "nt_parity": nt_parity,
                 "serving": serving_stats,
             }
         )

@@ -66,19 +66,35 @@ def read_nt(
     if isinstance(paths, str):
         paths = [paths]
     lines = spark.read.text(paths)
-    parsed = lines.select(
-        F.regexp_extract("value", _NT_RE, 1).alias("s"),
-        F.regexp_extract("value", _NT_RE, 2).alias("p"),
-        F.regexp_extract("value", _NT_RE, 3).alias("o"),
-    ).filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    # ONE regex evaluation per line: pack the three groups with a \x01
+    # separator (control chars are illegal unescaped in N-Triples, so it
+    # cannot collide) and split — 3× cheaper than three regexp_extracts
+    # running the same pattern per column
+    sep = "\x01"
+    packed = F.regexp_replace("value", _NT_RE, f"$1{sep}$2{sep}$3")
+    parts = F.split(packed, sep)
+    parsed = (
+        lines.select(parts.alias("t"))
+        .filter(F.size("t") == 3)
+        .select(
+            F.col("t")[0].alias("s"), F.col("t")[1].alias("p"), F.col("t")[2].alias("o")
+        )
+        .filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    )
     out = parsed.withColumn("g", F.lit(graph))
     if decode_escapes:
+        # the Python UDF is extracted into its own ArrowEvalPython stage
+        # that runs over EVERY row no matter what the when() guard says —
+        # so mask its INPUT to null for escape-free rows: Arrow then
+        # ships a mostly-null column instead of the full corpus strings,
+        # and the Python side maps None straight through. Escapes are
+        # rare in real dumps, so the decode stage costs ~nothing.
+        def _cond(c):
+            return F.col(c).contains("\\u") | F.col(c).contains("\\U")
+
         out = out.select(
             *[
-                F.when(
-                    F.col(c).contains("\\u") | F.col(c).contains("\\U"),
-                    _decode_escapes_udf(F.col(c)),
-                )
+                F.when(_cond(c), _decode_escapes_udf(F.when(_cond(c), F.col(c))))
                 .otherwise(F.col(c))
                 .alias(c)
                 for c in ("s", "p", "o")

@@ -4,6 +4,7 @@ events, multimodal plumbing."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1071,6 +1072,36 @@ def test_y4m_decode_sample_and_features(spark):
     assert got == [(0, 0), (1000, 120)]
     feats = mm.extract_features(media).collect()[0]["feature"]
     assert len(feats) == 16 and feats[-4] > 0.0  # mean luminance of sampled frames
+
+
+def test_nt_ingest_matches_rdfize(spark, tmp_path):
+    """Round-trip parity (r4 #5): serializing the sf0.001 triplization
+    to gzipped N-Triples and re-ingesting through read_nt must build a
+    graph identical to the direct rdfize build (same row count and
+    order-insensitive triple-hash fold; graphs stripped — N-Triples has
+    no graph field)."""
+    from bikidata_spark import from_string_quads
+    from bikidata_spark.sources.rdfize import string_quads
+
+    sf_dir = os.environ.get("BIKIDATA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    quads = string_quads(spark, sf_dir)
+    (
+        quads.select(F.concat(F.concat_ws(" ", "s", "p", "o"), F.lit(" .")).alias("value"))
+        .write.option("compression", "gzip")
+        .mode("overwrite")
+        .text(str(tmp_path / "dump.nt"))
+    )
+
+    def sig(g):
+        r = g.triples.select(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("s", "p", "o")).alias("h")
+        ).first()
+        return (r["n"], r["h"])
+
+    nt_g = from_string_quads(read_nt(spark, str(tmp_path / "dump.nt")))
+    base = from_string_quads(quads.withColumn("g", F.lit("")))
+    assert sig(nt_g) == sig(base)
+    assert sig(nt_g)[0] > 1000
 
 
 def test_jpeg_roundtrip_modes():
