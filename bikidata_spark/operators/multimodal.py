@@ -154,6 +154,7 @@ _IMAGE_MIMES = (
     "image/x-bmp",
     "image/jpeg",
     "image/jpg",
+    "image/png",
 )
 _VIDEO_MIMES = ("video/x-yuv4mpeg", "video/y4m")
 
@@ -163,10 +164,12 @@ def decode_image(payload: bytes, mime: str | None = None):
 
     Formats: PPM ``P6`` (binary, maxval <= 255, ``#`` comments), BMP
     (BITMAPINFOHEADER family, 24-bit, BI_RGB uncompressed, top-down or
-    bottom-up), and baseline-sequential JPEG (pure-numpy decoder,
+    bottom-up), baseline-sequential JPEG (pure-numpy decoder,
     functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
-    intervals; progressive raises NotImplementedError). Raises
-    ValueError on anything else."""
+    intervals; progressive raises NotImplementedError), and 8-bit PNG
+    (stdlib-zlib decoder, functions/png.py — grey/truecolor/indexed/
+    alpha; interlaced and 16-bit raise). Raises ValueError on anything
+    else."""
     import numpy as np
 
     if payload is None or len(payload) < 2:
@@ -175,6 +178,10 @@ def decode_image(payload: bytes, mime: str | None = None):
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
     if payload[:2] == b"P6":
         pos, toks = 2, []
         while len(toks) < 3:
