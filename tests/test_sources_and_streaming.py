@@ -251,9 +251,11 @@ def test_media_decode_stub_raises_without_fake(spark):
 
     from bikidata_spark.operators.multimodal import attach_media, extract_features
 
+    # video/mp4 needs an H.264 decoder — the one honest stub left now
+    # that PNG and baseline JPEG decode for real
     df = spark.createDataFrame([(1, b"xx")], "media_id long, payload binary")
     with _pytest.raises(Exception) as ei:
-        extract_features(attach_media(df, "media_id", "payload", "image/png")).collect()
+        extract_features(attach_media(df, "media_id", "payload", "video/mp4")).collect()
     assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
 
 
