@@ -1440,7 +1440,7 @@ WITH ordered AS (
 ),
 flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
   FROM ordered
 ),
 sessions AS (

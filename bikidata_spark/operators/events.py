@@ -90,7 +90,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))
     new_sess = (
         F.col("prev_ts").isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap)
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap * 1_000_000)
     ).cast("int")
     with_sess = with_prev.withColumn("session_id", F.sum(new_sess).over(w))
     return (

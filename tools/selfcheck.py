@@ -77,8 +77,9 @@ def main():
             print(f"FAIL {name}: columns {scols} vs {ocols}")
             failed.append(name)
         elif sn != on:
-            diff_a = [r for r in sn if r not in set(on)][:3]
-            diff_b = [r for r in on if r not in set(sn)][:3]
+            on_set, sn_set = set(on), set(sn)
+            diff_a = [r for r in sn if r not in on_set][:3]
+            diff_b = [r for r in on if r not in sn_set][:3]
             print(
                 f"FAIL {name}: {len(sn)} vs {len(on)} rows; spark-only {diff_a}; oracle-only {diff_b}"
             )
