@@ -52,7 +52,11 @@ EMB_MIN_SIM = 0.3
 ANN_K = 10
 ANN_NQ = 5  # queries: vec_id < 5
 KMEANS_QUANT = 6  # decimal places for reproducible Lloyd means
-DECONTAM_N = 3  # shingle width for the contamination check (short docs)
+DECONTAM_N = 6  # shingle width for the contamination check: wide enough
+# that the tiny 31-word test vocabulary doesn't saturate the shingle
+# space at large sf (31^3 ≈ 30k trigrams were ALL covered by the eval
+# split at sf1, flagging every document and emptying pipe_prepare),
+# narrow enough that planted copies still collide at sf0.001
 DECONTAM_MOD = 37  # doc_id % 37 == 0 plays the "benchmark" eval set
 CHUNK_TOKENS = 32  # chunk width for sequence packing (short test docs)
 MIXTURE_PERMILLE = {"src0": 1000, "src1": 500, "src2": 100}  # data-mixing rates
