@@ -463,9 +463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import tempfile
 
             path = tempfile.mkdtemp(prefix="sem_ivf_") + "/ivf"
+            import math
+
+            emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            step = max(31, math.floor(math.sqrt(emb_raw.count())))
             cents = (
-                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-                .filter(F.col("vec_id") % 31 == 0)
+                emb_raw
+                .filter(F.col("vec_id") % step == 0)
                 .select(
                     F.col("vec_id").alias("cid"),
                     F.col("embedding").cast("array<double>").alias("cv"),
@@ -850,6 +854,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
+    # adaptive IVF seed step — the SQL twin of similarity._seed_step:
+    # max(31, floor(sqrt(N))) over the seeding corpus, so the cell
+    # count scales as sqrt(N) at every sf instead of linearly (a fixed
+    # step made the broadcast assignment fold quadratic at sf1)
+    STEP_E = "(SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    STEP_E_BASE = (
+        "(SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e WHERE vec_id % 97 != 3)"
+    )
+
     o["rdf_filter_property_object"] = _with_quads(
         f"SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG}"
     )
@@ -1112,9 +1125,9 @@ WHERE 1.0 - list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DO
     # the query's nprobe=2 probed IVF cells — the mirror of the
     # partition-pruned store scan (cells: argmax-cosine assignment to
     # the vec_id%31 seed centroids, ties to the lowest cid)
-    o["rdf_semantic_ivf"] = """
+    o["rdf_semantic_ivf"] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {STEP_E} = 0),
 assign AS (
   SELECT nid, nv, cid AS cell FROM (
     SELECT e.vec_id AS nid, e.v AS nv, c.cid,
@@ -1249,7 +1262,7 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
     # (vec_id % 31 == 0), same argmin cell assignment, same nprobe=2
     o["pipe_ann_ivf"] = f"""
 WITH {EMB_D},
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {STEP_E} = 0),
 assign AS (
   SELECT nid, nv, cid AS cell FROM (
     SELECT e.vec_id AS nid, e.v AS nv, c.cid,
@@ -1287,7 +1300,7 @@ a_{out} AS (
 
     o["pipe_ann_ivf_kmeans"] = f"""
 WITH {EMB_D},
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),{_lloyd_iter("c0", "c1")},{_lloyd_iter("c1", "c2")},
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {STEP_E} = 0),{_lloyd_iter("c0", "c1")},{_lloyd_iter("c1", "c2")},
 assign AS (
   SELECT nid, nv, cid AS cell FROM (
     SELECT e.vec_id AS nid, e.v AS nv, c.cid,
@@ -1315,7 +1328,7 @@ SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
     # centroids, which is exactly what append_ivf_store does on disk
     o["pipe_ann_ivf_append"] = f"""
 WITH {EMB_D},
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0 AND vec_id % 97 != 3),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {STEP_E_BASE} = 0 AND vec_id % 97 != 3),
 assign AS (
   SELECT nid, nv, cid AS cell FROM (
     SELECT e.vec_id AS nid, e.v AS nv, c.cid,

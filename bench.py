@@ -314,7 +314,10 @@ def main() -> None:
             ).alias("s"),
             F.col("embedding").cast("array<double>").alias("vec"),
         )
-        sem_cents = embs.filter(F.col("vec_id") % 31 == 0).select(
+        import math
+
+        sem_step = max(31, math.floor(math.sqrt(embs.count())))
+        sem_cents = embs.filter(F.col("vec_id") % sem_step == 0).select(
             F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv")
         )
         timed(

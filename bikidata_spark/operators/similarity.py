@@ -39,6 +39,19 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _seed_step(v: DataFrame) -> int:
+    """Adaptive centroid seed step: ``max(31, floor(sqrt(N)))``, giving
+    ~sqrt(N) cells — the classic IVF sizing. A FIXED step makes the
+    cell count grow linearly with the corpus, which turns the O(N·cells)
+    assignment fold quadratic at scale (measured: 10× data → 100× fold
+    work at step=31). floor(sqrt()) over an exact count is reproducible
+    bit-for-bit in any engine (`GREATEST(31, CAST(floor(sqrt(count(*)))
+    AS BIGINT))` in the DuckDB oracles)."""
+    import math
+
+    return max(31, math.floor(math.sqrt(v.count())))
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -239,7 +252,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    centroid_step: int = 31,
+    centroid_step: int | None = None,
     nprobe: int = 2,
     refine_iters: int = 0,
     quantize: int | None = None,
@@ -250,7 +263,9 @@ def ivf_ann_topk(
     centroid ("cell"); a query probes only its ``nprobe`` nearest
     cells and brute-forces within them. Centroids start as the
     deterministic seed set ``id % centroid_step == 0`` (reproducible
-    anywhere, including in an oracle SQL string); ``refine_iters > 0``
+    anywhere, including in an oracle SQL string); the default step is
+    the adaptive ``_seed_step`` (~sqrt(N) cells, so the assignment
+    fold stays O(N·sqrt(N)) instead of quadratic); ``refine_iters > 0``
     runs that many Lloyd iterations over them (``kmeans_refine``) for
     data-adaptive cells at the cost of bit-exact external
     reproducibility. Ties in the argmin break on centroid id.
@@ -271,6 +286,8 @@ def ivf_ann_topk(
         "nv",
     )
     q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    if centroid_step is None:
+        centroid_step = _seed_step(v)
     cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
         F.col("nid").alias("cid"), F.col("nv").alias("cv")
     )
@@ -311,7 +328,7 @@ def write_ivf_store(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_step: int = 31,
+    centroid_step: int | None = None,
     refine_iters: int = 0,
     quantize: int | None = 6,
     centroids: DataFrame | None = None,
@@ -341,6 +358,8 @@ def write_ivf_store(
     if centroids is not None:
         cents = _as_double(centroids.select("cid", "cv"), "cv")
     else:
+        if centroid_step is None:
+            centroid_step = _seed_step(v)
         cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
             F.col("nid").alias("cid"), F.col("nv").alias("cv")
         )
