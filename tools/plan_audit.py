@@ -252,7 +252,15 @@ def main() -> None:
     for title, claim, df in sections:
         out += [f"## {title}", "", f"*{claim}*", "", digest(df), ""]
     Path("docs").mkdir(exist_ok=True)
-    Path("docs/PLANS.md").write_text("\n".join(out))
+    # everything below the HAND marker is narrative written by hand
+    # across rounds — carry it over verbatim so a regeneration never
+    # drops it again
+    marker = "<!-- HAND-WRITTEN SECTIONS BELOW — preserved by plan_audit.py -->"
+    prev = Path("docs/PLANS.md")
+    tail = ""
+    if prev.exists() and marker in (old := prev.read_text()):
+        tail = old.split(marker, 1)[1]
+    Path("docs/PLANS.md").write_text("\n".join(out) + f"\n{marker}\n" + tail)
     print(f"wrote docs/PLANS.md ({len(sections)} sections)")
 
 
