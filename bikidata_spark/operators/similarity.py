@@ -451,7 +451,13 @@ def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
             "Vacuum/drop the snapshots first, or pass force=True."
         )
     _recover_ivf_store(store_dir)
-    vectors = spark.read.parquet(f"{store_dir}/vectors").distinct()
+    vectors = spark.read.parquet(f"{store_dir}/vectors").select("nid", "nv", "cell")
+    stream = _stream_tree(store_dir)
+    if stream:
+        vectors = vectors.unionByName(
+            spark.read.parquet(stream).select("nid", "nv", "cell")
+        )
+    vectors = vectors.distinct()
     tmp = f"{store_dir}/_compacting"
     old = f"{store_dir}/_old_vectors"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -470,6 +476,12 @@ def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
     os.rename(f"{tmp}/vectors", f"{store_dir}/vectors")
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    # stream tree is folded into the compacted base; clear it LAST — a
+    # crash here leaves its rows duplicated in both trees, which the
+    # next compaction's distinct() heals (at-least-once + dedup, the
+    # same contract as append replay)
+    if stream:
+        shutil.rmtree(stream, ignore_errors=True)
     return {"vectors": n}
 
 
@@ -491,14 +503,30 @@ def _recover_ivf_store(store_dir: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_tree(path: str) -> str | None:
+    """The streaming-append sibling tree (``vectors_stream/batch=<id>/
+    cell=<k>``, written by streaming.similarity.start_ivf_append), or
+    None when absent/empty."""
+    import glob
+    import os
+
+    d = f"{path}/vectors_stream"
+    return d if os.path.isdir(d) and glob.glob(f"{d}/batch=*") else None
+
+
 def read_ivf_store(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(vectors, centroids) of a persisted IVF store; ``vectors``
-    carries the ``cell`` partition column for pruned scans."""
+    carries the ``cell`` partition column for pruned scans. Streamed
+    appends (the ``vectors_stream`` tree) are unioned in — ``cell`` is
+    a partition column in both trees, so pruning is unaffected."""
     _recover_ivf_store(path)
-    return (
-        spark.read.parquet(f"{path}/vectors"),
-        spark.read.parquet(f"{path}/centroids"),
-    )
+    vectors = spark.read.parquet(f"{path}/vectors").select("nid", "nv", "cell")
+    st = _stream_tree(path)
+    if st:
+        vectors = vectors.unionByName(
+            spark.read.parquet(st).select("nid", "nv", "cell")
+        )
+    return vectors, spark.read.parquet(f"{path}/centroids")
 
 
 def ivf_store_topk(

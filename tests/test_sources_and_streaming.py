@@ -1316,3 +1316,72 @@ def test_media_kernels_tolerate_null_payloads(spark):
     vmedia = mm.attach_media(vdf, "media_id", "payload", "video/x-yuv4mpeg")
     frames = mm.sample_frames(vmedia, every_ms=1000).collect()
     assert {r["media_id"] for r in frames} == {1}
+
+
+def test_streaming_ivf_append(spark, tmp_path):
+    """Streaming twin of append_ivf_store: micro-batches assign to the
+    committed centroids and land in idempotent batch=<id> dirs; the
+    unioned read serves them with cell pruning intact; a replayed batch
+    overwrites itself (no duplicates); compaction folds the stream tree
+    into the base and clears it."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.operators.similarity import (
+        compact_ivf_store,
+        ivf_store_topk,
+        read_ivf_store,
+        write_ivf_store,
+    )
+    from bikidata_spark.streaming.similarity import start_ivf_append
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float((i * 13 + d * 7) % 11) for d in range(6)]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    store = str(tmp_path / "ivf")
+    write_ivf_store(vecs(range(30)), store, centroid_step=7)
+
+    src = str(tmp_path / "src")
+    vecs(range(30, 40)).write.parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    q = start_ivf_append(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+
+    vectors, cents = read_ivf_store(spark, store)
+    assert vectors.count() == 40
+    # streamed rows are served: a query vector equal to an appended one
+    # must rank it first among probed neighbors
+    top = ivf_store_topk(vectors, cents, vecs([35]), k=3).collect()
+    by_q = {(r["qid"], r["rank"]): r["neighbor"] for r in top}
+    # vec 35's embedding repeats mod 11 → its exact twins (24, 13, 2)
+    # share the embedding; rank 1 must be one of them
+    assert by_q[(35, 1)] in (2, 13, 24)
+    # pruning: the probed scan carries a static cell filter on BOTH trees
+    cells = sorted(
+        r["cell"]
+        for r in vectors.filter(F.col("nid") == 35).select("cell").collect()
+    )
+    pruned_plan = vectors.filter(F.col("cell").isin(cells))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in pruned_plan or "cell#" in pruned_plan
+
+    # replay: a fresh checkpoint reprocesses the same source files as
+    # the same batch ids — the overwrite dirs make that a no-op
+    q2 = start_ivf_append(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(src),
+        store,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(60)
+    assert read_ivf_store(spark, store)[0].count() == 40
+
+    # compaction folds the stream tree away; contents unchanged
+    out = compact_ivf_store(spark, store)
+    assert out["vectors"] == 40
+    assert not _glob.glob(f"{store}/vectors_stream/batch=*")
+    vectors2, _ = read_ivf_store(spark, store)
+    assert vectors2.count() == 40
+    assert {r["nid"] for r in vectors2.filter("nid >= 30").collect()} == set(range(30, 40))
