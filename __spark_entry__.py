@@ -463,13 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import tempfile
 
             path = tempfile.mkdtemp(prefix="sem_ivf_") + "/ivf"
-            import math
-
             emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            step = max(31, math.floor(math.sqrt(emb_raw.count())))
             cents = (
                 emb_raw
-                .filter(F.col("vec_id") % step == 0)
+                .filter(F.col("vec_id") % sim._seed_step(emb_raw) == 0)
                 .select(
                     F.col("vec_id").alias("cid"),
                     F.col("embedding").cast("array<double>").alias("cv"),

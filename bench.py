@@ -314,10 +314,7 @@ def main() -> None:
             ).alias("s"),
             F.col("embedding").cast("array<double>").alias("vec"),
         )
-        import math
-
-        sem_step = max(31, math.floor(math.sqrt(embs.count())))
-        sem_cents = embs.filter(F.col("vec_id") % sem_step == 0).select(
+        sem_cents = embs.filter(F.col("vec_id") % sim._seed_step(embs) == 0).select(
             F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv")
         )
         timed(

@@ -86,11 +86,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     (partition by user), integer session ids — deterministic."""
     events = ensure_parallelism(to_event_frame(events))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.lit(gap_minutes * 60)
+    # build the microsecond threshold in PYTHON so the literal is a
+    # LongType: a Spark-side int32 multiply would wrap for gaps >= 36min
+    gap_us = F.lit(int(gap_minutes) * 60 * 1_000_000)
     with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))
     new_sess = (
         F.col("prev_ts").isNull()
-        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap * 1_000_000)
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us)
     ).cast("int")
     with_sess = with_prev.withColumn("session_id", F.sum(new_sess).over(w))
     return (

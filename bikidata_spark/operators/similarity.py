@@ -344,7 +344,16 @@ def write_ivf_store(
     ``centroids`` (cid, cv) overrides the seed rule — use it when the
     vector ids are hashes (no meaningful ``id % step`` subset) and the
     centroid choice must be reproducible in an external engine, e.g.
-    seeding from a pre-hash surrogate key."""
+    seeding from a pre-hash surrogate key.
+
+    A rebuild SUBSUMES prior streamed appends: the caller's corpus is
+    the new truth, and the old ``vectors_stream`` tree holds cell ids
+    computed against the OLD centroids — it is cleared up front so the
+    unioned read never mixes layouts. Stop live append streams before
+    rebuilding."""
+    import shutil
+
+    shutil.rmtree(f"{path}/vectors_stream", ignore_errors=True)
     v = _as_double(
         ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
@@ -450,12 +459,21 @@ def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
             "files; compacting would break every committed version. "
             "Vacuum/drop the snapshots first, or pass force=True."
         )
+    import glob
+
     _recover_ivf_store(store_dir)
     vectors = spark.read.parquet(f"{store_dir}/vectors").select("nid", "nv", "cell")
     stream = _stream_tree(store_dir)
-    if stream:
+    # snapshot the batch dirs NOW: a live append stream may commit new
+    # batches while we compact, and only the dirs we actually folded in
+    # may be deleted afterwards — deleting the whole tree would lose
+    # concurrently appended rows the checkpoint already marks committed
+    stream_batches = sorted(glob.glob(f"{stream}/batch=*")) if stream else []
+    if stream_batches:
         vectors = vectors.unionByName(
-            spark.read.parquet(stream).select("nid", "nv", "cell")
+            spark.read.option("basePath", stream)
+            .parquet(*stream_batches)
+            .select("nid", "nv", "cell")
         )
     vectors = vectors.distinct()
     tmp = f"{store_dir}/_compacting"
@@ -476,12 +494,13 @@ def compact_ivf_store(spark, store_dir: str, force: bool = False) -> dict:
     os.rename(f"{tmp}/vectors", f"{store_dir}/vectors")
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
-    # stream tree is folded into the compacted base; clear it LAST — a
-    # crash here leaves its rows duplicated in both trees, which the
+    # folded batch dirs are cleared LAST, and only the ones we read — a
+    # crash here leaves their rows duplicated in both trees, which the
     # next compaction's distinct() heals (at-least-once + dedup, the
-    # same contract as append replay)
-    if stream:
-        shutil.rmtree(stream, ignore_errors=True)
+    # same contract as append replay); batches committed during the
+    # compaction survive untouched
+    for b in stream_batches:
+        shutil.rmtree(b, ignore_errors=True)
     return {"vectors": n}
 
 

@@ -889,3 +889,21 @@ def test_url_stats(spark):
     assert out[1]["clean_text"] == "read <URL> and <URL> plus <URL> end"
     assert abs(out[1]["url_density"] - round(3 / 7, 6)) < 1e-9
     assert out[2]["n_urls"] == 0 and out[2]["clean_text"] == "no links at all"
+
+
+def test_sessionize_long_gap_no_int32_overflow(spark):
+    """gap_minutes >= 36 makes the microsecond threshold exceed int32;
+    a Spark-side int multiply would wrap negative and split EVERY pair
+    of events into separate sessions. Two events 50 minutes apart under
+    a 60-minute gap must share one session."""
+    from bikidata_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "view", 0.0, "{}"),
+            (2, "2024-01-01 00:50:00", 7, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ev.sessionize(df, gap_minutes=60).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2

@@ -1365,8 +1365,11 @@ def test_streaming_ivf_append(spark, tmp_path):
         r["cell"]
         for r in vectors.filter(F.col("nid") == 35).select("cell").collect()
     )
+    import re as _re
+
     pruned_plan = vectors.filter(F.col("cell").isin(cells))._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [cell" in pruned_plan or "cell#" in pruned_plan
+    # BOTH trees' FileScans must carry the cell partition filter
+    assert len(_re.findall(r"PartitionFilters: \[[^\]]*cell", pruned_plan)) >= 2, pruned_plan
 
     # replay: a fresh checkpoint reprocesses the same source files as
     # the same batch ids — the overwrite dirs make that a no-op
@@ -1385,3 +1388,19 @@ def test_streaming_ivf_append(spark, tmp_path):
     vectors2, _ = read_ivf_store(spark, store)
     assert vectors2.count() == 40
     assert {r["nid"] for r in vectors2.filter("nid >= 30").collect()} == set(range(30, 40))
+
+    # a full rebuild SUBSUMES streamed appends: stream more rows, then
+    # rebuild from a fresh corpus — the stale stream tree (old-centroid
+    # cell ids) must not leak into the unioned read
+    vecs(range(40, 45)).write.parquet(str(tmp_path / "src2"))
+    q3 = start_ivf_append(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(
+            str(tmp_path / "src2")
+        ),
+        store,
+        str(tmp_path / "ckpt3"),
+    )
+    q3.awaitTermination(60)
+    assert read_ivf_store(spark, store)[0].count() == 45
+    write_ivf_store(vecs(range(20)), store, centroid_step=7)
+    assert read_ivf_store(spark, store)[0].count() == 20

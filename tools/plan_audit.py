@@ -79,9 +79,11 @@ def _semantic_ivf_sample(spark, g, sf_dir: str, tmp: str):
         ).alias("s"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
+    from bikidata_spark.operators.similarity import _seed_step
+
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") % 31 == 0)
+        emb_raw.filter(F.col("vec_id") % _seed_step(emb_raw) == 0)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv"))
     )
     write_ivf_store(emb, f"{tmp}/sem_ivf", "s", "vec", centroids=cents)
@@ -259,8 +261,8 @@ def main() -> None:
     prev = Path("docs/PLANS.md")
     tail = ""
     if prev.exists() and marker in (old := prev.read_text()):
-        tail = old.split(marker, 1)[1]
-    Path("docs/PLANS.md").write_text("\n".join(out) + f"\n{marker}\n" + tail)
+        tail = old.split(marker, 1)[1].lstrip("\n")
+    Path("docs/PLANS.md").write_text("\n".join(out) + f"\n{marker}\n\n" + tail)
     print(f"wrote docs/PLANS.md ({len(sections)} sections)")
 
 
