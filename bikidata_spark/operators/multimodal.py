@@ -155,6 +155,7 @@ _IMAGE_MIMES = (
     "image/jpeg",
     "image/jpg",
     "image/png",
+    "image/gif",
 )
 _VIDEO_MIMES = ("video/x-yuv4mpeg", "video/y4m")
 
@@ -166,10 +167,11 @@ def decode_image(payload: bytes, mime: str | None = None):
     (BITMAPINFOHEADER family, 24-bit, BI_RGB uncompressed, top-down or
     bottom-up), baseline-sequential JPEG (pure-numpy decoder,
     functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
-    intervals; progressive raises NotImplementedError), and 8-bit PNG
+    intervals; progressive raises NotImplementedError), 8-bit PNG
     (stdlib-zlib decoder, functions/png.py — grey/truecolor/indexed/
-    alpha; interlaced and 16-bit raise). Raises ValueError on anything
-    else."""
+    alpha; interlaced and 16-bit raise), and GIF87a/89a first frame
+    (pure-numpy LZW decoder, functions/gif.py — global/local palettes,
+    interlacing). Raises ValueError on anything else."""
     import numpy as np
 
     if payload is None or len(payload) < 2:
@@ -182,6 +184,10 @@ def decode_image(payload: bytes, mime: str | None = None):
         from ..functions.png import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"P6":
         pos, toks = 2, []
         while len(toks) < 3:
