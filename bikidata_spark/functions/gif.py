@@ -83,20 +83,37 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes -> (H, W, 3) uint8 RGB of the first frame."""
+    """GIF bytes -> (H, W, 3) uint8 RGB: the logical screen with the
+    FIRST frame composited at its (left, top) offset over the
+    background color (frames smaller than the canvas keep canvas
+    geometry). Truncated/corrupt payloads raise ValueError (the
+    decode_image contract, same as the PNG/JPEG codecs)."""
+    try:
+        return _decode_gif(payload)
+    except IndexError:
+        raise ValueError("truncated GIF payload") from None
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF payload")
     pos = 6
     # logical screen descriptor
+    screen_w = int.from_bytes(payload[pos : pos + 2], "little")
+    screen_h = int.from_bytes(payload[pos + 2 : pos + 4], "little")
     packed = payload[pos + 4]
     gct_flag = packed >> 7
     gct_size = 2 << (packed & 0x07)
+    bg_index = payload[pos + 5]
     pos += 7
     gct = None
     if gct_flag:
-        gct = np.frombuffer(payload[pos : pos + 3 * gct_size], dtype=np.uint8).reshape(
-            gct_size, 3
-        )
+        raw = payload[pos : pos + 3 * gct_size]
+        if len(raw) < 3 * gct_size:
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(raw, dtype=np.uint8).reshape(gct_size, 3)
         pos += 3 * gct_size
     while pos < len(payload):
         block = payload[pos]
@@ -107,6 +124,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += 1 + payload[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            left = int.from_bytes(payload[pos : pos + 2], "little")
+            top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
             w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
             h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
             ipacked = payload[pos + 8]
@@ -115,9 +136,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             table = gct
             if ipacked >> 7:  # local color table
                 lct_size = 2 << (ipacked & 0x07)
-                table = np.frombuffer(
-                    payload[pos : pos + 3 * lct_size], dtype=np.uint8
-                ).reshape(lct_size, 3)
+                raw = payload[pos : pos + 3 * lct_size]
+                if len(raw) < 3 * lct_size:
+                    raise ValueError("truncated GIF color table")
+                table = np.frombuffer(raw, dtype=np.uint8).reshape(lct_size, 3)
                 pos += 3 * lct_size
             if table is None:
                 raise ValueError("GIF image has no color table")
@@ -137,7 +159,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
                     deinter[start::step] = idx[row : row + n]
                     row += n
                 idx = deinter
-            return table[np.minimum(idx, len(table) - 1)]
+            frame = table[np.minimum(idx, len(table) - 1)]
+            if (screen_w, screen_h) == (w, h) and (left, top) == (0, 0):
+                return frame
+            # frame smaller than the logical screen: composite onto the
+            # background-colored canvas at its declared offset so the
+            # output keeps canvas geometry
+            bg = table[min(bg_index, len(table) - 1)]
+            canvas = np.broadcast_to(bg, (screen_h, screen_w, 3)).copy()
+            y1, x1 = min(top + h, screen_h), min(left + w, screen_w)
+            canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
+            return canvas
         elif block == 0x3B:  # trailer
             break
         else:
@@ -148,7 +180,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
 def encode_gif(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 with <= 256 distinct colors -> GIF89a bytes."""
     img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"encode_gif expects (H, W, 3), got {img.shape}")
     h, w, _ = img.shape
+    if w > 0xFFFF or h > 0xFFFF or w == 0 or h == 0:
+        raise ValueError(f"GIF dimensions out of range: {w}x{h}")
     flat = img.reshape(-1, 3)
     # palette = unique colors; index map via structured view
     packed = flat[:, 0].astype(np.uint32) << 16 | flat[:, 1].astype(np.uint32) << 8 | flat[:, 2]
@@ -172,34 +208,21 @@ def encode_gif(img: np.ndarray) -> bytes:
     min_code = max(2, bits)
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     out += bytes([min_code])
-    # literal codes with a CLEAR whenever the decoder's dictionary would
-    # force a width increase — classic uncompressed-GIF emission
-    bits_buf = 0
-    nbits = 0
-    body = bytearray()
+    # literal codes with a CLEAR re-emitted before the decoder's
+    # dictionary would force a width increase — classic
+    # uncompressed-GIF emission. Every code then shares ONE fixed width
+    # (min_code+1), so the whole bitstream packs in a single vectorized
+    # LSB-first np.packbits instead of a per-pixel Python loop.
     width = min_code + 1
     budget = (1 << width) - eoi - 2  # literals emittable before width grows
-
-    def emit(code: int):
-        nonlocal bits_buf, nbits
-        bits_buf |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            body.append(bits_buf & 0xFF)
-            bits_buf >>= 8
-            nbits -= 8
-
-    emit(clear)
-    since_clear = 0
-    for v in idx:
-        if since_clear >= budget:
-            emit(clear)
-            since_clear = 0
-        emit(int(v))
-        since_clear += 1
-    emit(eoi)
-    if nbits:
-        body.append(bits_buf & 0xFF)
+    runs = [idx[i : i + budget] for i in range(0, len(idx), budget)] or [idx[:0]]
+    seq = np.concatenate(
+        [np.concatenate(([clear], run)) for run in runs] + [[eoi]]
+    ).astype(np.uint16)
+    bit_matrix = ((seq[:, None] >> np.arange(width, dtype=np.uint16)) & 1).astype(
+        np.uint8
+    )
+    body = np.packbits(bit_matrix.ravel(), bitorder="little").tobytes()
     for i in range(0, len(body), 255):
         chunk = body[i : i + 255]
         out += bytes([len(chunk)]) + chunk

@@ -1461,3 +1461,37 @@ def test_gif_through_media_pipeline(spark):
     assert len(feats) == 16 and any(v for v in feats)
     out = mm.resize_images(media, 6, 6).collect()[0]
     assert mm.decode_image(bytes(out["payload"])).shape == (6, 6, 3)
+
+
+def test_gif_validation_and_canvas():
+    """Truncation and bad shapes raise ValueError (the decode_image
+    contract); a first frame smaller than the logical screen composites
+    onto the background-colored canvas at its declared offset."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bikidata_spark.functions.gif import decode_gif, encode_gif
+
+    for bad in (b"GIF89a\x01\x00", b"GIF89a" + b"\x00" * 20):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+    with _pytest.raises(ValueError):
+        encode_gif(np.zeros((3, 4, 4), dtype=np.uint8))  # RGBA
+    with _pytest.raises(ValueError):
+        encode_gif(np.zeros((1, 70000, 3), dtype=np.uint8))  # > u16 max
+
+    img = np.zeros((3, 4, 3), dtype=np.uint8)
+    img[:, :2] = 255  # colors sorted ascending -> bg index 0 = black
+    raw = bytearray(encode_gif(img))
+    h, w = 3, 4
+    raw[6:8] = (w + 2).to_bytes(2, "little")  # widen the logical screen
+    raw[8:10] = (h + 1).to_bytes(2, "little")
+    size = 2 << (raw[10] & 0x07)
+    desc = 13 + 3 * size
+    assert raw[desc] == 0x2C
+    raw[desc + 1 : desc + 3] = (1).to_bytes(2, "little")  # left
+    raw[desc + 3 : desc + 5] = (1).to_bytes(2, "little")  # top
+    out = decode_gif(bytes(raw))
+    assert out.shape == (h + 1, w + 2, 3)
+    assert np.array_equal(out[1 : 1 + h, 1 : 1 + w], img)
+    assert not out[0].any() and not out[:, 0].any()  # black background
