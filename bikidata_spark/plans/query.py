@@ -20,6 +20,7 @@ Design (Spark-first, 100 TB-minded):
 from __future__ import annotations
 
 import logging
+import os
 import threading
 
 from dataclasses import dataclass, field
@@ -39,6 +40,9 @@ MAX_PATH_DEPTH = 24
 # cuts driver round-trips ~3× while keeping lineage bounded
 _CHECK_EVERY = 3
 SAMPLE_SEED = 42
+# frontier row count under which each parent-hop joins as an explicit
+# broadcast (~8-16 B/row → ≤ ~10 MB broadcast); override via env
+_HOP_BROADCAST_ROWS = int(os.environ.get("BIKIDATA_SPARK_HOP_BROADCAST_ROWS", "500000"))
 
 
 def H(term: str) -> Column:
@@ -201,23 +205,31 @@ class Engine:
         survive the walk); with carry the result is NOT deduplicated
         (callers aggregate).
 
-        Scale: while the walked set is small, AQE turns each hop into a
-        broadcast-hash join — the quad table never shuffles (verified
-        via explain on the hop benchmarks). If a walk explodes past the
-        broadcast threshold, the join degrades to sort-merge and hub
-        objects skew it; AQE's skew-join splitting handles that without
-        manual salting. Deep walks checkpoint every 3 hops to keep the
-        re-planned lineage from growing unboundedly."""
-        out = base
+        Scale: the frontier is materialized and counted up front; while
+        it fits a broadcast (the common case — it is a filter result),
+        each hop is planned as a broadcast-hash join from the START, so
+        the corpus-sized quad table is probed in place and never
+        shuffled. (AQE alone cannot deliver this: it re-plans a
+        sort-merge join only after BOTH sides' shuffles have
+        materialized — too late for the big side.) The count is
+        re-checked at the every-3-hop checkpoints; a walk that explodes
+        past the threshold falls back to shuffle joins with AQE's
+        skew-join splitting handling hub objects."""
+        if hops < 1:
+            return base if carry else base.distinct()
+        out = base.localCheckpoint(eager=True)
+        small = out.count() <= _HOP_BROADCAST_ROWS
         for i in range(hops):
             parents = self.graph.triples.select(
                 F.col("s").alias("_ps"), F.col("o").alias("_po")
             )
-            out = out.join(parents, out.s == F.col("_po")).select(
+            probe = F.broadcast(out) if small else out
+            out = parents.join(probe, probe["s"] == F.col("_po")).select(
                 F.col("_ps").alias("s"), *[F.col(c) for c in carry]
             )
             if (i + 1) % 3 == 0 and i + 1 < hops:
                 out = out.localCheckpoint(eager=True)
+                small = out.count() <= _HOP_BROADCAST_ROWS
         return out if carry else out.distinct()
 
     def _g_cond(self, g: str) -> Column | None:
@@ -628,15 +640,21 @@ class Engine:
             )
         return pref
 
-    def page(self, opts: dict) -> DataFrame:
+    def page(self, opts: dict, _subjects: tuple | None = None) -> DataFrame:
         """Ordered page of subjects: (pos, s, s_value). Deterministic:
         ties always break on the subject's lexical form (the reference
         breaks ties on the hash, which is engine-arbitrary; the lexical
         form is the portable equivalent). Paging uses sort+offset+limit —
         Spark plans it as TakeOrderedAndProject (no full global sort
-        materialization); ``pos`` is then assigned on the ≤size-row page."""
+        materialization); ``pos`` is then assigned on the ≤size-row page.
+
+        ``_subjects`` lets ``query()`` pass an already-materialized
+        (s_results, s_by_score) pair so the filter algebra runs once per
+        request instead of once per phase (total / page / aggregates)."""
         size, start = _parse_size_start(opts)
-        s_results, s_by_score = self.subjects(opts)
+        s_results, s_by_score = (
+            _subjects if _subjects is not None else self.subjects(opts)
+        )
         if s_results is None:
             return self.graph.spark.createDataFrame([], "pos int, s long, s_value string")
         sv = self._subject_values(s_results)
@@ -860,7 +878,18 @@ class Engine:
         {results: {iri: {prop: [vals]}}, total, size, start, aggregates}.
         Only page-sized data is collected."""
         size, start = _parse_size_start(opts)
-        s_results, _ = self.subjects(opts)
+        s_results, s_by_score = self.subjects(opts)
+        if s_results is not None:
+            # materialize the filtered subject set ONCE: total, the
+            # page sort, and every aggregate reuse the checkpointed
+            # frame instead of re-running the filter algebra per phase
+            # (2-3× the work). localCheckpoint leaves any cache-owned
+            # parent frame untouched and is GC-managed, and the frame
+            # is one long column — cheap to spill even for broad
+            # filters.
+            s_results = s_results.localCheckpoint(eager=True)
+        if s_by_score is not None:
+            s_by_score = s_by_score.localCheckpoint(eager=True)
         total = s_results.count() if s_results is not None else 0
         aggregates = {}
         for agg in opts.get("aggregates", []):
@@ -871,7 +900,7 @@ class Engine:
 
         results: dict = {}
         if s_results is not None and size > 0:
-            page = self.page(opts).collect()
+            page = self.page(opts, _subjects=(s_results, s_by_score)).collect()
             page_hashes = [r["s"] for r in page]
             hash_to_val = {r["s"]: r["s_value"] for r in page}
             if page_hashes:
@@ -882,36 +911,41 @@ class Engine:
                     t = t.filter(_isin_terms(F.col("p"), list(only_p)))
                 elif excl_p:
                     t = t.filter(~_isin_terms(F.col("p"), list(excl_p)))
-                terms = self.graph.terms
-                pv = terms.select(F.col("hash").alias("p"), F.col("value").alias("p_val"))
-                ov = terms.select(F.col("hash").alias("o"), F.col("value").alias("o_val"))
-                gv = terms.select(F.col("hash").alias("g"), F.col("value").alias("g_val"))
-                hydrated = (
-                    t.join(pv, "p")
-                    .join(ov, "o")
-                    .join(gv, "g")
-                    .select("s", "p_val", "o_val", "g_val")
-                    .collect()
+                # page-bounded two-scan hydration: collect the page's
+                # triples (≤ size × properties rows), then resolve every
+                # referenced term hash in ONE probe of the terms table —
+                # a generic 3-way join here would shuffle+sort the
+                # corpus-sized terms side three times for a page of rows
+                hydrated = t.select("s", "p", "o", "g").collect()
+                hv = self._term_values(
+                    h for row in hydrated for h in (row["p"], row["o"], row["g"])
                 )
                 for row in hydrated:
                     sv = hash_to_val[row["s"]]
+                    p_val = hv.get(row["p"])
+                    o_val = hv.get(row["o"])
+                    if p_val is None or o_val is None:
+                        continue
+                    g_val = hv.get(row["g"])
                     ent = results.setdefault(sv, {"id": sv, "graph": []})
-                    ent.setdefault(row["p_val"], [])
-                    if row["o_val"] not in ent[row["p_val"]]:
-                        ent[row["p_val"]].append(row["o_val"])
-                    if row["g_val"] and row["g_val"] not in ent["graph"]:
-                        ent["graph"].append(row["g_val"])
-                # paths for the page
+                    ent.setdefault(p_val, [])
+                    if o_val not in ent[p_val]:
+                        ent[p_val].append(o_val)
+                    if g_val and g_val not in ent["graph"]:
+                        ent["graph"].append(g_val)
+                # paths for the page (ancestor chains are page-bounded
+                # too: collect, then one terms probe for their labels)
                 for pad in opts.get("paths", []):
                     subj_df = self.graph.spark.createDataFrame(
                         [(h,) for h in page_hashes], "s long"
                     )
-                    prows = self.paths(subj_df, str(pad))
-                    tv = terms.select(F.col("hash").alias("ancestor"), F.col("value").alias("a_val"))
-                    pcol = prows.join(tv, "ancestor").select("src", "pos", "a_val").collect()
+                    pcol = self.paths(subj_df, str(pad)).collect()
+                    av = self._term_values(r["ancestor"] for r in pcol)
                     chains: dict = {}
                     for r in pcol:
-                        chains.setdefault(r["src"], []).append((r["pos"], r["a_val"]))
+                        a_val = av.get(r["ancestor"])
+                        if a_val is not None:
+                            chains.setdefault(r["src"], []).append((r["pos"], a_val))
                     for h, chain in chains.items():
                         sv = hash_to_val.get(h)
                         if sv is None:
@@ -925,6 +959,23 @@ class Engine:
         if aggregates:
             back["aggregates"] = aggregates
         return back
+
+    def _term_values(self, hashes) -> dict:
+        """Resolve a bounded set of term hashes to lexical forms in ONE
+        pass over the terms table: the hash set is broadcast and probed
+        with a BroadcastHashJoin, so the corpus-sized terms side is
+        scanned in place — never shuffled or sorted. Callers pass
+        page-bounded sets (serving contract), so the broadcast is tiny."""
+        hs = list({int(h) for h in hashes if h is not None})
+        if not hs:
+            return {}
+        need = self.graph.spark.createDataFrame([(h,) for h in hs], "hash long")
+        rows = (
+            self.graph.terms.join(F.broadcast(need), "hash")
+            .select("hash", "value")
+            .collect()
+        )
+        return {r["hash"]: r["value"] for r in rows}
 
     # ---- small introspection API (reference query.py:13-87) -----------
     def raw(self, sql: str) -> DataFrame:
@@ -944,7 +995,10 @@ class Engine:
         t = self.graph.triples
         g = t.groupBy("p").agg(F.count_distinct("s").alias("count"))
         iris = self.graph.iris().select("hash", F.col("value").alias("val"))
-        return g.join(iris, g.p == iris.hash).select("val", "count")
+        # the grouped side is property-vocabulary-sized (bounded by the
+        # schema, not the data) — broadcast it so the corpus-sized iris
+        # side is probed in place instead of shuffled+sorted for an SMJ
+        return iris.join(F.broadcast(g), g.p == iris.hash).select("val", "count")
 
     def count_by_property(self, prop: str) -> DataFrame:
         """object-value → distinct-subject count for one property
