@@ -625,11 +625,15 @@ class Engine:
             expr = F.lower(expr)
 
         ranked = lab.select("s", rank_expr.alias("lang_rank"), expr.alias("sort_label"))
-        w = Window.partitionBy("s").orderBy(F.col("lang_rank").asc(), F.col("sort_label").asc())
+        # best label per subject = min of the (lang_rank, sort_label)
+        # struct: identical to a rank-1 row_number window over (rank asc,
+        # label asc) — both fields are non-null (regexp_extract yields ""
+        # on no match) — but plans as a hash aggregate with map-side
+        # partial combine instead of shuffling + sorting every label row
         pref = (
-            ranked.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("s", "sort_label")
+            ranked.groupBy("s")
+            .agg(F.min(F.struct("lang_rank", "sort_label")).alias("_pref"))
+            .select("s", F.col("_pref.sort_label").alias("sort_label"))
         )
         if natural:
             pref = pref.withColumn(
