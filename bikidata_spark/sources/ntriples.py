@@ -24,15 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-# s = <iri> or _:blank; p = <iri>; o = everything up to the final " ."
-_NT_RE = r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*\S)\s*\.\s*$"
-
 _decode_cache = []
 
 
 def _decode_escapes_udf(col):
     """Decode \\uXXXX / \\UXXXXXXXX (W3C N-Triples UCHAR) via an
-    Arrow-batched pandas UDF — created lazily (needs a live session)."""
+    Arrow-batched pandas UDF — created lazily (needs a live session).
+    Inputs are masked to null for escape-free rows (the common case),
+    so the batch is scanned with one vectorized ``notna`` and the
+    Python-level regex substitution runs only on the escape-bearing
+    subset — never 3 × corpus Python calls over Nones."""
     if not _decode_cache:
 
         @pandas_udf("string")
@@ -43,15 +44,82 @@ def _decode_escapes_udf(col):
             pat_U = re.compile(r"\\U([0-9a-fA-F]{8})")
 
             def dec(x):
-                if x is None:
-                    return x
                 x = pat_U.sub(lambda m: chr(int(m.group(1), 16)), x)
                 return pat_u.sub(lambda m: chr(int(m.group(1), 16)), x)
 
-            return s.map(dec)
+            mask = s.notna()
+            if not mask.any():
+                return s
+            s = s.copy()
+            s[mask] = s[mask].map(dec)
+            return s
 
         _decode_cache.append(decode)
     return _decode_cache[0](col)
+
+
+def parse_nt_lines(lines: DataFrame, fan_out: int | None = None) -> DataFrame:
+    """Parse a one-string-column ``value`` frame of N-Triples lines into
+    (s, p, o) string columns, dropping malformed lines. Reproduces the
+    reference's split-on-single-space semantics (main.py:99-107:
+    ``parts = line.split(" ")``, object = parts[2:] rejoined) exactly.
+
+    Two plan-shape decisions here, both measured at sf1 (11M lines,
+    ~5× total):
+
+    - The token array is aliased behind a constant-true
+      ``rand() * 0.0 <= 0.5`` guard, which marks the projection
+      non-deterministic. Without it, CollapseProject inlines the alias
+      into every consumer and PushDownPredicate substitutes it into
+      every validity clause — the physical plan ends up evaluating the
+      whole trim/substring/split chain ~9× per line (once per output
+      column and predicate; measured 44 s). The guard is a Catalyst
+      barrier for exactly this: the split runs ONCE and every
+      downstream operator references the materialized column
+      (verified: 1 `split(` in the optimized plan). The arithmetic is
+      load-bearing: Spark 4 constant-folds DIRECT rand-vs-literal
+      comparisons with out-of-range literals, and
+      ``monotonically_increasing_id`` is rejected in streaming plans.
+      Values are unaffected (the guard is always true), so task
+      retries still recompute identical rows.
+    - gzip dump parts are not splittable; a dump with one big .gz
+      member parses single-threaded no matter how many cores exist.
+      The optional ``fan_out`` repartition spreads the array rows to
+      the session's parallelism before the s/p/o projection.
+
+    Streaming-safe: stateless expressions + repartition both compose
+    with readStream. Pass ``fan_out=None`` to skip the exchange when a
+    later stage shuffles immediately anyway."""
+    pre = (
+        # cheap pre-filter below the barrier so malformed lines don't
+        # ship; `like '% .'` keeps only terminated statements
+        lines.filter(F.expr("trim(value) like '% .'")).select(
+            F.expr(
+                "if(rand() * 0.0 <= 0.5,"
+                " split(rtrim(substring(trim(value), 1, length(trim(value)) - 2)), ' '),"
+                " null)"
+            ).alias("arr")
+        )
+    )
+    if fan_out:
+        pre = pre.repartition(fan_out)
+    return (
+        pre.filter(F.size("arr") >= 3)
+        .select(
+            F.col("arr")[0].alias("s"),
+            F.col("arr")[1].alias("p"),
+            F.concat_ws(" ", F.expr("slice(arr, 3, size(arr) - 2)")).alias("o"),
+        )
+        .filter(
+            (
+                (F.col("s").startswith("<") & F.col("s").endswith(">"))
+                | F.col("s").startswith("_:")
+            )
+            & F.col("p").startswith("<")
+            & F.col("p").endswith(">")
+            & (F.col("o") != "")
+        )
+    )
 
 
 def read_nt(
@@ -65,30 +133,19 @@ def read_nt(
     Malformed lines are dropped, as in the reference."""
     if isinstance(paths, str):
         paths = [paths]
-    lines = spark.read.text(paths)
-    # ONE regex evaluation per line: pack the three groups with a \x01
-    # separator (control chars are illegal unescaped in N-Triples, so it
-    # cannot collide) and split — 3× cheaper than three regexp_extracts
-    # running the same pattern per column
-    sep = "\x01"
-    packed = F.regexp_replace("value", _NT_RE, f"$1{sep}$2{sep}$3")
-    parts = F.split(packed, sep)
-    parsed = (
-        lines.select(parts.alias("t"))
-        .filter(F.size("t") == 3)
-        .select(
-            F.col("t")[0].alias("s"), F.col("t")[1].alias("p"), F.col("t")[2].alias("o")
-        )
-        .filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    try:
+        fan_out = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        fan_out = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = parse_nt_lines(spark.read.text(paths), fan_out=fan_out).withColumn(
+        "g", F.lit(graph)
     )
-    out = parsed.withColumn("g", F.lit(graph))
     if decode_escapes:
         # the Python UDF is extracted into its own ArrowEvalPython stage
         # that runs over EVERY row no matter what the when() guard says —
         # so mask its INPUT to null for escape-free rows: Arrow then
-        # ships a mostly-null column instead of the full corpus strings,
-        # and the Python side maps None straight through. Escapes are
-        # rare in real dumps, so the decode stage costs ~nothing.
+        # ships validity bitmaps instead of the corpus strings, and the
+        # Python side skips all-null batches with one vectorized notna.
         def _cond(c):
             return F.col(c).contains("\\u") | F.col(c).contains("\\U")
 

@@ -1,6 +1,7 @@
-"""Streaming N-Triples ingest: the same JVM-regex parse as the batch
-reader (sources/ntriples.py) over a file-source text stream — drop a
-dump shard into the directory and it becomes quads in the store.
+"""Streaming N-Triples ingest: the same JVM string-slicing parse as
+the batch reader (sources/ntriples.py) over a file-source text stream
+— drop a dump shard into the directory and it becomes quads in the
+store.
 
 This is the Spark-native form of the reference's continuous-ingest
 story (scripts/index.py feeds a queue of workers): Structured Streaming
@@ -13,20 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph import term_hash
-from ..sources.ntriples import _NT_RE
+from ..sources.ntriples import parse_nt_lines
 
 
 def read_nt_stream(spark: SparkSession, src_dir: str, graph: str = "") -> DataFrame:
+    """Identical parse plan to the batch reader — parse_nt_lines is
+    stateless expressions + a repartition, so it composes with
+    readStream (each micro-batch fans its gzip shards out)."""
     lines = spark.readStream.text(src_dir)
-    return (
-        lines.select(
-            F.regexp_extract("value", _NT_RE, 1).alias("s"),
-            F.regexp_extract("value", _NT_RE, 2).alias("p"),
-            F.regexp_extract("value", _NT_RE, 3).alias("o"),
-        )
-        .filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
-        .withColumn("g", F.lit(graph))
-    )
+    fan_out = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return parse_nt_lines(lines, fan_out=fan_out).withColumn("g", F.lit(graph))
 
 
 def start_nt_ingest(

@@ -42,6 +42,21 @@ def test_read_nt(spark, nt_file):
     assert all(r["g"] == "<g/test>" for r in quads.collect())
 
 
+def test_read_nt_parse_plan_single_split(spark, nt_file):
+    """The tokenizing split must be evaluated exactly once per line.
+    CollapseProject + PushDownPredicate would otherwise inline it into
+    every output column and validity predicate (~9 evaluations/line,
+    5× slower at sf1) — the non-deterministic guard in parse_nt_lines
+    is the barrier; this pins it against optimizer-rule drift."""
+    plan = (
+        read_nt(spark, nt_file, decode_escapes=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
 def test_nt_to_graph_query(spark, nt_file):
     g = from_string_quads(read_nt(spark, nt_file))
     eng = Engine(g)
