@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.porter import porter_stem, stem_tokens_df
+from ..functions.porter import porter_stem, stem_tokens_via_vocab
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 BM25_K1 = 1.2
@@ -317,7 +317,7 @@ def build_fts_index(
         F.explode(tokens_col(F.col("value"), strip_accents)).alias("token"),
     )
     if stem:
-        toks = stem_tokens_df(toks, "token")
+        toks = stem_tokens_via_vocab(toks, "token")
     postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf")).persist()
     # materialize now — "build" should pay the build cost, not the first
     # query (persist alone is lazy). ONE tokenize scan: doc_len (dl =

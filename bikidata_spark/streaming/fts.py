@@ -33,10 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph import term_hash
+from ..functions.porter import stem_tokens_via_vocab
 from ..operators.fts import (
     FtsIndex,
     _token_bucket_col,
-    stem_tokens_df,
     tokens_col,
 )
 from .mutations import MUTATION_SCHEMA, _read_log, _read_log_excluding
@@ -106,7 +106,7 @@ def start_fts_ingest(
             "lit", F.explode(tokens_col(F.col("value"), strip_accents)).alias("token")
         )
         if stem:
-            toks = stem_tokens_df(toks, "token")
+            toks = stem_tokens_via_vocab(toks, "token")
         postings = (
             toks.groupBy("lit", "token")
             .agg(F.count("*").alias("tf"))
@@ -175,7 +175,7 @@ def bootstrap_fts_store(
         "lit", F.explode(tokens_col(F.col("value"), strip_accents)).alias("token")
     )
     if stem:
-        toks = stem_tokens_df(toks, "token")
+        toks = stem_tokens_via_vocab(toks, "token")
     postings = (
         toks.groupBy("lit", "token")
         .agg(F.count("*").alias("tf"))
