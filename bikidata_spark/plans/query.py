@@ -777,16 +777,24 @@ class Engine:
         hard safety cap of ``8 × MAX_PATH_DEPTH``.
 
         Driver round-trips are batched: ``_CHECK_EVERY`` join levels
-        share one ``localCheckpoint`` + one ``isEmpty`` probe, so a
+        share one ``localCheckpoint`` + one ``count`` probe, so a
         d-deep walk costs ~2·d/3 driver actions instead of 2·d, while
         lineage stays bounded (each level is rooted at most 2 joins
-        past a checkpoint)."""
+        past a checkpoint). The count doubles as the emptiness check
+        AND the broadcast decision: while the frontier is small (the
+        serving contract — page-sized subject sets), every level joins
+        as an explicit broadcast so the corpus-sized edge set is probed
+        in place, never shuffled (AQE can only downgrade after both
+        sides have already shuffled — see _walk_up)."""
         edges = (
             self.graph.triples.filter(F.col("p") == H(prop))
             .select(F.col("s").alias("child"), F.col("o").alias("parent"))
         )
-        start = subjects.select(F.col("s").alias("src"), F.col("s").alias("cur"))
+        start = subjects.select(
+            F.col("s").alias("src"), F.col("s").alias("cur")
+        ).localCheckpoint(eager=True)
         cur = start
+        small = start.count() <= _HOP_BROADCAST_ROWS
         rows = []
         cyclic_accum = None
         hard_cap = MAX_PATH_DEPTH * 8
@@ -796,8 +804,9 @@ class Engine:
             batch = []
             for _ in range(min(_CHECK_EVERY, hard_cap - depth)):
                 depth += 1
+                probe = F.broadcast(cur) if small else cur
                 cur = (
-                    cur.join(edges, cur.cur == edges.child)
+                    edges.join(probe, probe["cur"] == edges["child"])
                     .select("src", F.col("parent").alias("cur"))
                 )
                 batch.append((depth, cur))
@@ -807,8 +816,10 @@ class Engine:
                 df.select("src", F.lit(d).alias("pos"), F.col("cur").alias("ancestor"))
                 for d, df in batch
             )
-            if cur.isEmpty():
+            n = cur.count()
+            if n == 0:
                 break
+            small = n <= _HOP_BROADCAST_ROWS
             if depth >= MAX_PATH_DEPTH:
                 # cycle check: a frontier node already on its subject's
                 # chain (or the subject itself) can never reach a root —
