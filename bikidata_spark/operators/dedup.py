@@ -103,12 +103,16 @@ def minhash_band_candidates(
     verify join bounded, the standard banding deployed at scale."""
     if num_hashes % rows_per_band:
         raise ValueError(f"num_hashes={num_hashes} not divisible by rows_per_band={rows_per_band}")
-    hb = _hbase(F.col("s"))
-    # signatures from the materialized shingle set (one scan); one md5
-    # base hash per shingle, n cheap (a*h+b) mod p derivations
-    sig = sh.groupBy("id").agg(
+    # one md5 base hash per shingle, n cheap (a*h+b) mod p derivations.
+    # hb is a projected COLUMN rather than an expression repeated in the
+    # n aggregates: codegen's subexpression elimination dedupes the
+    # inline form at runtime (measured identical), but the projected
+    # form keeps the single-md5 contract visible in the plan and holds
+    # on interpreted (non-codegen) paths too
+    hbased = sh.select("id", _hbase(F.col("s")).alias("hb"))
+    sig = hbased.groupBy("id").agg(
         *[
-            F.min(_huniv(hb, a, b)).alias(f"h{i}")
+            F.min(_huniv(F.col("hb"), a, b)).alias(f"h{i}")
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ]
     )
