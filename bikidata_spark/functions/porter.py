@@ -319,24 +319,6 @@ def stem_tokens_df(df, col: str):
     return df.withColumn(col, out).drop(work, flag, patt)
 
 
-def stem_tokens_via_vocab(df, col: str):
-    """Stem ``df[col]`` by stemming the DISTINCT vocabulary and joining
-    the raw→stem mapping back onto the occurrences.
-
-    The ~20 layered regex stages cost ~100-300 µs per evaluation; under
-    Zipf's law the type count is orders of magnitude below the token
-    count, so running the stemmer per TYPE instead of per OCCURRENCE
-    turns the dominant index-build cost into a small vocabulary job
-    plus one join (AQE broadcasts the mapping — real vocabularies are
-    megabytes). Output is row-identical to stem_tokens_df by
-    construction (the stem is a pure function of the token)."""
-    from pyspark.sql import functions as F
-
-    vocab = df.select(F.col(col).alias("__raw")).distinct()
-    mapping = stem_tokens_df(vocab.withColumn(col, F.col("__raw")), col)
-    return df.withColumnRenamed(col, "__raw").join(mapping, "__raw").drop("__raw")
-
-
 def porter_subquery(inner_sql: str, carry_cols: list[str], tok_col: str = "t") -> str:
     """Wrap a DuckDB SELECT producing ``carry_cols + [tok_col]`` so that
     ``tok_col`` comes out stemmed (same layers, nested subqueries)."""

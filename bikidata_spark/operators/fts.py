@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.porter import porter_stem, stem_tokens_via_vocab
+from ..functions.porter import porter_stem, stem_tokens_df
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 BM25_K1 = 1.2
@@ -303,22 +303,43 @@ def read_fts_index(spark, path: str) -> FtsIndex:
     )
 
 
+def token_postings(toks: DataFrame, stem: bool) -> DataFrame:
+    """(lit, token, tf) postings from an exploded (lit, token) stream.
+
+    With ``stem``, RAW postings aggregate first — the occurrence-level
+    shuffle is identical to the unstemmed build — then the Porter
+    stemmer runs over the POSTINGS rows (already deduplicated to
+    distinct (doc, token) pairs) and same-stem rows re-aggregate with
+    a postings-sized second shuffle. Stemming per posting instead of
+    per occurrence captures most of the Zipf dedup win (postings ≤
+    occurrences, and the re-agg shuffle it needs is postings-sized)
+    while staying ONE lineage — no extra distinct / checkpoint /
+    broadcast jobs, whose fixed latencies dominate at small scale.
+    (A per-TYPE variant — stem the distinct vocabulary, join the
+    mapping back — saves a further |postings|/|vocab| factor of
+    stemmer evaluations but costs a vocabulary materialization and a
+    mapping join per build; measured at sf0.1–sf1 the extra jobs cost
+    more than the regex they save.)"""
+    raw = toks.groupBy("lit", "token").agg(F.count("*").alias("tf"))
+    if not stem:
+        return raw
+    stemmed = stem_tokens_df(raw, "token")
+    return stemmed.groupBy("lit", "token").agg(F.sum("tf").alias("tf"))
+
+
 def build_fts_index(
     literals: DataFrame, stem: bool = False, strip_accents: bool = True
 ) -> FtsIndex:
     """Index ``(hash, value)`` literals. One scan, one shuffle (groupBy
     token+lit), map-side combine via partial aggregation. ``stem=True``
     applies the full Porter stemmer (the reference's default indexing
-    mode, main.py:217-220) as layered JVM expressions — tokens are
-    exploded to rows first so the nine stemmer stages stay one stacked
-    Project each instead of exploding inside an array lambda."""
+    mode, main.py:217-220) per vocabulary TYPE — see
+    :func:`token_postings`."""
     toks = literals.select(
         F.col("hash").alias("lit"),
         F.explode(tokens_col(F.col("value"), strip_accents)).alias("token"),
     )
-    if stem:
-        toks = stem_tokens_via_vocab(toks, "token")
-    postings = toks.groupBy("lit", "token").agg(F.count("*").alias("tf")).persist()
+    postings = token_postings(toks, stem).persist()
     # materialize now — "build" should pay the build cost, not the first
     # query (persist alone is lazy). ONE tokenize scan: doc_len (dl =
     # sum tf) and token_df both derive from the cached postings.

@@ -33,10 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph import term_hash
-from ..functions.porter import stem_tokens_via_vocab
 from ..operators.fts import (
     FtsIndex,
     _token_bucket_col,
+    token_postings,
     tokens_col,
 )
 from .mutations import MUTATION_SCHEMA, _read_log, _read_log_excluding
@@ -105,11 +105,8 @@ def start_fts_ingest(
         toks = lits.select(
             "lit", F.explode(tokens_col(F.col("value"), strip_accents)).alias("token")
         )
-        if stem:
-            toks = stem_tokens_via_vocab(toks, "token")
         postings = (
-            toks.groupBy("lit", "token")
-            .agg(F.count("*").alias("tf"))
+            token_postings(toks, stem)
             .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
             .persist()
         )
@@ -174,11 +171,8 @@ def bootstrap_fts_store(
     toks = lits.select(
         "lit", F.explode(tokens_col(F.col("value"), strip_accents)).alias("token")
     )
-    if stem:
-        toks = stem_tokens_via_vocab(toks, "token")
     postings = (
-        toks.groupBy("lit", "token")
-        .agg(F.count("*").alias("tf"))
+        token_postings(toks, stem)
         .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
         .persist()
     )
