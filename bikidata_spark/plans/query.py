@@ -903,7 +903,9 @@ class Engine:
             # is one long column — cheap to spill even for broad
             # filters.
             s_results = s_results.localCheckpoint(eager=True)
-        if s_by_score is not None:
+        if s_by_score is not None and size > 0:
+            # scores only order the page; a size=0 (aggregate-only)
+            # request never reads them — don't materialize
             s_by_score = s_by_score.localCheckpoint(eager=True)
         total = s_results.count() if s_results is not None else 0
         aggregates = {}
