@@ -306,8 +306,18 @@ class Engine:
             base = with_g(base)
             # scores ride the walk to the ancestor (reference query.py:204
             # selects T{parents}.s, score); per-subject max like the
-            # reference's s_by_score aggregation (query.py:682-684)
-            walked = self._walk_up(base.select("s", "score"), hops, carry=("score",))
+            # reference's s_by_score aggregation (query.py:682-684).
+            # persist() the walked (s, score) rows: the subject set and
+            # the score frame both derive from them, and as independent
+            # lineages each would re-execute the whole match+walk
+            # (measured ~0.8 s per extra execution at sf0.1). persist —
+            # not localCheckpoint — so the FTS store scan's
+            # PartitionFilters pruning stays visible in served plans
+            # (the cluster-shape tests pin it); the cache is freed by
+            # the ContextCleaner when the query's frames are released.
+            walked = self._walk_up(
+                base.select("s", "score"), hops, carry=("score",)
+            ).persist()
             subj = walked.select("s").distinct()
             scores = walked.groupBy("s").agg(F.max("score").alias("score"))
             return subj, scores
@@ -405,6 +415,11 @@ class Engine:
         t = self.graph.triples
         if gc is not None:
             scored = scored.join(t.filter(gc).select("s").distinct(), "s", "left_semi")
+        # NOT checkpointed (unlike the fts walk): the subject and score
+        # lineages each re-run the vector scan, but it is cell-pruned to
+        # nprobe directories — and keeping the lineage intact keeps the
+        # PartitionFilters pruning visible in served plans, which the
+        # cluster-shape tests and audits pin
         return scored.select("s").distinct(), scored.select("s", "score")
 
     # ---- filter algebra ------------------------------------------------
