@@ -1,6 +1,6 @@
 """CLI — parity with ``python -m bikidata`` (reference __main__.py):
 
-    python -m bikidata_spark build  <store_dir> <file.nt|.trig|dir> [...]
+    python -m bikidata_spark build  <store_dir> <file.nt|.nq|.trig|dir> [...]
     python -m bikidata_spark query  <store_dir> '<json opts>'
     python -m bikidata_spark total  <store_dir>
     python -m bikidata_spark serve  <store_dir> [num_workers]
@@ -26,9 +26,9 @@ import sys
 from .graph import from_string_quads, read_graph, write_graph
 from .plans.query import Engine
 from .session import get_spark
-from .sources.ntriples import read_nt, read_trig
+from .sources.ntriples import read_nq, read_nt, read_trig
 
-SUFFIXES = (".gz", ".nt", ".trig")
+SUFFIXES = (".gz", ".nt", ".nq", ".trig")
 
 
 def _collect_paths(args: list[str]) -> list[str]:
@@ -69,8 +69,11 @@ def main(argv: list[str]) -> int:
         # .trig.gz is admitted by the .gz suffix filter — route it to the
         # TriG reader too, or block headers are silently parsed as NT
         trig = [f for f in files if f.endswith((".trig", ".trig.gz"))]
-        nt = [f for f in files if not f.endswith((".trig", ".trig.gz"))]
+        nq = [f for f in files if f.endswith((".nq", ".nq.gz"))]
+        nt = [f for f in files if f not in trig and f not in nq]
         parts = [read_nt(spark, nt)] if nt else []
+        if nq:
+            parts.append(read_nq(spark, nq))
         if trig:
             parts.append(read_trig(spark, trig))
         quads = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])

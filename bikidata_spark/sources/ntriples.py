@@ -90,6 +90,21 @@ def parse_nt_lines(lines: DataFrame, fan_out: int | None = None) -> DataFrame:
     Streaming-safe: stateless expressions + repartition both compose
     with readStream. Pass ``fan_out=None`` to skip the exchange when a
     later stage shuffles immediately anyway."""
+    pre = _nt_token_arrays(lines, fan_out)
+    return (
+        pre.filter(F.size("arr") >= 3)
+        .select(
+            F.col("arr")[0].alias("s"),
+            F.col("arr")[1].alias("p"),
+            F.concat_ws(" ", F.expr("slice(arr, 3, size(arr) - 2)")).alias("o"),
+        )
+        .filter(_term_validity())
+    )
+
+
+def _nt_token_arrays(lines: DataFrame, fan_out: int | None) -> DataFrame:
+    """The shared barrier stage: terminated lines → whitespace token
+    arrays (see parse_nt_lines for why the guard and the exchange)."""
     pre = (
         # cheap pre-filter below the barrier so malformed lines don't
         # ship; `like '% .'` keeps only terminated statements
@@ -103,22 +118,51 @@ def parse_nt_lines(lines: DataFrame, fan_out: int | None = None) -> DataFrame:
     )
     if fan_out:
         pre = pre.repartition(fan_out)
+    return pre
+
+
+def _term_validity():
+    return (
+        (
+            (F.col("s").startswith("<") & F.col("s").endswith(">"))
+            | F.col("s").startswith("_:")
+        )
+        & F.col("p").startswith("<")
+        & F.col("p").endswith(">")
+        & (F.col("o") != "")
+    )
+
+
+def parse_nq_lines(lines: DataFrame, fan_out: int | None = None) -> DataFrame:
+    """Parse N-Quads lines into (s, p, o, g) — N-Triples plus an
+    optional graph-label 4th term (W3C N-Quads; the reference has no
+    N-Quads path — its ``read_nt`` folds a 4th term INTO the object).
+
+    Graph detection is purely token-shaped and sound for valid
+    N-Quads: a statement has a graph iff it has ≥ 4 tokens AND the
+    last token is an IRI or blank-node label. A literal object can
+    never end the line with a bare IRI token — its final token always
+    carries the closing quote or a ``"^^<dt>`` / ``"@lang`` suffix
+    attached to it, so it fails the IRI shape."""
+    pre = _nt_token_arrays(lines, fan_out)
+    last = F.element_at(F.col("arr"), -1)
+    has_g = (
+        (F.size("arr") >= 4)
+        & ((last.startswith("<") & last.endswith(">")) | last.startswith("_:"))
+    )
     return (
         pre.filter(F.size("arr") >= 3)
         .select(
             F.col("arr")[0].alias("s"),
             F.col("arr")[1].alias("p"),
-            F.concat_ws(" ", F.expr("slice(arr, 3, size(arr) - 2)")).alias("o"),
-        )
-        .filter(
-            (
-                (F.col("s").startswith("<") & F.col("s").endswith(">"))
-                | F.col("s").startswith("_:")
+            F.when(
+                has_g, F.concat_ws(" ", F.expr("slice(arr, 3, size(arr) - 3)"))
             )
-            & F.col("p").startswith("<")
-            & F.col("p").endswith(">")
-            & (F.col("o") != "")
+            .otherwise(F.concat_ws(" ", F.expr("slice(arr, 3, size(arr) - 2)")))
+            .alias("o"),
+            F.when(has_g, last).otherwise(F.lit("")).alias("g"),
         )
+        .filter(_term_validity())
     )
 
 
@@ -141,24 +185,51 @@ def read_nt(
         "g", F.lit(graph)
     )
     if decode_escapes:
-        # the Python UDF is extracted into its own ArrowEvalPython stage
-        # that runs over EVERY row no matter what the when() guard says —
-        # so mask its INPUT to null for escape-free rows: Arrow then
-        # ships validity bitmaps instead of the corpus strings, and the
-        # Python side skips all-null batches with one vectorized notna.
-        def _cond(c):
-            return F.col(c).contains("\\u") | F.col(c).contains("\\U")
-
-        out = out.select(
-            *[
-                F.when(_cond(c), _decode_escapes_udf(F.when(_cond(c), F.col(c))))
-                .otherwise(F.col(c))
-                .alias(c)
-                for c in ("s", "p", "o")
-            ],
-            "g",
-        )
+        out = _decode_frame(out, ("s", "p", "o"))
     return out
+
+
+def read_nq(
+    spark: SparkSession,
+    paths: list[str] | str,
+    decode_escapes: bool = True,
+) -> DataFrame:
+    """Parse N-Quads text files (plain or .gz) into string quads
+    (s, p, o, g); statements without a graph label get ``g = ""``.
+    Same distributed single-split parse plan as :func:`read_nt`."""
+    if isinstance(paths, str):
+        paths = [paths]
+    try:
+        fan_out = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        fan_out = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = parse_nq_lines(spark.read.text(paths), fan_out=fan_out)
+    if decode_escapes:
+        out = _decode_frame(out, ("s", "p", "o"))
+    return out
+
+
+def _decode_frame(out: DataFrame, cols: tuple) -> DataFrame:
+    """Apply the UCHAR escape decode to ``cols``. The Python UDF is
+    extracted into its own ArrowEvalPython stage that runs over EVERY
+    row no matter what the when() guard says — so mask its INPUT to
+    null for escape-free rows: Arrow then ships validity bitmaps
+    instead of the corpus strings, and the Python side skips all-null
+    batches with one vectorized notna."""
+
+    def _cond(c):
+        return F.col(c).contains("\\u") | F.col(c).contains("\\U")
+
+    keep = [c for c in out.columns if c not in cols]
+    return out.select(
+        *[
+            F.when(_cond(c), _decode_escapes_udf(F.when(_cond(c), F.col(c))))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ],
+        *keep,
+    )
 
 
 def read_trig(

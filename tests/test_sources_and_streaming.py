@@ -42,6 +42,36 @@ def test_read_nt(spark, nt_file):
     assert all(r["g"] == "<g/test>" for r in quads.collect())
 
 
+def test_read_nq(spark, tmp_path):
+    """N-Quads: optional graph-label 4th term (not a reference feature —
+    its read_nt folds the 4th term into the object). Graph detection is
+    token-shaped; literal objects whose text contains spaces, IRIs, or
+    datatype suffixes must not be mistaken for graph labels."""
+    from bikidata_spark.sources.ntriples import read_nq
+
+    f = tmp_path / "data.nq"
+    f.write_text(
+        "<http://ex/s1> <http://ex/p> <http://ex/o1> <http://ex/g1> .\n"
+        "<http://ex/s2> <http://ex/p> \"plain literal\" .\n"
+        "<http://ex/s3> <http://ex/p> \"graphed literal\" <http://ex/g2> .\n"
+        "<http://ex/s4> <http://ex/p> \"ends with <iri>\" .\n"
+        "<http://ex/s5> <http://ex/p> \"1 2\"^^<http://ex/int> .\n"
+        "_:b0 <http://ex/p> <http://ex/o2> _:g3 .\n"
+        "<http://ex/s6> <http://ex/p> <http://ex/o3> .\n"
+        "malformed line\n"
+    )
+    rows = {(r["s"], r["o"], r["g"]) for r in read_nq(spark, str(f)).collect()}
+    assert rows == {
+        ("<http://ex/s1>", "<http://ex/o1>", "<http://ex/g1>"),
+        ("<http://ex/s2>", '"plain literal"', ""),
+        ("<http://ex/s3>", '"graphed literal"', "<http://ex/g2>"),
+        ("<http://ex/s4>", '"ends with <iri>"', ""),
+        ("<http://ex/s5>", '"1 2"^^<http://ex/int>', ""),
+        ("_:b0", "<http://ex/o2>", "_:g3"),
+        ("<http://ex/s6>", "<http://ex/o3>", ""),
+    }
+
+
 def test_read_nt_parse_plan_single_split(spark, nt_file):
     """The tokenizing split must be evaluated exactly once per line.
     CollapseProject + PushDownPredicate would otherwise inline it into
