@@ -19,6 +19,7 @@ one JSON result per stdout line, concurrent via the Serving pool.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -76,7 +77,7 @@ def main(argv: list[str]) -> int:
             parts.append(read_nq(spark, nq))
         if trig:
             parts.append(read_trig(spark, trig))
-        quads = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+        quads = functools.reduce(lambda a, b: a.unionAll(b), parts)
         graph = from_string_quads(quads)
         write_graph(graph, store)
         n = read_graph(spark, store).triples.count()

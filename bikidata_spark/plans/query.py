@@ -129,6 +129,13 @@ class Engine:
     # loop plus the stat counters — Serving drives this engine from a
     # thread pool, and an unguarded pop(key) races to a KeyError
     _cache_lock: object = field(default_factory=threading.RLock, repr=False)
+    # per-request persisted frames (e.g. the fts walked-score frame)
+    # keyed by requesting thread: query() releases ITS OWN entries in a
+    # finally, so sustained serving cannot accumulate storage blocks
+    # between driver GC cycles. Keyed per-thread because Serving runs
+    # many query() calls concurrently on this one Engine — a global
+    # release would drop a sibling request's cache mid-flight.
+    _transient_caches: dict = field(default_factory=dict, repr=False)
     # bumped by replace_graph: a query thread that computed its subject
     # set against the OLD graph must not repopulate the cache after the
     # swap (the key is only the filter spec, so a stale insert would be
@@ -218,7 +225,8 @@ class Engine:
         if hops < 1:
             return base if carry else base.distinct()
         out = base.localCheckpoint(eager=True)
-        small = out.count() <= _HOP_BROADCAST_ROWS
+        n = out.count()
+        small = n <= _HOP_BROADCAST_ROWS
         for i in range(hops):
             parents = self.graph.triples.select(
                 F.col("s").alias("_ps"), F.col("o").alias("_po")
@@ -227,9 +235,17 @@ class Engine:
             out = parents.join(probe, probe["s"] == F.col("_po")).select(
                 F.col("_ps").alias("s"), *[F.col(c) for c in carry]
             )
-            if (i + 1) % 3 == 0 and i + 1 < hops:
+            # a count can go stale by up to 3 join levels; that is fine
+            # while the frontier is far below the broadcast ceiling, but
+            # within an order of magnitude of it a single hub fan-out
+            # could force a multi-hundred-MB broadcast before the next
+            # scheduled re-check — so near the ceiling, re-check every
+            # level (one extra count job, only when it matters)
+            near_ceiling = small and n > _HOP_BROADCAST_ROWS // 10
+            if (near_ceiling or (i + 1) % 3 == 0) and i + 1 < hops:
                 out = out.localCheckpoint(eager=True)
-                small = out.count() <= _HOP_BROADCAST_ROWS
+                n = out.count()
+                small = n <= _HOP_BROADCAST_ROWS
         return out if carry else out.distinct()
 
     def _g_cond(self, g: str) -> Column | None:
@@ -313,11 +329,15 @@ class Engine:
             # (measured ~0.8 s per extra execution at sf0.1). persist —
             # not localCheckpoint — so the FTS store scan's
             # PartitionFilters pruning stays visible in served plans
-            # (the cluster-shape tests pin it); the cache is freed by
-            # the ContextCleaner when the query's frames are released.
+            # (the cluster-shape tests pin it); the cache is released
+            # deterministically by query()'s finally via the per-thread
+            # transient registry — NOT left to driver GC, which under
+            # sustained serving let storage blocks pile up between
+            # collection cycles.
             walked = self._walk_up(
                 base.select("s", "score"), hops, carry=("score",)
             ).persist()
+            self._register_transient(walked)
             subj = walked.select("s").distinct()
             scores = walked.groupBy("s").agg(F.max("score").alias("score"))
             return subj, scores
@@ -505,6 +525,23 @@ class Engine:
                 result[1],
                 time.time() + self.subject_cache_ttl_s,
             )
+
+    def _register_transient(self, df: DataFrame) -> None:
+        with self._cache_lock:
+            self._transient_caches.setdefault(threading.get_ident(), []).append(df)
+
+    def _release_transients(self) -> None:
+        """Unpersist every per-request frame the CURRENT thread
+        registered. Safe even if a derived frame is read later: these
+        are persist()s, not checkpoints — lineage survives, the read
+        just recomputes."""
+        with self._cache_lock:
+            dfs = self._transient_caches.pop(threading.get_ident(), [])
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def cache_stats(self) -> dict:
         """Driver-local snapshot of the persisted subject-set cache —
@@ -809,7 +846,8 @@ class Engine:
             F.col("s").alias("src"), F.col("s").alias("cur")
         ).localCheckpoint(eager=True)
         cur = start
-        small = start.count() <= _HOP_BROADCAST_ROWS
+        n = start.count()
+        small = n <= _HOP_BROADCAST_ROWS
         rows = []
         cyclic_accum = None
         hard_cap = MAX_PATH_DEPTH * 8
@@ -817,7 +855,12 @@ class Engine:
         warned = False
         while depth < hard_cap:
             batch = []
-            for _ in range(min(_CHECK_EVERY, hard_cap - depth)):
+            # same stale-count guard as _walk_up: a frontier within an
+            # order of magnitude of the broadcast ceiling re-checks
+            # every level, so a hub fan-out cannot ride a stale "small"
+            # verdict into an oversized forced broadcast
+            step = 1 if (small and n > _HOP_BROADCAST_ROWS // 10) else _CHECK_EVERY
+            for _ in range(min(step, hard_cap - depth)):
                 depth += 1
                 probe = F.broadcast(cur) if small else cur
                 cur = (
@@ -907,6 +950,15 @@ class Engine:
         """Reference-compatible entry point (query.py:620-886): returns
         {results: {iri: {prop: [vals]}}, total, size, start, aggregates}.
         Only page-sized data is collected."""
+        try:
+            return self._query_impl(opts)
+        finally:
+            # drop this request's persisted frames (fts walked scores);
+            # everything the response needed is already collected or
+            # checkpointed by now
+            self._release_transients()
+
+    def _query_impl(self, opts: dict) -> dict:
         size, start = _parse_size_start(opts)
         s_results, s_by_score = self.subjects(opts)
         if s_results is not None:

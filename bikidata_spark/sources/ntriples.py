@@ -143,12 +143,20 @@ def parse_nq_lines(lines: DataFrame, fan_out: int | None = None) -> DataFrame:
     last token is an IRI or blank-node label. A literal object can
     never end the line with a bare IRI token — its final token always
     carries the closing quote or a ``"^^<dt>`` / ``"@lang`` suffix
-    attached to it, so it fails the IRI shape."""
+    attached to it, so it fails the IRI shape.  The blank-node branch
+    needs the same guard spelled out: a literal ending in a
+    blank-node-shaped word (``<s> <p> "foo _:bar" .``) yields a final
+    token ``_:bar"`` that STARTS with ``_:`` but still carries the
+    closing quote — so a true graph label must both start with ``_:``
+    and contain no ``"`` anywhere."""
     pre = _nt_token_arrays(lines, fan_out)
     last = F.element_at(F.col("arr"), -1)
     has_g = (
         (F.size("arr") >= 4)
-        & ((last.startswith("<") & last.endswith(">")) | last.startswith("_:"))
+        & (
+            (last.startswith("<") & last.endswith(">"))
+            | (last.startswith("_:") & ~last.contains('"'))
+        )
     )
     return (
         pre.filter(F.size("arr") >= 3)

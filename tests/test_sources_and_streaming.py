@@ -58,6 +58,8 @@ def test_read_nq(spark, tmp_path):
         "<http://ex/s5> <http://ex/p> \"1 2\"^^<http://ex/int> .\n"
         "_:b0 <http://ex/p> <http://ex/o2> _:g3 .\n"
         "<http://ex/s6> <http://ex/p> <http://ex/o3> .\n"
+        "<http://ex/s7> <http://ex/p> \"foo _:bar\" .\n"
+        "<http://ex/s8> <http://ex/p> \"x y _:b9\"^^<http://ex/t> .\n"
         "malformed line\n"
     )
     rows = {(r["s"], r["o"], r["g"]) for r in read_nq(spark, str(f)).collect()}
@@ -69,6 +71,11 @@ def test_read_nq(spark, tmp_path):
         ("<http://ex/s5>", '"1 2"^^<http://ex/int>', ""),
         ("_:b0", "<http://ex/o2>", "_:g3"),
         ("<http://ex/s6>", "<http://ex/o3>", ""),
+        # a literal ENDING in a blank-node-shaped word must not be
+        # truncated into a bogus graph label (the closing quote rides
+        # the final token, failing the label shape)
+        ("<http://ex/s7>", '"foo _:bar"', ""),
+        ("<http://ex/s8>", '"x y _:b9"^^<http://ex/t>', ""),
     }
 
 
@@ -223,6 +230,36 @@ def test_streaming_nt_ingest(spark, tmp_path):
     eng = Engine(g)
     subs = {r["s"] for r in eng.subjects_values({"filters": [{"p": "fts", "o": "streamed"}]}).collect()}
     assert subs == {"<http://x/s1>"}
+
+
+def test_cli_build_mixed_formats(spark, tmp_path, capsys):
+    """A build mixing .nt, .nq AND .trig inputs must union ALL three
+    partitions — r5 unioned only the first two, silently dropping the
+    TriG quads whenever all three formats appeared together."""
+    from bikidata_spark.__main__ import main as cli
+
+    src = tmp_path / "mixed"
+    src.mkdir()
+    (src / "a.nt").write_text('<http://ex/s1> <http://p/x> "nt row" .\n')
+    (src / "b.nq").write_text(
+        '<http://ex/s2> <http://p/x> "nq row" <http://g/q> .\n'
+    )
+    (src / "c.trig").write_text(
+        "<http://g/t> {\n<http://ex/s3> <http://p/x> \"trig row\" .\n}\n"
+    )
+    store = str(tmp_path / "mixedstore")
+    assert cli(["build", store, str(src / "a.nt"), str(src / "b.nq"), str(src / "c.trig")]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["triples"] == 3
+    from bikidata_spark.graph import read_graph
+
+    eng = Engine(read_graph(spark, store))
+    for word, expect in (("nt", "<http://ex/s1>"), ("nq", "<http://ex/s2>"), ("trig", "<http://ex/s3>")):
+        subs = {
+            r["s"]
+            for r in eng.subjects_values({"filters": [{"p": "fts", "o": word}]}).collect()
+        }
+        assert subs == {expect}, (word, subs)
 
 
 def test_read_trig_blocks_and_graph_persistence(spark, tmp_path):
