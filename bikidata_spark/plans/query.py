@@ -19,6 +19,8 @@ Design (Spark-first, 100 TB-minded):
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import logging
 import os
 import threading
@@ -43,10 +45,23 @@ SAMPLE_SEED = 42
 # frontier row count under which each parent-hop joins as an explicit
 # broadcast (~8-16 B/row → ≤ ~10 MB broadcast); override via env
 _HOP_BROADCAST_ROWS = int(os.environ.get("BIKIDATA_SPARK_HOP_BROADCAST_ROWS", "500000"))
+# subject-set size under which query() collects the (s, s_value) pairs
+# and pages driver-side (see _query_impl): ~16-80 B/row → ≤ a few MB
+_FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "20000"))
+# literal IN-list probes beat a broadcast join only while the list is
+# page-sized — building the expression costs ~0.5 ms/element over py4j
+_ISIN_PROBE_MAX = 200
 
 
+@functools.lru_cache(maxsize=8192)
 def H(term: str) -> Column:
-    """Constant-foldable 64-bit id of a term (reference query.py:224-227)."""
+    """Constant-foldable 64-bit id of a term (reference query.py:224-227).
+
+    Memoized: every Column construction is 2+ py4j round-trips (~1 ms
+    each), and a point query references the same handful of property
+    IRIs on every request — at the measured serving floor, rebuilding
+    them per query was a visible slice of driver-side latency. The
+    expression is unbound (no plan/session state), so reuse is safe."""
     return F.xxhash64(F.lit(term))
 
 
@@ -136,6 +151,26 @@ class Engine:
     # many query() calls concurrently on this one Engine — a global
     # release would drop a sibling request's cache mid-flight.
     _transient_caches: dict = field(default_factory=dict, repr=False)
+    # ref-count for the point-query no-AQE scope (_no_aqe): AQE turns
+    # every shuffle-bearing action into 2+ scheduler round-trips (one
+    # per materialized stage) — pure overhead when the engine already
+    # knows the small side and plans explicit broadcasts
+    _aqe_depth: int = field(default=0, repr=False)
+    _aqe_saved: str = field(default="true", repr=False)
+    # compiled (subjects, scores) PLANS keyed by (generation, filter
+    # spec): skips per-request Column/plan construction, never skips
+    # execution — orthogonal to the persisted RESULT cache above
+    _plan_cache: dict = field(default_factory=dict, repr=False)
+    # persisted full-corpus (s, sort_label[, num_prefix]) frames keyed
+    # by (generation, order rule): a sort INDEX — ordered pages join
+    # their (small) subject set against it instead of re-deriving
+    # labels from triples+terms per request
+    _order_key_cache: dict = field(default_factory=dict, repr=False)
+    _ORDER_KEY_CACHE_MAX = 8
+    # persisted (child, parent) edge frames per paths() property: every
+    # walk level probes the dimension-sized hierarchy instead of
+    # re-scanning corpus triples
+    _paths_edge_cache: dict = field(default_factory=dict, repr=False)
     # bumped by replace_graph: a query thread that computed its subject
     # set against the OLD graph must not repopulate the cache after the
     # swap (the key is only the filter spec, so a stale insert would be
@@ -163,6 +198,20 @@ class Engine:
                 except Exception:
                     pass
             self._subject_cache = {}
+            # compiled plans reference the OLD graph's frames
+            self._plan_cache = {}
+            for df in self._order_key_cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            self._order_key_cache = {}
+            for df in self._paths_edge_cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            self._paths_edge_cache = {}
 
     # ---- indexes -------------------------------------------------------
     @property
@@ -224,7 +273,14 @@ class Engine:
         skew-join splitting handling hub objects."""
         if hops < 1:
             return base if carry else base.distinct()
-        out = base.localCheckpoint(eager=True)
+        # persist + count, not localCheckpoint + count: the count
+        # materializes the cache in the SAME job (one scheduler
+        # round-trip, half the serving latency of the eager checkpoint
+        # that then counted separately); lineage at the walk's base is
+        # one filter deep, so checkpoint-style truncation buys nothing
+        # here (the every-3-hops checkpoints below still bound it)
+        out = base.persist()
+        self._register_transient(out)
         n = out.count()
         small = n <= _HOP_BROADCAST_ROWS
         for i in range(hops):
@@ -252,6 +308,28 @@ class Engine:
         if not g:
             return None
         return _isin_terms(F.col("g"), g.split(" "))
+
+    def _plain_cond(self, q: dict) -> Column | None:
+        """Row predicate for a mergeable plain filter — ``p`` is an IRI
+        and there is no hop walk — or None when the filter needs its own
+        frame (fts/regex/semantic/id/object-only/hops). Must stay
+        exactly equivalent to filter_subjects' plain branch: p equality
+        on the head token, optional multi-object o match, optional graph
+        restriction."""
+        p = str(q.get("p", "")).strip(" ")
+        o = str(q.get("o", "")).strip(" ")
+        g = str(q.get("g", "")).strip(" ")
+        hops, _p_prop, p_head = parse_hops_and_prop(p)
+        if not p.startswith("<") or hops != 0:
+            return None
+        cond = F.col("p") == H(p_head)
+        if o:
+            terms = o.split(" ") if (o.startswith("<") and " " in o) else [o]
+            cond = cond & _isin_terms(F.col("o"), terms)
+        gc = self._g_cond(g)
+        if gc is not None:
+            cond = cond & gc
+        return cond
 
     def filter_subjects(self, q: dict) -> tuple[DataFrame | None, DataFrame | None]:
         """Compile one filter to (subjects, scores|None). Mirrors
@@ -451,12 +529,11 @@ class Engine:
         With ``opts['use_cache']`` (default True, as in the reference
         async worker) the combined subject set is persisted and reused
         across calls with the same filter spec."""
-        use_cache = opts.get("use_cache", True)
-        key = None
-        if use_cache:
-            import json
+        import json
 
-            key = json.dumps(opts.get("filters", []), sort_keys=True)
+        use_cache = opts.get("use_cache", True)
+        key = json.dumps(opts.get("filters", []), sort_keys=True)
+        if use_cache:
             hit = self._cache_get(key)
             with self._cache_lock:
                 if hit is not None:
@@ -466,11 +543,41 @@ class Engine:
             if hit is not None:
                 return hit
         gen = self._graph_generation
-        result = self._subjects_uncached(opts)
+        # plan cache (independent of the RESULT cache): compiling a
+        # filter spec costs ~100+ ms of driver-side Column construction
+        # over py4j; re-executing an already-compiled plan returns fresh
+        # results, so this is safe even with use_cache off. Scored plans
+        # (fts/semantic) are excluded — they persist per-request frames
+        # whose lifecycle belongs to the registering request.
+        result = self._plan_cache_get(gen, key)
+        if result is None:
+            result = self._subjects_uncached(opts)
+            if result[1] is None and result[0] is not None:
+                self._plan_cache_put(gen, key, result)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
             self._cache_put(key, result, gen)
         return result
+
+    _PLAN_CACHE_MAX = 128
+
+    def _plan_cache_get(self, gen: int, key: str):
+        with self._cache_lock:
+            ent = self._plan_cache.get((gen, key))
+            if ent is None:
+                return None
+            # LRU touch
+            self._plan_cache.pop((gen, key), None)
+            self._plan_cache[(gen, key)] = ent
+            return ent
+
+    def _plan_cache_put(self, gen: int, key: str, plan) -> None:
+        with self._cache_lock:
+            if gen != self._graph_generation:
+                return
+            self._plan_cache[(gen, key)] = plan
+            while len(self._plan_cache) > self._PLAN_CACHE_MAX:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
 
     def _cache_get(self, key: str):
         import time
@@ -526,6 +633,37 @@ class Engine:
                 time.time() + self.subject_cache_ttl_s,
             )
 
+    @contextlib.contextmanager
+    def _no_aqe(self):
+        """Disable adaptive query execution for the enclosed point-query
+        actions. AQE materializes each shuffle stage as its own job —
+        2-4 scheduler round-trips where a statically planned action is
+        one — and buys nothing here: the shuffled side is a filtered
+        subject set (tiny by the serving contract) and every corpus
+        join is already an explicit, count-gated broadcast. Large
+        subject sets never enter this scope (callers gate on the known
+        count), so AQE's skew/late-broadcast powers still govern every
+        at-scale plan. Ref-counted because the SQLConf is session-global
+        and Serving drives many queries concurrently; a concurrent
+        batch job planned inside the window merely loses AQE for that
+        plan (performance, never correctness)."""
+        conf = self.graph.spark.conf
+        with self._cache_lock:
+            if self._aqe_depth == 0:
+                try:
+                    self._aqe_saved = conf.get("spark.sql.adaptive.enabled")
+                except Exception:
+                    self._aqe_saved = "true"
+                conf.set("spark.sql.adaptive.enabled", "false")
+            self._aqe_depth += 1
+        try:
+            yield
+        finally:
+            with self._cache_lock:
+                self._aqe_depth -= 1
+                if self._aqe_depth == 0:
+                    conf.set("spark.sql.adaptive.enabled", self._aqe_saved)
+
     def _register_transient(self, df: DataFrame) -> None:
         with self._cache_lock:
             self._transient_caches.setdefault(threading.get_ident(), []).append(df)
@@ -564,32 +702,82 @@ class Engine:
         We parse the chain the same way — a maximal run of consecutive
         ``must`` filters intersects into the preceding term, and the
         resulting groups union. ``not`` filters are still forced last
-        (reference query.py:631-633, 668)."""
-        groups: list[list[DataFrame]] = []
-        excepts = []
+        (reference query.py:631-633, 668).
+
+        The set algebra evaluates as ONE aggregation, not a chain of
+        INTERSECT/EXCEPT operators: every filter's subject frame is
+        tagged with its filter index, the tagged frames union (map-side,
+        free), one groupBy(s) collects each subject's tag set, and the
+        group/except structure becomes a row-local boolean over that
+        array. A k-filter query therefore costs ONE shuffle instead of
+        k (each Intersect/Except plans its own join + distinct) — at
+        cluster scale that is k-1 fewer corpus-wide exchanges, and at
+        serving scale it is the difference between ~2 and ~2k scheduler
+        round-trips per request (the r5-measured latency floor).
+
+        Plain property/object filters fold further: every ``p`` filter
+        with an IRI property and no hop walk is a row predicate on the
+        SAME triples table, so all of them evaluate in a single tagged
+        scan (one pass emitting each row's matching filter indexes via
+        array_compact+explode) instead of one scan per filter."""
+        groups: list[list[int]] = []
+        excepts: list[int] = []
+        tagged: list[DataFrame] = []
+        plain_conds: list[tuple[int, Column]] = []
         score_frames = []
+        n_tags = 0
         for q in opts.get("filters", []):
             op = q.get("op", "should")
-            subj, scores = self.filter_subjects(q)
-            if subj is None:
-                continue
-            if scores is not None:
-                score_frames.append(scores)
-            if not groups:
-                groups.append([subj])
-            elif op in ("must", "and"):
-                groups[-1].append(subj)
-            elif op == "not":
-                excepts.append(subj)
+            cond = self._plain_cond(q)
+            if cond is not None:
+                tag = n_tags
+                plain_conds.append((tag, cond))
             else:
-                groups.append([subj])
+                subj, scores = self.filter_subjects(q)
+                if subj is None:
+                    continue
+                if scores is not None:
+                    score_frames.append(scores)
+                tag = n_tags
+                tagged.append(subj.select("s").withColumn("_ftag", F.lit(tag)))
+            n_tags += 1
+            if not groups:
+                groups.append([tag])
+            elif op in ("must", "and"):
+                groups[-1].append(tag)
+            elif op == "not":
+                excepts.append(tag)
+            else:
+                groups.append([tag])
+        if plain_conds:
+            hit_tags = F.array_compact(
+                F.array(*[F.when(c, F.lit(tg)) for tg, c in plain_conds])
+            )
+            tagged.append(
+                self.graph.triples.filter(
+                    reduce(lambda a, b: a | b, [c for _, c in plain_conds])
+                ).select("s", F.explode(hit_tags).alias("_ftag"))
+            )
         if not groups:
             return None, None
-        terms = [reduce(lambda a, b: a.intersect(b), g) for g in groups]
-        combined = reduce(lambda a, b: a.union(b), terms)
-        for e in excepts:
-            combined = combined.subtract(e)
-        combined = combined.distinct()
+        if len(tagged) == 1 and len(plain_conds) <= 1 and not excepts and len(groups) == 1 and len(groups[0]) == 1:
+            combined = tagged[0].select("s").distinct()
+        else:
+            allt = reduce(lambda a, b: a.unionAll(b), tagged)
+            agg = allt.groupBy("s").agg(F.collect_set("_ftag").alias("_tags"))
+            cond = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.array_contains(F.col("_tags"), t) for t in g],
+                    )
+                    for g in groups
+                ],
+            )
+            for e in excepts:
+                cond = cond & ~F.array_contains(F.col("_tags"), e)
+            combined = agg.filter(cond).select("s")
         s_by_score = None
         if score_frames:
             all_scores = reduce(lambda a, b: a.union(b), score_frames)
@@ -604,13 +792,38 @@ class Engine:
         return self._subject_values(s_results).select(F.col("s_value").alias("s"))
 
     # ---- ordering / paging --------------------------------------------
-    def _subject_values(self, s_results: DataFrame) -> DataFrame:
-        terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
-        return s_results.join(terms, s_results.s == terms.hash).select("s", "s_value")
+    def _probe_side(self, s_results: DataFrame, known_rows: int | None) -> DataFrame:
+        """Return the filtered-subject frame marked for broadcast when
+        its cardinality is KNOWN (query() already counted it for
+        ``total``) and page-scale small. A broadcast side turns every
+        corpus join downstream (terms values, label keys, facet
+        semi-join) into a map-only BroadcastHashJoin — no corpus
+        shuffle, and none of the extra per-stage scheduler round-trips
+        AQE's late SMJ→BHJ conversion would still pay. Never forces a
+        broadcast on an unknown or large count: those fall through to
+        AQE, which is the correct adaptive path at cluster scale."""
+        if known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS:
+            return F.broadcast(s_results)
+        return s_results
 
-    def _order_key_frame(self, s_results: DataFrame, rule: dict) -> DataFrame:
+    def _subject_values(
+        self, s_results: DataFrame, known_rows: int | None = None
+    ) -> DataFrame:
+        terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
+        probe = self._probe_side(s_results, known_rows)
+        return probe.join(terms, probe.s == terms.hash).select("s", "s_value")
+
+    def _order_key_frame(
+        self,
+        s_results: DataFrame | None,
+        rule: dict,
+        known_rows: int | None = None,
+    ) -> DataFrame:
         """(s, sort_label, num_prefix) per the sort-api rule
-        (reference query.py:316-465)."""
+        (reference query.py:316-465). With ``s_results=None`` the frame
+        covers EVERY labeled subject — the shape _order_keys_cached
+        persists once per (graph generation, rule) so repeated ordered
+        pages stop re-deriving labels from the corpus per request."""
         by = (rule.get("by") or "label").lower()
         langs = rule.get("lang") or ["de", "en"]
         mode = (rule.get("mode") or "lex").lower()
@@ -619,25 +832,33 @@ class Engine:
 
         t = self.graph.triples
         lits = self.graph.literals().select(F.col("hash").alias("_lh"), F.col("value").alias("_lv"))
+        subj = (
+            self._probe_side(s_results, known_rows) if s_results is not None else None
+        )
+
+        def scoped(df):
+            return subj.join(df, "s") if subj is not None else df
 
         if by == "label":
             prop = RDFS_LABEL_IRI
-            lab = s_results.join(t, "s").filter(F.col("p") == H(prop))
+            lab = scoped(t).filter(F.col("p") == H(prop))
         elif by == "property":
             prop = rule.get("prop")
             if not prop:
                 raise ValueError("order.by='property' requires 'prop'")
-            lab = s_results.join(t, "s").filter(F.col("p") == H(prop))
+            lab = scoped(t).filter(F.col("p") == H(prop))
         elif by == "object_label":
             via = rule.get("via")
             if not via:
                 raise ValueError("order.by='object_label' requires 'via'")
             objs = (
-                s_results.join(t, "s")
+                scoped(t)
                 .filter(F.col("p") == H(via))
                 .select("s", F.col("o").alias("_obj"))
             )
             t2 = t.select(F.col("s").alias("_obj"), F.col("p").alias("_p2"), F.col("o").alias("_o2"))
+            if known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS:
+                objs = F.broadcast(objs)
             lab = (
                 objs.join(t2, "_obj")
                 .filter(F.col("_p2") == H(RDFS_LABEL_IRI))
@@ -646,6 +867,11 @@ class Engine:
         else:
             raise ValueError(f"Unsupported order.by={by!r}")
 
+        # lab is bounded by the subject set's label rows — with a known
+        # small count, broadcast it into the corpus-sized literals probe
+        # so the whole key frame stays a map-only plan
+        if known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS:
+            lab = F.broadcast(lab)
         lab = lab.join(lits, lab.o == F.col("_lh")).select("s", F.col("_lv").alias("lbl"))
 
         # language preference rank (reference query.py:245-258): stored
@@ -696,7 +922,52 @@ class Engine:
             )
         return pref
 
-    def page(self, opts: dict, _subjects: tuple | None = None) -> DataFrame:
+    def _order_keys_cached(self, rule: dict) -> DataFrame | None:
+        """Persisted full-corpus order-key frame for ``rule`` — built
+        lazily on first use per graph generation, LRU-bounded, released
+        on replace_graph. This is a sort index: the one-time build pays
+        the corpus label derivation, and every later ordered page is a
+        broadcast probe into it."""
+        import json
+
+        key = (self._graph_generation, json.dumps(rule, sort_keys=True))
+        with self._cache_lock:
+            df = self._order_key_cache.get(key)
+            if df is not None:
+                self._order_key_cache.pop(key, None)
+                self._order_key_cache[key] = df  # LRU touch
+                return df
+        try:
+            df = self._order_key_frame(None, rule).persist()
+        except ValueError:
+            return None  # malformed rule — let the per-query path raise
+        with self._cache_lock:
+            if key[0] != self._graph_generation:
+                return df  # graph swapped mid-build: usable, not cached
+            prev = self._order_key_cache.pop(key, None)
+            if prev is not None:
+                # two threads raced the build: keep the first, drop ours
+                self._order_key_cache[key] = prev
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+                return prev
+            while len(self._order_key_cache) >= self._ORDER_KEY_CACHE_MAX:
+                evicted = self._order_key_cache.pop(next(iter(self._order_key_cache)))
+                try:
+                    evicted.unpersist()
+                except Exception:
+                    pass
+            self._order_key_cache[key] = df
+            return df
+
+    def page(
+        self,
+        opts: dict,
+        _subjects: tuple | None = None,
+        _known_rows: int | None = None,
+    ) -> DataFrame:
         """Ordered page of subjects: (pos, s, s_value). Deterministic:
         ties always break on the subject's lexical form (the reference
         breaks ties on the hash, which is engine-arbitrary; the lexical
@@ -713,14 +984,26 @@ class Engine:
         )
         if s_results is None:
             return self.graph.spark.createDataFrame([], "pos int, s long, s_value string")
-        sv = self._subject_values(s_results)
+        sv = self._subject_values(s_results, _known_rows)
         order_rules = _normalize_order_rules(opts.get("order"))
         if order_rules:
             rule = order_rules[0]
             direction = (rule.get("dir") or "asc").lower()
             nulls = (rule.get("nulls") or "last").lower()
             natural = bool(rule.get("natural", False))
-            keys = self._order_key_frame(s_results, rule)
+            keys_full = self._order_keys_cached(rule)
+            if keys_full is not None:
+                # sort-index path: probe the persisted full-corpus key
+                # frame with the (broadcast-small) subject set — map-only
+                keys = keys_full.join(
+                    self._probe_side(s_results.select("s"), _known_rows), "s"
+                )
+            else:
+                keys = self._order_key_frame(s_results, rule, _known_rows)
+            if _known_rows is not None and _known_rows <= _HOP_BROADCAST_ROWS:
+                # keys is bounded by the subject count — broadcast it as
+                # the build side of the left join (map-only page plan)
+                keys = F.broadcast(keys)
             df = sv.join(keys, "s", "left")
             null_key = F.col("sort_label").isNull().cast("int")
             if nulls == "first":
@@ -760,7 +1043,12 @@ class Engine:
 
     # ---- aggregates ----------------------------------------------------
     def facet(
-        self, s_results: DataFrame | None, agg: str, scores: DataFrame | None = None
+        self,
+        s_results: DataFrame | None,
+        agg: str,
+        scores: DataFrame | None = None,
+        known_rows: int | None = None,
+        ordered: bool = True,
     ) -> DataFrame:
         """Facet counts over the (filtered or whole-corpus) subject set
         (reference query.py:744-753, 824-832) → (count, val), ordered
@@ -776,8 +1064,26 @@ class Engine:
         is bit-reproducible (and DuckDB-mirrorable)."""
         t = self.graph.triples
         if s_results is not None:
-            t = t.join(s_results.select("s"), "s", "left_semi")
+            # known-small subject sets broadcast into the semi-join so
+            # the corpus triples side is probed map-only (see
+            # _probe_side); ``ordered=False`` additionally skips the
+            # global sort — callers that collect anyway (query()) sort
+            # the distinct-value-sized result driver-side instead of
+            # paying a range-partitioning exchange plus its sampling
+            # pass per facet
+            t = t.join(
+                self._probe_side(s_results.select("s"), known_rows), "s", "left_semi"
+            )
         terms = self.graph.terms.select("hash", F.col("value").alias("val"))
+
+        def _g(df: DataFrame) -> DataFrame:
+            # the grouped facet counts are bounded by the (known-small)
+            # subject set's triples — broadcast them into the terms
+            # probe so the value-resolution join is map-only even with
+            # AQE disabled for the point-query scope
+            if known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS:
+                return F.broadcast(df)
+            return df
         if scores is not None and agg not in ("properties", "graphs"):
             base = t.filter(F.col("p") == H(str(agg))).join(scores, "s", "left")
             grouped = base.groupBy("o").agg(
@@ -790,25 +1096,29 @@ class Engine:
                 .cast("double")
                 .alias("weight"),
             )
-            out = grouped.join(terms, grouped.o == terms.hash).select(
+            out = _g(grouped).join(terms, grouped.o == terms.hash).select(
                 "count", "weight", "val"
             )
+            if not ordered:
+                return out
             return out.orderBy(
                 F.col("weight").desc(), F.col("count").desc(), F.col("val").asc()
             )
         if agg == "properties":
             grouped = t.groupBy("p").agg(F.count("*").alias("count"))
-            out = grouped.join(terms, grouped.p == terms.hash).select("count", "val")
+            out = _g(grouped).join(terms, grouped.p == terms.hash).select("count", "val")
         elif agg == "graphs":
             grouped = t.groupBy("g").agg(F.count("*").alias("count"))
-            out = grouped.join(terms, grouped.g == terms.hash).select("count", "val")
+            out = _g(grouped).join(terms, grouped.g == terms.hash).select("count", "val")
         else:
             grouped = (
                 t.filter(F.col("p") == H(str(agg)))
                 .groupBy("o")
                 .agg(F.count("s").alias("count"))
             )
-            out = grouped.join(terms, grouped.o == terms.hash).select("count", "val")
+            out = _g(grouped).join(terms, grouped.o == terms.hash).select("count", "val")
+        if not ordered:
+            return out
         return out.orderBy(F.col("count").desc(), F.col("val").asc())
 
     # ---- paths ---------------------------------------------------------
@@ -838,10 +1148,7 @@ class Engine:
         as an explicit broadcast so the corpus-sized edge set is probed
         in place, never shuffled (AQE can only downgrade after both
         sides have already shuffled — see _walk_up)."""
-        edges = (
-            self.graph.triples.filter(F.col("p") == H(prop))
-            .select(F.col("s").alias("child"), F.col("o").alias("parent"))
-        )
+        edges = self._paths_edges(prop)
         start = subjects.select(
             F.col("s").alias("src"), F.col("s").alias("cur")
         ).localCheckpoint(eager=True)
@@ -929,6 +1236,41 @@ class Engine:
             out = out.join(cyclic_accum, "src", "left_anti")
         return out
 
+    def _paths_edges(self, prop: str) -> DataFrame:
+        """Persisted (child, parent) edge frame for ``prop`` — the
+        hierarchy paths() walks. Persisting it turns every join level
+        from a corpus-wide triples scan into a probe of the (dimension-
+        sized) edge set; generation-keyed and released on replace_graph
+        like the other derived caches."""
+        key = (self._graph_generation, prop)
+        with self._cache_lock:
+            df = self._paths_edge_cache.get(key)
+            if df is not None:
+                return df
+        df = (
+            self.graph.triples.filter(F.col("p") == H(prop))
+            .select(F.col("s").alias("child"), F.col("o").alias("parent"))
+            .persist()
+        )
+        with self._cache_lock:
+            prev = self._paths_edge_cache.get(key)
+            if prev is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+                return prev
+            if key[0] != self._graph_generation:
+                return df  # graph swapped mid-build: usable, not cached
+            while len(self._paths_edge_cache) >= 8:
+                evicted = self._paths_edge_cache.pop(next(iter(self._paths_edge_cache)))
+                try:
+                    evicted.unpersist()
+                except Exception:
+                    pass
+            self._paths_edge_cache[key] = df
+            return df
+
     def paths_values(self, opts: dict, prop: str) -> DataFrame:
         """Ancestor chains for the filtered subject set, as lexical
         forms: (s, pos, ancestor)."""
@@ -963,28 +1305,92 @@ class Engine:
         s_results, s_by_score = self.subjects(opts)
         if s_results is not None:
             # materialize the filtered subject set ONCE: total, the
-            # page sort, and every aggregate reuse the checkpointed
-            # frame instead of re-running the filter algebra per phase
-            # (2-3× the work). localCheckpoint leaves any cache-owned
-            # parent frame untouched and is GC-managed, and the frame
-            # is one long column — cheap to spill even for broad
-            # filters.
-            s_results = s_results.localCheckpoint(eager=True)
-        if s_by_score is not None and size > 0:
-            # scores only order the page; a size=0 (aggregate-only)
-            # request never reads them — don't materialize
-            s_by_score = s_by_score.localCheckpoint(eager=True)
-        total = s_results.count() if s_results is not None else 0
+            # page sort, and every aggregate reuse the persisted frame
+            # instead of re-running the filter algebra per phase. The
+            # count() doubles as materialization AND the total — ONE
+            # scheduler round-trip where r5 paid two (eager
+            # localCheckpoint, then count). The persist is released in
+            # query()'s finally unless the subject cache owns it.
+            if opts.get("use_cache", True):
+                pass  # subjects() persisted it under the cache's ownership
+            else:
+                s_results = s_results.persist()
+                self._register_transient(s_results)
+        # s_by_score is NOT checkpointed: it only orders the page, so it
+        # stays a lazy subtree of the single page action (its expensive
+        # parent — the fts walked frame — is persisted already)
+
+        # POINT-QUERY FAST PATH: for the default (lexical) page order,
+        # ONE capped action collects the full (s, s_value) set — total,
+        # page sort, and slice then happen driver-side. The cap bounds
+        # both the broadcast and the collect; a set past the cap falls
+        # back to the distributed path having spent one bounded probe.
+        # Python's code-point string order IS Spark's UTF8 binary order
+        # (UTF-8 byte order preserves code points), so the driver sort
+        # is bit-identical to the orderBy it replaces.
+        sv_rows = None
+        fast = (
+            s_results is not None
+            and size > 0
+            and not _normalize_order_rules(opts.get("order"))
+        )
+        if fast:
+            terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
+            capped = F.broadcast(s_results.limit(_FAST_PAGE_ROWS + 1))
+            sel = capped.join(terms, capped.s == terms.hash).select("s", "s_value")
+            if s_by_score is not None:
+                # scores ride the same action; the join shuffles only
+                # the two subject-sized frames, never the corpus
+                sel = sel.join(s_by_score, "s", "left")
+            with self._no_aqe():
+                rows = sel.collect()
+            if len(rows) <= _FAST_PAGE_ROWS:
+                sv_rows = rows
+        if sv_rows is not None:
+            total = len(sv_rows)
+        elif s_results is not None:
+            with self._no_aqe():
+                total = s_results.count()
+        else:
+            total = 0
         aggregates = {}
+        known = total if s_results is not None else None
+        small = known is not None and known <= _HOP_BROADCAST_ROWS
         for agg in opts.get("aggregates", []):
             if s_results is None and agg not in ("properties", "graphs"):
                 continue
-            rows = self.facet(s_results, agg).orderBy(F.col("count").desc(), F.col("val")).collect()
+            # unordered facet + driver-side sort: the result is
+            # distinct-value-sized, and skipping the global orderBy
+            # saves a range-partitioning exchange (plus its sampling
+            # job) per facet
+            with self._no_aqe() if small else contextlib.nullcontext():
+                rows = self.facet(
+                    s_results, agg, known_rows=known, ordered=False
+                ).collect()
+            rows.sort(key=lambda r: (-r["count"], r["val"]))
             aggregates[agg] = [(r["count"], r["val"]) for r in rows]
 
         results: dict = {}
         if s_results is not None and size > 0:
-            page = self.page(opts, _subjects=(s_results, s_by_score)).collect()
+            if sv_rows is not None:
+                if s_by_score is not None:
+                    # score desc (nulls last), s_value tiebreak — the
+                    # exact key set page()'s orderBy would use
+                    sv_rows.sort(
+                        key=lambda r: (
+                            r["score"] is None,
+                            -(r["score"] or 0.0),
+                            r["s_value"],
+                        )
+                    )
+                else:
+                    sv_rows.sort(key=lambda r: r["s_value"])
+                page = sv_rows[start : start + size] if size else []
+            else:
+                with self._no_aqe() if small else contextlib.nullcontext():
+                    page = self.page(
+                        opts, _subjects=(s_results, s_by_score), _known_rows=known
+                    ).collect()
             page_hashes = [r["s"] for r in page]
             hash_to_val = {r["s"]: r["s_value"] for r in page}
             if page_hashes:
@@ -1046,19 +1452,28 @@ class Engine:
 
     def _term_values(self, hashes) -> dict:
         """Resolve a bounded set of term hashes to lexical forms in ONE
-        pass over the terms table: the hash set is broadcast and probed
-        with a BroadcastHashJoin, so the corpus-sized terms side is
-        scanned in place — never shuffled or sorted. Callers pass
-        page-bounded sets (serving contract), so the broadcast is tiny."""
+        pass over the terms table, scanned in place — never shuffled or
+        sorted. Page-sized sets probe as a literal IN-list (one map-only
+        job, no broadcast-exchange round-trip); larger sets fall back to
+        a broadcast hash join (an IN-list costs ~0.5 ms/element to build
+        over py4j, so it loses past a couple hundred entries)."""
         hs = list({int(h) for h in hashes if h is not None})
         if not hs:
             return {}
-        need = self.graph.spark.createDataFrame([(h,) for h in hs], "hash long")
-        rows = (
-            self.graph.terms.join(F.broadcast(need), "hash")
-            .select("hash", "value")
-            .collect()
-        )
+        with self._no_aqe():
+            if len(hs) <= _ISIN_PROBE_MAX:
+                rows = (
+                    self.graph.terms.filter(F.col("hash").isin(hs))
+                    .select("hash", "value")
+                    .collect()
+                )
+            else:
+                need = self.graph.spark.createDataFrame([(h,) for h in hs], "hash long")
+                rows = (
+                    self.graph.terms.join(F.broadcast(need), "hash")
+                    .select("hash", "value")
+                    .collect()
+                )
         return {r["hash"]: r["value"] for r in rows}
 
     # ---- small introspection API (reference query.py:13-87) -----------

@@ -47,6 +47,19 @@ def get_spark(app_name: str = "bikidata-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE size CACHED plans' partitioning to the data too: a
+        # dictionary table cached through a 32-partition shuffle at
+        # small scale otherwise pins 32 near-empty partitions, and every
+        # point-query scan pays 32 task launches for kilobytes of work;
+        # at cluster scale the same setting leaves genuinely large
+        # caches wide, so it is sizing, not shrinking
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # evaluate LIMIT over all partitions in one job: the default
+        # try-1-partition-then-scale-up loop costs one scheduler
+        # round-trip per escalation, which dominates point-query
+        # latency (the engine's limits sit over already-filtered,
+        # partition-pruned frames, so the all-at-once scan is cheap)
+        .config("spark.sql.limit.initialNumPartitions", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         # FAIR lets concurrent served queries round-robin executor slots
         # instead of FIFO head-of-line blocking (Serving sets a pool per
