@@ -289,6 +289,32 @@ def main() -> None:
 
         timed("q_nt_ingest", nt_ingest)
 
+        # single-file bz2 dump (new r6): bzip2 is Hadoop-splittable, so
+        # ONE .nt.bz2 decodes in parallel — the recommended shape for
+        # big dumps (a single-member .gz decodes on one thread). The
+        # coalesce(1) write is untimed harness setup.
+        (
+            quads.select(F.concat_ws(" ", "s", "p", "o").alias("v"))
+            .select(F.concat(F.col("v"), F.lit(" .")).alias("value"))
+            .coalesce(1)
+            .write.option("compression", "bzip2")
+            .mode("overwrite")
+            .text(f"{ntdir}/dump_bz2.nt")
+        )
+        bz2_graph = None
+
+        def nt_ingest_bz2():
+            nonlocal bz2_graph
+            if bz2_graph is not None:
+                bz2_graph.unpersist()
+            parsed = read_nt(spark, f"{ntdir}/dump_bz2.nt").persist()
+            bz2_graph = from_string_quads(parsed).cache()
+            bz2_graph.triples.count()
+            bz2_graph.terms.count()
+            parsed.unpersist()
+
+        timed("q_nt_ingest_bz2", nt_ingest_bz2)
+
         def graph_sig(g):
             row = g.triples.select(
                 F.count("*").alias("n"), F.bit_xor(F.xxhash64("s", "p", "o")).alias("h")
@@ -298,8 +324,10 @@ def main() -> None:
         # rdfize comparison graph with graphs stripped (N-Triples has
         # no graph field)
         base = from_string_quads(quads.withColumn("g", F.lit("")))
-        nt_parity = graph_sig(nt_graph) == graph_sig(base)
+        base_sig = graph_sig(base)
+        nt_parity = graph_sig(nt_graph) == base_sig and graph_sig(bz2_graph) == base_sig
         nt_graph.unpersist()
+        bz2_graph.unpersist()
     finally:
         shutil.rmtree(ntdir, ignore_errors=True)
 

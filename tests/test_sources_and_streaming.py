@@ -232,6 +232,28 @@ def test_streaming_nt_ingest(spark, tmp_path):
     assert subs == {"<http://x/s1>"}
 
 
+def test_read_nt_bz2_single_file(spark, tmp_path):
+    """bzip2 dumps are the recommended single-file format: Hadoop's
+    Bzip2Codec is splittable, so one .nt.bz2 decodes in parallel. This
+    pins the read path (transparent codec) and quad parity with the
+    plain parse."""
+    import bz2
+
+    body = (
+        '<http://ex/s1> <http://p/x> "alpha beta" .\n'
+        '<http://ex/s2> <http://p/x> <http://ex/o1> .\n'
+        "_:b0 <http://p/y> \"uni \\u00e9\" .\n"
+    )
+    f = tmp_path / "dump.nt.bz2"
+    f.write_bytes(bz2.compress(body.encode()))
+    rows = {(r["s"], r["p"], r["o"]) for r in read_nt(spark, str(f)).collect()}
+    assert rows == {
+        ("<http://ex/s1>", "<http://p/x>", '"alpha beta"'),
+        ("<http://ex/s2>", "<http://p/x>", "<http://ex/o1>"),
+        ("_:b0", "<http://p/y>", '"uni é"'),
+    }
+
+
 def test_cli_build_mixed_formats(spark, tmp_path, capsys):
     """A build mixing .nt, .nq AND .trig inputs must union ALL three
     partitions — r5 unioned only the first two, silently dropping the
