@@ -171,6 +171,9 @@ class Engine:
     # walk level probes the dimension-sized hierarchy instead of
     # re-scanning corpus triples
     _paths_edge_cache: dict = field(default_factory=dict, repr=False)
+    # generation whose frames are currently registered as the raw()
+    # temp views (-1 = never registered)
+    _raw_views_gen: int = field(default=-1, repr=False)
     # bumped by replace_graph: a query thread that computed its subject
     # set against the OLD graph must not repopulate the cache after the
     # swap (the key is only the filter spec, so a stale insert would be
@@ -1480,9 +1483,17 @@ class Engine:
     def raw(self, sql: str) -> DataFrame:
         """SQL escape hatch (reference ``raw()`` query.py:8-10 hands out
         a DuckDB cursor; here the graph is exposed as temp views
-        ``triples``/``terms`` and the query runs through Catalyst)."""
-        self.graph.triples.createOrReplaceTempView("triples")
-        self.graph.terms.createOrReplaceTempView("terms")
+        ``triples``/``terms`` and the query runs through Catalyst).
+
+        Views register once per graph generation, under the cache lock:
+        re-registering on every call was racy under concurrent serving
+        (two raw() calls straddling a replace_graph could interleave
+        the two view registrations across different graphs)."""
+        with self._cache_lock:
+            if self._raw_views_gen != self._graph_generation:
+                self.graph.triples.createOrReplaceTempView("triples")
+                self.graph.terms.createOrReplaceTempView("terms")
+                self._raw_views_gen = self._graph_generation
         return self.graph.spark.sql(sql)
 
     def total(self) -> int:

@@ -74,6 +74,45 @@ def test_raw_sql_passthrough(spark):
     assert n == 4
 
 
+def test_raw_under_graph_swap_stress(spark):
+    """raw() registers its temp views once per graph generation under
+    the cache lock, so concurrent raw() calls racing a replace_graph
+    never interleave view registrations across different graphs: every
+    observed count is a count some single generation actually had."""
+    import threading
+
+    from bikidata_spark import build_from_iterator
+
+    def graph_n(n):
+        return build_from_iterator(
+            spark, [(f"<e/{i}>", "<p/x>", f'"v{i}"') for i in range(n)]
+        )
+
+    eng = Engine(graph_n(3))
+    valid = {3, 4, 5, 6, 7}
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                n = eng.raw("SELECT COUNT(*) AS n FROM triples").first()["n"]
+                assert n in valid, n
+        except Exception as e:  # surfaced to the main thread below
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for n in (4, 5, 6, 7):
+        eng.replace_graph(graph_n(n))
+    stop.set()
+    for t in threads:
+        t.join(30)
+    assert not errors, errors
+    assert eng.raw("SELECT COUNT(*) AS n FROM triples").first()["n"] == 7
+
+
 def test_persisted_index_matches_inmemory(spark, tmp_path):
     from bikidata_spark.operators.fts import read_fts_index, write_fts_index
 
