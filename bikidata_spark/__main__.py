@@ -99,7 +99,7 @@ def main(argv: list[str]) -> int:
 
         from .serving import Serving
 
-        workers = int(argv[2]) if len(argv) > 2 else 4
+        workers = int(argv[2]) if len(argv) > 2 else 16
         srv = Serving(Engine(read_graph(spark, argv[1]).cache()), num_workers=workers)
 
         async def loop() -> None:

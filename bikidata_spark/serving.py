@@ -52,9 +52,25 @@ class Serving:
     ``num_workers`` bounds concurrent driver-side query threads (the
     Spark scheduler multiplexes their jobs over the executor pool; set
     ``spark.scheduler.mode=FAIR`` for round-robin instead of FIFO).
+
+    The default of 16 comes from the r6 sweep (tools/serving_sweep.py,
+    sf0.1, 48 concurrent mixed clients, FAIR, local[32]):
+
+        workers   4     8     16    32
+        QPS       1.75  2.42  2.82  2.81
+        p95 s     26.1  19.7  16.8  16.9
+
+    Throughput knees at 16 — beyond it the driver, not the executor
+    pool, is the bottleneck: every in-flight query contends on the
+    Python GIL and the py4j gateway for plan construction and
+    job submission, so more threads only add queue wait. (The
+    reference sidesteps this with forked worker PROCESSES,
+    workers.py:23-56; a multiprocess front-end over one shared
+    SparkContext is the equivalent escape hatch if driver-side CPU
+    ever dominates a deployment.)
     """
 
-    def __init__(self, engine: Engine, num_workers: int = 4):
+    def __init__(self, engine: Engine, num_workers: int = 16):
         self.engine = engine
         self._num_workers = num_workers
         self._pool = ThreadPoolExecutor(

@@ -1,0 +1,79 @@
+"""Serving throughput sweep: QPS/p50/p95 vs worker-pool size.
+
+Drives the bench's mixed 4-kind workload (fts / facet / semantic /
+id+paths, caches off) through the Serving facade at
+$SPARK_GRAFT_SF_DIR (default sf0.1) for workers in
+$SWEEP_WORKERS (default "4,8,16,32") with $SWEEP_CLIENTS concurrent
+requests (default 48). FAIR scheduling unless BIKIDATA_SPARK_SCHEDULER
+overrides. Prints one JSON line per point plus a summary — the data
+behind Serving's default num_workers (VERDICT r5 next-round #4)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("BIKIDATA_SPARK_SCHEDULER", "FAIR")
+
+from pyspark.sql import functions as F
+
+from bench import _serving_workload
+from bikidata_spark import Engine, from_string_quads
+from bikidata_spark.operators import similarity as sim
+from bikidata_spark.session import get_spark
+from bikidata_spark.sources.rdfize import string_quads
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    workers_list = [int(w) for w in os.environ.get("SWEEP_WORKERS", "4,8,16,32").split(",")]
+    clients = int(os.environ.get("SWEEP_CLIENTS", "48"))
+    spark = get_spark("serving-sweep")
+    graph = from_string_quads(string_quads(spark, sf_dir)).cache()
+    graph.triples.count()
+    graph.terms.count()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem_emb = embs.select(
+        F.xxhash64(
+            F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">"))
+        ).alias("s"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    sem_cents = embs.filter(F.col("vec_id") % sim._seed_step(embs) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    store = tempfile.mkdtemp(prefix="sweep_ivf_")
+    sim.write_ivf_store(sem_emb, f"{store}/ivf", "s", "vec", centroids=sem_cents)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    eng = Engine(graph, embeddings=sem_emb)
+    eng.load_ivf(f"{store}/ivf", nprobe=2)
+    eng.fts  # build untimed
+
+    results = {}
+    # warmup pass (plans, codegen, derived caches)
+    _serving_workload(eng, qvec, n=8, workers=8)
+    for w in workers_list:
+        stats = _serving_workload(eng, qvec, n=clients, workers=w)
+        results[w] = stats
+        print(json.dumps({"workers": w, **stats}), flush=True)
+    best = max(results, key=lambda w: results[w]["qps"])
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "clients": clients,
+                "scheduler": os.environ.get("BIKIDATA_SPARK_SCHEDULER"),
+                "sweep": results,
+                "best_workers_by_qps": best,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
