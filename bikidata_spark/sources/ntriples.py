@@ -257,51 +257,83 @@ def read_trig(
 ) -> DataFrame:
     """Parse TriG files into string quads (s, p, o, g).
 
-    TriG's ``<graph> { ... }`` blocks are a line-spanning stateful
-    construct, so sub-file parallelism is impossible without a second
-    pass; like the reference (main.py:88-99) we scan lines in order,
-    but distribute at FILE granularity: ``wholetext`` read → one
-    Arrow-batched ``mapInPandas`` per file. Semantics mirror the
-    reference exactly, including the quirk that a ``}`` line does NOT
-    reset the current graph — only the next block header does. For
-    sub-file parallelism at 100 TB, convert TriG to N-Quads up front.
+    TriG's ``<graph> { ... }`` blocks look line-spanning-stateful, but
+    the ONLY parser state is "the most recent block header" — the
+    reference's quirk that a ``}`` line does NOT reset the current
+    graph (main.py:88-99) makes every statement's graph a pure function
+    of the last ``<g> {`` line above it. So the parse splits into two
+    stages:
+
+    1. a cheap per-file chunker (``wholetext`` → one regex split per
+       file, C-speed, no per-line Python) cuts the text at block-header
+       lines, emitting (g, chunk) rows — each chunk's graph is constant
+       by construction;
+    2. the chunks repartition to the session parallelism and the
+       per-line work runs through the SAME vectorized JVM tokenizer as
+       the N-Triples reader, with the chunk's ``g`` riding along.
+
+    A multi-block file therefore parses across as many tasks as it has
+    blocks (pinned by test); only a single enormous block is still
+    sequential, as it is in the reference. Header detection matches the
+    reference token-exactly: an unindented ``<token> {`` line, two
+    space-separated parts, ignoring trailing whitespace.
     """
     if isinstance(paths, str):
         paths = [paths]
     files = spark.read.text(paths, wholetext=True)
 
-    def parse(batches):
+    def chunk(batches):
+        import re
+
         import pandas as pd
 
+        # reference header check (main.py:91-97): rstrip'd line ends
+        # with " {", starts with "<" (no leading whitespace), exactly
+        # two space-separated tokens → the first token is the graph
+        hdr = re.compile(r"^(<[^ ]*) \{[ \t\r\f\v]*$", re.M)
         for pdf in batches:
-            out_s, out_p, out_o, out_g = [], [], [], []
+            gs, texts = [], []
             for content in pdf["value"]:
-                g = ""
-                for line in content.splitlines():
-                    line = line.rstrip()
-                    if not line.endswith(" ."):
-                        # block header: `<iri> {` (reference main.py:91-97)
-                        if line.endswith(" {") and line.startswith("<"):
-                            parts = line.split(" ")
-                            if len(parts) == 2:
-                                g = parts[0]
-                        continue
-                    body = line[:-2].strip()
-                    parts = body.split(" ")
-                    if len(parts) < 3:
-                        continue
-                    s, p, o = parts[0], parts[1], " ".join(parts[2:])
-                    if not ((s.startswith("<") and s.endswith(">")) or s.startswith("_:")):
-                        continue
-                    if not (p.startswith("<") and p.endswith(">")):
-                        continue
-                    out_s.append(s)
-                    out_p.append(p)
-                    out_o.append(o)
-                    out_g.append(g)
-            yield pd.DataFrame({"s": out_s, "p": out_p, "o": out_o, "g": out_g})
+                pos, g = 0, ""
+                for m in hdr.finditer(content):
+                    if m.start() > pos:
+                        gs.append(g)
+                        texts.append(content[pos : m.start()])
+                    g = m.group(1)
+                    pos = m.end()
+                gs.append(g)
+                texts.append(content[pos:])
+            yield pd.DataFrame({"g": gs, "chunk": texts})
 
-    out = files.mapInPandas(parse, "s string, p string, o string, g string")
+    try:
+        fan_out = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        fan_out = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    lines = (
+        files.mapInPandas(chunk, "g string, chunk string")
+        .repartition(fan_out)
+        .select("g", F.explode(F.split("chunk", "\n")).alias("value"))
+    )
+    # same single-split barrier plan as parse_nt_lines (see its
+    # docstring), with the chunk graph carried through
+    pre = lines.filter(F.expr("trim(value) like '% .'")).select(
+        "g",
+        F.expr(
+            "if(rand() * 0.0 <= 0.5,"
+            " split(rtrim(substring(trim(value), 1, length(trim(value)) - 2)), ' '),"
+            " null)"
+        ).alias("arr"),
+    )
+    out = (
+        pre.filter(F.size("arr") >= 3)
+        .select(
+            F.col("arr")[0].alias("s"),
+            F.col("arr")[1].alias("p"),
+            F.concat_ws(" ", F.expr("slice(arr, 3, size(arr) - 2)")).alias("o"),
+            "g",
+        )
+        .filter(_term_validity())
+    )
     if decode_escapes:
         out = out.select(
             *[

@@ -305,6 +305,40 @@ def test_read_trig_blocks_and_graph_persistence(spark, tmp_path):
     assert ("<http://ex/c>", "<http://g/two>", '"tail"') in rows
 
 
+def test_read_trig_multiblock_parses_across_tasks(spark, tmp_path):
+    """r6: the TriG parse chunks at block-header boundaries and fans the
+    per-line work out, so ONE multi-block file parses across more than
+    one task — with quads identical to a sequential reference-style
+    parse (leading statements before any header, indented statements,
+    a graph spanning past its ``}``, headers with trailing blanks)."""
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.sources.ntriples import read_trig
+
+    blocks = ['<http://ex/pre> <http://p/x> "no graph yet" .']
+    expected = {("<http://ex/pre>", "", '"no graph yet"')}
+    for b in range(12):
+        blocks.append(f"<http://g/{b}> {{  ")
+        for i in range(50):
+            blocks.append(f'  <http://ex/{b}/{i}> <http://p/x> "v {b} {i}" .')
+            expected.add((f"<http://ex/{b}/{i}>", f"<http://g/{b}>", f'"v {b} {i}"'))
+        blocks.append("}")
+    # post-} statement rides the LAST header's graph (the quirk)
+    blocks.append('<http://ex/post> <http://p/x> "after last block" .')
+    expected.add(("<http://ex/post>", "<http://g/11>", '"after last block"'))
+    f = tmp_path / "big.trig"
+    f.write_text("\n".join(blocks) + "\n")
+
+    out = read_trig(spark, str(f))
+    rows = {(r["s"], r["g"], r["o"]) for r in out.collect()}
+    assert rows == expected
+    # the per-line parse really is distributed: rows occupy >1 partition
+    nparts = (
+        out.select(F.spark_partition_id().alias("pid")).distinct().count()
+    )
+    assert nparts > 1, nparts
+
+
 def test_compact_store_preserves_graph_and_drops_tombstones(spark, tmp_path):
     from bikidata_spark.streaming.mutations import compact_store, read_store, start_ingest
 
