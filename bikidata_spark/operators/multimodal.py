@@ -165,9 +165,10 @@ def decode_image(payload: bytes, mime: str | None = None):
 
     Formats: PPM ``P6`` (binary, maxval <= 255, ``#`` comments), BMP
     (BITMAPINFOHEADER family, 24-bit, BI_RGB uncompressed, top-down or
-    bottom-up), baseline-sequential JPEG (pure-numpy decoder,
-    functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
-    intervals; progressive raises NotImplementedError), 8-bit PNG
+    bottom-up), baseline-sequential AND progressive JPEG (pure-numpy
+    decoder, functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
+    intervals, SOF2 spectral-selection + successive-approximation
+    scans; arithmetic/12-bit raise NotImplementedError), 8-bit PNG
     (stdlib-zlib decoder, functions/png.py — grey/truecolor/indexed/
     alpha; interlaced and 16-bit raise), and GIF87a/89a first frame
     (pure-numpy LZW decoder, functions/gif.py — global/local palettes,

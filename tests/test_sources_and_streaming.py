@@ -1283,7 +1283,43 @@ def test_jpeg_fixture_decodes():
     assert err.max() <= 10 and err.mean() <= 4.0
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_matches_baseline():
+    """r6: progressive (SOF2) decode — spectral selection, successive
+    approximation (DC + AC refinement, EOB runs, ZRL-with-corrections).
+    The progressive encoder quantizes identically to the baseline one,
+    so the two streams must decode PIXEL-IDENTICAL, color and gray, on
+    non-multiple-of-8 dimensions."""
+    import numpy as np
+
+    from bikidata_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:21, 0:19]
+    grad = np.stack([yy * 9, xx * 11, (yy + xx) * 4], axis=2).astype(np.uint8)
+    noisy = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    sparse = np.zeros((16, 16, 3), np.uint8)
+    sparse[3, 4] = (200, 10, 90)  # exercises long zero runs / ZRL / EOB
+    for img, tol in ((grad, 8), (noisy, 8), (sparse, 16)):
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert np.array_equal(base, prog)
+        # and both stay within quantization error of the source (the
+        # impulse image rings hardest under the flat quant table)
+        assert np.abs(prog.astype(int) - img.astype(int)).max() <= tol
+    gray = (yy * 7 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, qt=np.ones(64))),
+        decode_jpeg(encode_jpeg_progressive(gray, qt=np.ones(64))),
+    )
+    # magic-byte dispatch path decodes progressive payloads too
+    assert mm.decode_image(encode_jpeg_progressive(grad)).shape == (21, 19, 3)
+
+
+def test_jpeg_unsupported_sof_raises():
     import numpy as np
     import pytest
 
@@ -1291,8 +1327,8 @@ def test_jpeg_progressive_raises():
 
     payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    payload[sof + 1] = 0xC9  # SOF9: arithmetic-coded — still honest seam
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         mm.decode_image(bytes(payload))
 
 
