@@ -51,6 +51,12 @@ _FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "20000"))
 # literal IN-list probes beat a broadcast join only while the list is
 # page-sized — building the expression costs ~0.5 ms/element over py4j
 _ISIN_PROBE_MAX = 200
+# paths(): hierarchies with at most this many edges are collected once
+# per generation and walked driver-side (hierarchies are dimension
+# tables — regions/categories/taxonomies — so this covers virtually
+# all of them); bigger ones take the distributed walk
+_LOCAL_PATHS_EDGES = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_EDGES", "200000"))
+_LOCAL_PATHS_SUBJECTS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_SUBJECTS", "20000"))
 
 
 @functools.lru_cache(maxsize=8192)
@@ -171,6 +177,9 @@ class Engine:
     # walk level probes the dimension-sized hierarchy instead of
     # re-scanning corpus triples
     _paths_edge_cache: dict = field(default_factory=dict, repr=False)
+    # driver-collected {child: [parents]} maps for hierarchies under
+    # _LOCAL_PATHS_EDGES (None = measured too big, stay distributed)
+    _paths_edge_maps: dict = field(default_factory=dict, repr=False)
     # generation whose frames are currently registered as the raw()
     # temp views (-1 = never registered)
     _raw_views_gen: int = field(default=-1, repr=False)
@@ -215,6 +224,7 @@ class Engine:
                 except Exception:
                     pass
             self._paths_edge_cache = {}
+            self._paths_edge_maps = {}
 
     # ---- indexes -------------------------------------------------------
     @property
@@ -1150,7 +1160,25 @@ class Engine:
         serving contract — page-sized subject sets), every level joins
         as an explicit broadcast so the corpus-sized edge set is probed
         in place, never shuffled (AQE can only downgrade after both
-        sides have already shuffled — see _walk_up)."""
+        sides have already shuffled — see _walk_up).
+
+        Dimension-sized hierarchies (r6): when the prop's edge set fits
+        ``_LOCAL_PATHS_EDGES`` it is collected ONCE per generation and
+        the walk runs driver-side in Python — zero Spark jobs per level
+        instead of two per batch (the dominant share of a paths
+        request's scheduler round-trips). The Python walk replicates
+        the distributed semantics exactly — per-level multiplicity,
+        batch-aligned cycle checks, the hard cap — and a differential
+        test pins the two paths equal on diamond/cycle/deep graphs.
+        Larger hierarchies take the distributed walk unchanged."""
+        lmap = self._paths_edges_map(prop)
+        if lmap is not None:
+            subj = subjects.select("s").limit(_LOCAL_PATHS_SUBJECTS + 1).collect()
+            if len(subj) <= _LOCAL_PATHS_SUBJECTS:
+                rows = self._paths_local_rows(lmap, [r["s"] for r in subj])
+                return self.graph.spark.createDataFrame(
+                    rows, "src long, pos int, ancestor long"
+                )
         edges = self._paths_edges(prop)
         start = subjects.select(
             F.col("s").alias("src"), F.col("s").alias("cur")
@@ -1273,6 +1301,107 @@ class Engine:
                     pass
             self._paths_edge_cache[key] = df
             return df
+
+    def _paths_edges_map(self, prop: str) -> dict | None:
+        """Driver-collected {child: [parents]} for ``prop``'s hierarchy
+        when it fits ``_LOCAL_PATHS_EDGES``; None (cached) when it does
+        not. One bounded probe of the persisted edge frame per
+        generation."""
+        key = (self._graph_generation, prop)
+        with self._cache_lock:
+            if key in self._paths_edge_maps:
+                return self._paths_edge_maps[key]
+        rows = self._paths_edges(prop).limit(_LOCAL_PATHS_EDGES + 1).collect()
+        result: dict | None
+        if len(rows) > _LOCAL_PATHS_EDGES:
+            result = None
+        else:
+            result = {}
+            for r in rows:
+                result.setdefault(r["child"], []).append(r["parent"])
+        with self._cache_lock:
+            if key[0] == self._graph_generation:
+                self._paths_edge_maps[key] = result
+        return result
+
+    def _paths_local_rows(self, edges_map: dict, subject_hashes) -> list:
+        """Python twin of the distributed walk below — (src, pos,
+        ancestor) tuples with identical multiplicity, cycle, and
+        hard-cap semantics (batch-aligned cycle checks included). Kept
+        step-for-step parallel to the DataFrame loop so the
+        differential test can pin them equal."""
+        from collections import Counter
+
+        mult = Counter(int(s) for s in subject_hashes)
+        frontier = {s: [s] for s in mult}
+        seen = {s: {s} for s in mult}
+        rows: list[tuple] = []
+        hard_cap = MAX_PATH_DEPTH * 8
+        cyclic: set = set()
+        depth = 0
+        warned = False
+        n = len(subject_hashes)
+        while depth < hard_cap and frontier:
+            # mirror the distributed batch-size rule exactly, so cycle
+            # checks fire at the same depths as the DataFrame walk
+            step = (
+                1
+                if (n <= _HOP_BROADCAST_ROWS and n > _HOP_BROADCAST_ROWS // 10)
+                else _CHECK_EVERY
+            )
+            for _ in range(min(step, hard_cap - depth)):
+                depth += 1
+                new: dict = {}
+                for src, curs in frontier.items():
+                    # the outgoing frontier becomes "strictly earlier
+                    # on the chain" — merge BEFORE advancing, so the
+                    # check below sees levels 1..depth-1 + start,
+                    # exactly the distributed rows[:-1] seen-set
+                    seen[src].update(curs)
+                    nxt = [p for c in curs for p in edges_map.get(c, ())]
+                    if nxt:
+                        new[src] = nxt
+                        rows.extend((src, depth, p) for p in nxt)
+                frontier = new
+                if not frontier:
+                    break
+            if not frontier:
+                break
+            n = sum(len(c) for c in frontier.values())
+            if depth >= MAX_PATH_DEPTH:
+                cyc = {
+                    src
+                    for src, curs in frontier.items()
+                    if any(c in seen[src] for c in curs)
+                }
+                if cyc:
+                    cyclic |= cyc
+                    for src in cyc:
+                        frontier.pop(src)
+                    if not frontier:
+                        break
+                if frontier and not warned:
+                    log.warning(
+                        "paths(local): acyclic ancestor chain deeper than "
+                        "MAX_PATH_DEPTH=%d; continuing to the %d-level "
+                        "safety cap",
+                        MAX_PATH_DEPTH,
+                        hard_cap,
+                    )
+                    warned = True
+        drop = set(cyclic)
+        if frontier:
+            log.warning(
+                "paths(local): chain still alive at the %d-level safety "
+                "cap; dropping its subjects' rows",
+                hard_cap,
+            )
+            drop |= set(frontier)
+        out = []
+        for src, pos, anc in rows:
+            if src not in drop:
+                out.extend([(src, pos, anc)] * mult[src])
+        return out
 
     def paths_values(self, opts: dict, prop: str) -> DataFrame:
         """Ancestor chains for the filtered subject set, as lexical
@@ -1429,10 +1558,19 @@ class Engine:
                 # paths for the page (ancestor chains are page-bounded
                 # too: collect, then one terms probe for their labels)
                 for pad in opts.get("paths", []):
-                    subj_df = self.graph.spark.createDataFrame(
-                        [(h,) for h in page_hashes], "s long"
-                    )
-                    pcol = self.paths(subj_df, str(pad)).collect()
+                    lmap = self._paths_edges_map(str(pad))
+                    if lmap is not None:
+                        # dimension-sized hierarchy: walk driver-side
+                        # with zero Spark jobs (see paths())
+                        pcol = [
+                            {"src": s, "pos": p, "ancestor": a}
+                            for s, p, a in self._paths_local_rows(lmap, page_hashes)
+                        ]
+                    else:
+                        subj_df = self.graph.spark.createDataFrame(
+                            [(h,) for h in page_hashes], "s long"
+                        )
+                        pcol = self.paths(subj_df, str(pad)).collect()
                     av = self._term_values(r["ancestor"] for r in pcol)
                     chains: dict = {}
                     for r in pcol:

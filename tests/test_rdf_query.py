@@ -305,6 +305,57 @@ def test_paths_exact_depth_bound_kept(spark):
     assert "<c/0>" not in by_src
 
 
+def test_paths_local_walk_matches_distributed(spark, monkeypatch):
+    """r6: dimension-sized hierarchies walk driver-side. The Python
+    walk must produce EXACTLY the distributed walk's rows — including
+    multiplicity through diamonds, cycle drops, multi-parent fan-out,
+    and deep chains — pinned by running both on the same graphs."""
+    import bikidata_spark.plans.query as qmod
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.plans.query import MAX_PATH_DEPTH
+
+    n = MAX_PATH_DEPTH
+    quads = [
+        # diamond: m -> {p1, p2} -> gp  (each path multiplies rows)
+        ("<e/m>", "<p/parent>", "<e/p1>", ""),
+        ("<e/m>", "<p/parent>", "<e/p2>", ""),
+        ("<e/p1>", "<p/parent>", "<e/gp>", ""),
+        ("<e/p2>", "<p/parent>", "<e/gp>", ""),
+        # plain chain + 2-cycle
+        ("<e/a>", "<p/parent>", "<e/b>", ""),
+        ("<e/b>", "<p/parent>", "<e/c>", ""),
+        ("<e/x>", "<p/parent>", "<e/y>", ""),
+        ("<e/y>", "<p/parent>", "<e/x>", ""),
+    ]
+    # a chain deeper than the bound
+    quads += [(f"<d/{i}>", "<p/parent>", f"<d/{i+1}>", "") for i in range(n + 4)]
+    subjects = ["<e/m>", "<e/a>", "<e/x>", "<d/0>", "<e/gp>"]
+    quads += [(s, "<p/type>", "<c/thing>", "") for s in subjects]
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    )
+
+    def rows_with(local: bool):
+        if local:
+            monkeypatch.setattr(qmod, "_LOCAL_PATHS_EDGES", 200000)
+        else:
+            monkeypatch.setattr(qmod, "_LOCAL_PATHS_EDGES", 0)  # force distributed
+        eng = Engine(g)
+        subj, _ = eng.subjects({"filters": [{"p": "<p/type>", "o": "<c/thing>"}]})
+        out = eng.paths(subj, "<p/parent>").collect()
+        return sorted((r["src"], r["pos"], r["ancestor"]) for r in out)
+
+    dist = rows_with(local=False)
+    loc = rows_with(local=True)
+    assert loc == dist
+    assert len(dist) > 0
+    # the diamond really produced multiplicity-2 grandparent rows
+    from collections import Counter
+
+    counts = Counter(dist)
+    assert max(counts.values()) == 2
+
+
 def test_subject_cache_generation_guard(spark):
     """A subject set computed against a graph that was swapped out
     mid-flight must NOT be cached (it would serve pre-mutation results
