@@ -179,11 +179,14 @@ class FtsIndex:
         if not terms:
             return self.postings.sparkSession.createDataFrame([], "lit long, score double")
         n = self.n_docs
-        hits = (
-            self._term_postings(self.postings, terms)
-            .join(F.broadcast(self._term_postings(self.token_df, terms)), "token")
-            .join(self.doc_len, "lit")
+        hits = self._term_postings(self.postings, terms).join(
+            F.broadcast(self._term_postings(self.token_df, terms)), "token"
         )
+        if "dl" not in self.postings.columns:
+            # persisted/incremental stores keep the normalized layout —
+            # resolve document length with the join the in-memory index
+            # pre-paid at build time
+            hits = hits.join(self.doc_len, "lit")
         # BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
         idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
         tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
@@ -249,7 +252,10 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 64) -> None:
     bucket directories (partition pruning — the 100 TB layout where a
     3-term query touches 3/64ths of the postings store)."""
     (
-        index.postings.withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
+        # normalized store layout regardless of the in-memory
+        # denormalization (drop is a no-op when dl is absent)
+        index.postings.drop("dl")
+        .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
         .repartition("bucket")
         .sortWithinPartitions("token")
         .write.mode("overwrite")
@@ -339,15 +345,25 @@ def build_fts_index(
         F.col("hash").alias("lit"),
         F.explode(tokens_col(F.col("value"), strip_accents)).alias("token"),
     )
-    postings = token_postings(toks, stem).persist()
+    raw = token_postings(toks, stem).persist()
     # materialize now — "build" should pay the build cost, not the first
     # query (persist alone is lazy). ONE tokenize scan: doc_len (dl =
     # sum tf) and token_df both derive from the cached postings.
-    postings.count()
-    doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
-    token_df = postings.groupBy("token").agg(F.count("*").alias("df")).persist()
+    raw.count()
+    doc_len = raw.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
+    token_df = raw.groupBy("token").agg(F.count("*").alias("df")).persist()
     token_df.count()
     stats = doc_len.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    # denormalize dl INTO the postings (norms-in-postings, the classic
+    # search-engine layout): match() then scores from the postings rows
+    # alone — no corpus-sized doc_len join per query, which was the one
+    # shuffle-bearing stage left on the fts serving path. Build pays
+    # this join once; the persisted store keeps the normalized layout
+    # (write_fts_index drops the column), so store formats and the
+    # incremental-segment union are unchanged.
+    postings = raw.join(doc_len, "lit").persist()
+    postings.count()
+    raw.unpersist()
     return FtsIndex(
         postings=postings,
         token_df=token_df,
