@@ -305,6 +305,46 @@ def test_paths_exact_depth_bound_kept(spark):
     assert "<c/0>" not in by_src
 
 
+def test_fast_page_matches_distributed_page(spark, monkeypatch):
+    """r6: query()'s driver-side fast page (collect + Python sort)
+    must return EXACTLY the distributed page — including non-ASCII
+    subjects (Python code-point order vs Spark UTF8 binary order) and
+    paging slices — and the over-cap fallback must agree too."""
+    import bikidata_spark.plans.query as qmod
+    from bikidata_spark import Engine, from_string_quads
+
+    # subjects with multibyte and mixed-script IRIs to stress ordering
+    names = [
+        "<e/zürich>", "<e/Ωmega>", "<e/alpha>", "<e/Alpha>", "<e/中文>",
+        "<e/ábc>", "<e/zz>", "<e/a-b>", "<e/a_b>", "<e/émile>", "<e/9num>",
+    ]
+    quads = [(s, "<p/type>", "<c/thing>", "") for s in names]
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    )
+    opts = {
+        "filters": [{"p": "<p/type>", "o": "<c/thing>"}],
+        "size": 4,
+        "start": 3,
+        "use_cache": False,
+    }
+
+    def page_ids(cap):
+        monkeypatch.setattr(qmod, "_FAST_PAGE_ROWS", cap)
+        eng = Engine(g)
+        out = eng.query(opts)
+        return list(out["results"]), out["total"]
+
+    fast_ids, fast_total = page_ids(20000)
+    slow_ids, slow_total = page_ids(0)  # force the distributed page
+    assert fast_total == slow_total == len(names)
+    # results-dict insertion order is hydration-collect order (not the
+    # page order) in BOTH paths — compare membership: a 4-of-11 slice
+    # at start=3 pins the sort order through what it selects
+    assert sorted(fast_ids) == sorted(slow_ids)
+    assert len(fast_ids) == 4
+
+
 def test_paths_local_walk_matches_distributed(spark, monkeypatch):
     """r6: dimension-sized hierarchies walk driver-side. The Python
     walk must produce EXACTLY the distributed walk's rows — including
