@@ -183,3 +183,64 @@ SELECT doc_id, CAST(ci AS BIGINT), array_to_string(ts[ci*8+1 : ci*8+8], ' '), CA
         ).fetchall()
     )
     assert sp == dk
+
+
+def _nq_reference_parse(line: str):
+    """Python reference of the N-Quads token-shape rule (r6): a
+    statement has a graph iff ≥4 tokens and the last token is an IRI
+    (<...>) or a quote-free blank-node label (_:...). Mirrors the
+    reference's NT split-on-single-space semantics otherwise."""
+    t = line.strip()
+    if not t.endswith(" ."):
+        return None
+    arr = t[:-2].rstrip().split(" ")
+    if len(arr) < 3:
+        return None
+    last = arr[-1]
+    has_g = len(arr) >= 4 and (
+        (last.startswith("<") and last.endswith(">"))
+        or (last.startswith("_:") and '"' not in last)
+    )
+    if has_g:
+        s, p, o, g = arr[0], arr[1], " ".join(arr[2:-1]), last
+    else:
+        s, p, o, g = arr[0], arr[1], " ".join(arr[2:]), ""
+    s_ok = (s.startswith("<") and s.endswith(">")) or s.startswith("_:")
+    if not (s_ok and p.startswith("<") and p.endswith(">") and o):
+        return None
+    return (s, p, o, g)
+
+
+def test_nq_graph_detection_fuzz(spark):
+    """parse_nq_lines vs the Python reference rule on adversarial
+    generated lines: literals ending in IRI-shaped, blank-node-shaped,
+    datatyped, and langtagged tokens; real graph labels; malformed
+    lines; extra spaces."""
+    from bikidata_spark.sources.ntriples import parse_nq_lines
+
+    rng = random.Random(SEED + 7)
+    subjects = ["<http://ex/s>", "_:b0", "bad", "<open"]
+    preds = ["<http://p/x>", "nopred"]
+    objects = [
+        '"plain"', '"two words"', '"foo _:bar"', '"x _:y"^^<http://t>',
+        '"ends <http://iri>"', '"a b"@en', "<http://obj>", "_:oblank",
+        '"tail _:z"@de', '""',
+    ]
+    graphs = ["", "<http://g/1>", "_:glabel", '"notagraph"']
+    lines = []
+    for _ in range(400):
+        s = rng.choice(subjects)
+        p = rng.choice(preds)
+        o = rng.choice(objects)
+        g = rng.choice(graphs)
+        parts = [s, p, o] + ([g] if g else [])
+        term = rng.choice([" .", " .", " .", ".", ""])  # some malformed
+        lines.append(" ".join(parts) + term)
+    expected = sorted(r for r in (_nq_reference_parse(ln) for ln in lines) if r)
+    got = sorted(
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in parse_nq_lines(
+            spark.createDataFrame([(ln,) for ln in lines], "value string")
+        ).collect()
+    )
+    assert got == expected
