@@ -46,8 +46,11 @@ SAMPLE_SEED = 42
 # broadcast (~8-16 B/row → ≤ ~10 MB broadcast); override via env
 _HOP_BROADCAST_ROWS = int(os.environ.get("BIKIDATA_SPARK_HOP_BROADCAST_ROWS", "500000"))
 # subject-set size under which query() collects the (s, s_value) pairs
-# and pages driver-side (see _query_impl): ~16-80 B/row → ≤ a few MB
-_FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "20000"))
+# and pages driver-side (see _query_impl): ~16-80 B/row → ≤ ~5 MB at
+# the cap. 50k measured better than 20k at sf1, where common segment
+# filters land at ~30k subjects and would otherwise pay the bounded
+# probe AND the distributed page
+_FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "50000"))
 # literal IN-list probes beat a broadcast join only while the list is
 # page-sized — building the expression costs ~0.5 ms/element over py4j
 _ISIN_PROBE_MAX = 200
