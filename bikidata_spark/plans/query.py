@@ -24,6 +24,7 @@ import functools
 import logging
 import os
 import threading
+import weakref
 
 from dataclasses import dataclass, field
 from functools import reduce
@@ -60,6 +61,16 @@ _ISIN_PROBE_MAX = 200
 # all of them); bigger ones take the distributed walk
 _LOCAL_PATHS_EDGES = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_EDGES", "200000"))
 _LOCAL_PATHS_SUBJECTS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_SUBJECTS", "20000"))
+
+
+# Session-global state that must be keyed by the SESSION, not the
+# engine: two Engines sharing one SparkSession would otherwise clobber
+# each other — one engine's raw() views replacing the other's between
+# its calls, and overlapping _no_aqe scopes saving each other's
+# already-toggled conf value and leaving AQE off for good.
+_SESSION_LOCK = threading.Lock()
+_RAW_VIEW_OWNER: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_AQE_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @functools.lru_cache(maxsize=8192)
@@ -160,12 +171,8 @@ class Engine:
     # many query() calls concurrently on this one Engine — a global
     # release would drop a sibling request's cache mid-flight.
     _transient_caches: dict = field(default_factory=dict, repr=False)
-    # ref-count for the point-query no-AQE scope (_no_aqe): AQE turns
-    # every shuffle-bearing action into 2+ scheduler round-trips (one
-    # per materialized stage) — pure overhead when the engine already
-    # knows the small side and plans explicit broadcasts
-    _aqe_depth: int = field(default=0, repr=False)
-    _aqe_saved: str = field(default="true", repr=False)
+    # (the no-AQE scope's ref-count lives in module-level _AQE_STATE,
+    # keyed by SparkSession — see _no_aqe)
     # compiled (subjects, scores) PLANS keyed by (generation, filter
     # spec): skips per-request Column/plan construction, never skips
     # execution — orthogonal to the persisted RESULT cache above
@@ -183,9 +190,6 @@ class Engine:
     # driver-collected {child: [parents]} maps for hierarchies under
     # _LOCAL_PATHS_EDGES (None = measured too big, stay distributed)
     _paths_edge_maps: dict = field(default_factory=dict, repr=False)
-    # generation whose frames are currently registered as the raw()
-    # temp views (-1 = never registered)
-    _raw_views_gen: int = field(default=-1, repr=False)
     # bumped by replace_graph: a query thread that computed its subject
     # set against the OLD graph must not repopulate the cache after the
     # swap (the key is only the filter spec, so a stale insert would be
@@ -548,7 +552,15 @@ class Engine:
         import json
 
         use_cache = opts.get("use_cache", True)
-        key = json.dumps(opts.get("filters", []), sort_keys=True)
+        try:
+            key = json.dumps(opts.get("filters", []), sort_keys=True)
+        except (TypeError, ValueError):
+            # non-JSON filter values (e.g. a numpy vector): no safe
+            # cache key exists — lossy fallbacks like default=str can
+            # COLLIDE between different vectors, so skip both caches
+            key = None
+        if use_cache and key is None:
+            use_cache = False
         if use_cache:
             hit = self._cache_get(key)
             with self._cache_lock:
@@ -565,10 +577,10 @@ class Engine:
         # results, so this is safe even with use_cache off. Scored plans
         # (fts/semantic) are excluded — they persist per-request frames
         # whose lifecycle belongs to the registering request.
-        result = self._plan_cache_get(gen, key)
+        result = self._plan_cache_get(gen, key) if key is not None else None
         if result is None:
             result = self._subjects_uncached(opts)
-            if result[1] is None and result[0] is not None:
+            if key is not None and result[1] is None and result[0] is not None:
                 self._plan_cache_put(gen, key, result)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
@@ -659,30 +671,56 @@ class Engine:
         join is already an explicit, count-gated broadcast. Large
         subject sets never enter this scope (callers gate on the known
         count), so AQE's skew/late-broadcast powers still govern every
-        at-scale plan. Ref-counted because the SQLConf is session-global
-        and Serving drives many queries concurrently; a concurrent
-        batch job planned inside the window merely loses AQE for that
-        plan (performance, never correctness)."""
-        conf = self.graph.spark.conf
-        with self._cache_lock:
-            if self._aqe_depth == 0:
+        at-scale plan. Ref-counted PER SESSION (module state, not per
+        engine): overlapping scopes from two Engines sharing one
+        SparkSession must not save each other's already-toggled value
+        and restore AQE to 'false' for good. A concurrent batch job
+        planned inside the window merely loses AQE for that plan
+        (performance, never correctness)."""
+        spark = self.graph.spark
+        conf = spark.conf
+        with _SESSION_LOCK:
+            st = _AQE_STATE.get(spark)
+            if st is None:
                 try:
-                    self._aqe_saved = conf.get("spark.sql.adaptive.enabled")
+                    saved = conf.get("spark.sql.adaptive.enabled")
                 except Exception:
-                    self._aqe_saved = "true"
+                    saved = "true"
+                st = [0, saved]
+                _AQE_STATE[spark] = st
                 conf.set("spark.sql.adaptive.enabled", "false")
-            self._aqe_depth += 1
+            st[0] += 1
         try:
             yield
         finally:
-            with self._cache_lock:
-                self._aqe_depth -= 1
-                if self._aqe_depth == 0:
-                    conf.set("spark.sql.adaptive.enabled", self._aqe_saved)
+            with _SESSION_LOCK:
+                st[0] -= 1
+                if st[0] == 0:
+                    conf.set("spark.sql.adaptive.enabled", st[1])
+                    _AQE_STATE.pop(spark, None)
+
+    _TRANSIENT_MAX_PER_THREAD = 32
 
     def _register_transient(self, df: DataFrame) -> None:
+        """Track a per-request persisted frame. Bounded per thread:
+        query() releases its own entries in a finally, but callers that
+        use page()/subjects() directly never reach that finally — past
+        the cap the OLDEST frames unpersist (they are persist()s, so a
+        late reader merely recomputes), keeping sustained direct use
+        from accumulating storage blocks without bound."""
+        evicted: list = []
         with self._cache_lock:
-            self._transient_caches.setdefault(threading.get_ident(), []).append(df)
+            lst = self._transient_caches.setdefault(threading.get_ident(), [])
+            lst.append(df)
+            if len(lst) > self._TRANSIENT_MAX_PER_THREAD:
+                n = len(lst) - self._TRANSIENT_MAX_PER_THREAD
+                evicted = lst[:n]
+                del lst[:n]
+        for old in evicted:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
 
     def _release_transients(self) -> None:
         """Unpersist every per-request frame the CURRENT thread
@@ -946,7 +984,18 @@ class Engine:
         broadcast probe into it."""
         import json
 
-        key = (self._graph_generation, json.dumps(rule, sort_keys=True))
+        # key on ONLY the fields the frame depends on: dir/nulls are
+        # applied at page-sort time, so 'label asc' and 'label desc'
+        # must share one persisted index, not build two
+        sig = {
+            k: rule.get(k)
+            for k in ("by", "prop", "via", "lang", "mode", "clean", "natural")
+            if rule.get(k) is not None
+        }
+        try:
+            key = (self._graph_generation, json.dumps(sig, sort_keys=True))
+        except (TypeError, ValueError):
+            return None  # uncacheable rule payload — per-query path
         with self._cache_lock:
             df = self._order_key_cache.get(key)
             if df is not None:
@@ -1463,6 +1512,14 @@ class Engine:
         # Python's code-point string order IS Spark's UTF8 binary order
         # (UTF-8 byte order preserves code points), so the driver sort
         # is bit-identical to the orderBy it replaces.
+        # total = len(collected rows) leans on the dictionary-
+        # completeness invariant: every subject hash in triples has a
+        # terms row (from_string_quads derives both from the same
+        # quads; write_graph preserves both). A store violating it
+        # would undercount total here — but would equally drop those
+        # subjects from every page/hydration join on the distributed
+        # path, so the invariant is the engine's contract, not this
+        # path's.
         sv_rows = None
         fast = (
             s_results is not None
@@ -1626,16 +1683,20 @@ class Engine:
         a DuckDB cursor; here the graph is exposed as temp views
         ``triples``/``terms`` and the query runs through Catalyst).
 
-        Views register once per graph generation, under the cache lock:
-        re-registering on every call was racy under concurrent serving
-        (two raw() calls straddling a replace_graph could interleave
-        the two view registrations across different graphs)."""
-        with self._cache_lock:
-            if self._raw_views_gen != self._graph_generation:
+        Views register once per OWNING GRAPH, tracked per session in
+        module state under a global lock: re-registering on every call
+        was racy under concurrent serving (two raw() calls straddling a
+        replace_graph could interleave the two view registrations
+        across different graphs), and tracking per-engine generation
+        alone would let a second Engine on the same session leave ITS
+        views registered while the first skips re-registration."""
+        spark = self.graph.spark
+        with _SESSION_LOCK:
+            if _RAW_VIEW_OWNER.get(spark) is not self.graph:
                 self.graph.triples.createOrReplaceTempView("triples")
                 self.graph.terms.createOrReplaceTempView("terms")
-                self._raw_views_gen = self._graph_generation
-        return self.graph.spark.sql(sql)
+                _RAW_VIEW_OWNER[spark] = self.graph
+        return spark.sql(sql)
 
     def total(self) -> int:
         return self.graph.triples.select("s").distinct().count()

@@ -312,7 +312,13 @@ def read_trig(
     lines = (
         files.mapInPandas(chunk, "g string, chunk string")
         .repartition(fan_out)
-        .select("g", F.explode(F.split("chunk", "\n")).alias("value"))
+        .select("g", F.explode(F.split("chunk", "\n")).alias("raw"))
+        # the old per-line Python parser rstrip()ed every line; the
+        # wholetext read keeps \r (CRLF files) and trailing tabs, and
+        # Spark's trim() strips only spaces — normalize here or every
+        # statement in a Windows-saved file fails the ' .' terminator
+        # check and silently vanishes
+        .select("g", F.regexp_replace(F.col("raw"), "[ \\t\\r\\f\\v]+$", "").alias("value"))
     )
     # same single-split barrier plan as parse_nt_lines (see its
     # docstring), with the chunk graph carried through

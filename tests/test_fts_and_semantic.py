@@ -74,6 +74,60 @@ def test_raw_sql_passthrough(spark):
     assert n == 4
 
 
+def test_raw_two_engines_one_session(spark):
+    """Two Engines over different graphs on ONE SparkSession: each
+    raw() call must see ITS OWN graph even when the other engine
+    registered the shared temp views in between (the ownership is
+    tracked per session by graph identity, not per-engine
+    generation)."""
+    from bikidata_spark import Engine, build_from_iterator
+
+    a = Engine(build_from_iterator(spark, [(f"<a/{i}>", "<p>", '"v"') for i in range(3)]))
+    b = Engine(build_from_iterator(spark, [(f"<b/{i}>", "<p>", '"v"') for i in range(5)]))
+    for _ in range(2):
+        assert a.raw("SELECT COUNT(*) AS n FROM triples").first()["n"] == 3
+        assert b.raw("SELECT COUNT(*) AS n FROM triples").first()["n"] == 5
+
+
+def test_no_aqe_scopes_overlap_across_engines(spark):
+    """Overlapping _no_aqe scopes from two Engines on one session must
+    restore the ORIGINAL conf value — per-engine saved state would
+    leave AQE off for the whole session."""
+    from bikidata_spark import Engine, build_from_iterator
+
+    a = Engine(build_from_iterator(spark, [("<a>", "<p>", '"v"')]))
+    b = Engine(build_from_iterator(spark, [("<b>", "<p>", '"v"')]))
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    with a._no_aqe():
+        assert spark.conf.get(key) == "false"
+        with b._no_aqe():
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "false"  # a's scope still open
+    assert spark.conf.get(key) == orig
+
+
+def test_non_json_filter_value_skips_caches(spark):
+    """Filter payloads that are not JSON-serializable (e.g. a numpy
+    query vector) must run — both caches are skipped rather than
+    crashing on the key computation or colliding on a lossy key."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    g = _mini_graph(spark)
+    emb = g.triples.select("s").distinct().select(
+        "s", F.array(F.lit(1.0), F.lit(0.0)).alias("vec")
+    )
+    eng = Engine(g, embeddings=emb)
+    vec = np.array([1.0, 0.0], dtype=np.float32)
+    for flag in (True, False):
+        out = eng.query(
+            {"filters": [{"p": "semantic", "vector": vec}], "size": 5, "use_cache": flag}
+        )
+        assert out["total"] > 0  # matches, and no key-computation crash
+    assert eng.cache_stats()["entries"] == 0  # uncacheable spec never cached
+
+
 def test_raw_under_graph_swap_stress(spark):
     """raw() registers its temp views once per graph generation under
     the cache lock, so concurrent raw() calls racing a replace_graph

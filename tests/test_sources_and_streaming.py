@@ -305,6 +305,32 @@ def test_read_trig_blocks_and_graph_persistence(spark, tmp_path):
     assert ("<http://ex/c>", "<http://g/two>", '"tail"') in rows
 
 
+def test_read_trig_crlf_and_trailing_whitespace(spark, tmp_path):
+    """A Windows-saved (CRLF) TriG file, with tab-trailing statements,
+    must parse identically to its LF twin — the chunked parser
+    normalizes trailing whitespace per line exactly like the old
+    per-line rstrip() did."""
+    from bikidata_spark.sources.ntriples import read_trig
+
+    body_lf = (
+        "<http://g/one> {\n"
+        '<http://ex/a> <http://p/n> "Anna" .\n'
+        "}\n"
+        '<http://ex/b> <http://p/n> "tail" .\t\n'
+    )
+    f_lf = tmp_path / "lf.trig"
+    f_lf.write_text(body_lf)
+    f_crlf = tmp_path / "crlf.trig"
+    f_crlf.write_bytes(body_lf.replace("\n", "\r\n").encode())
+    want = {
+        ("<http://ex/a>", "<http://g/one>", '"Anna"'),
+        ("<http://ex/b>", "<http://g/one>", '"tail"'),
+    }
+    for f in (f_lf, f_crlf):
+        rows = {(r["s"], r["g"], r["o"]) for r in read_trig(spark, str(f)).collect()}
+        assert rows == want, f
+
+
 def test_read_trig_multiblock_parses_across_tasks(spark, tmp_path):
     """r6: the TriG parse chunks at block-header boundaries and fans the
     per-line work out, so ONE multi-block file parses across more than
