@@ -305,6 +305,35 @@ def test_paths_exact_depth_bound_kept(spark):
     assert "<c/0>" not in by_src
 
 
+def test_order_key_index_invalidated_on_graph_swap(spark):
+    """The persisted order-key sort index is generation-keyed: after
+    replace_graph, ordered pages must reflect the NEW labels, not the
+    stale index."""
+    from bikidata_spark import Engine, build_from_iterator
+
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+
+    def graph(labels):
+        return build_from_iterator(
+            spark,
+            [(f"<e/{i}>", label, f'"{v}"') for i, v in enumerate(labels)]
+            + [(f"<e/{i}>", "<p/type>", "<c/thing>") for i in range(len(labels))],
+        )
+
+    opts = {
+        "filters": [{"p": "<p/type>", "o": "<c/thing>"}],
+        "order": [{"by": "label"}],
+        "size": 3,
+        "use_cache": False,
+    }
+    eng = Engine(graph(["bb", "aa", "cc"]))
+    first = [r["s_value"] for r in eng.page(opts).collect()]
+    assert first == ["<e/1>", "<e/0>", "<e/2>"]  # aa, bb, cc
+    eng.replace_graph(graph(["zz", "mm", "aa"]))
+    second = [r["s_value"] for r in eng.page(opts).collect()]
+    assert second == ["<e/2>", "<e/1>", "<e/0>"]  # aa, mm, zz
+
+
 def test_fast_page_matches_distributed_page(spark, monkeypatch):
     """r6: query()'s driver-side fast page (collect + Python sort)
     must return EXACTLY the distributed page — including non-ASCII
