@@ -7,11 +7,13 @@ JPEG codec (functions/jpeg.py) this closes the two dominant real-world
 image formats for the media pipeline without any codec dependency.
 No reference-repo counterpart (the reference has no media path).
 
-Scope: 8-bit greyscale (0), truecolor (2), indexed (3), grey+alpha
-(4), RGBA (6) — alpha is composited over black, the common feature-
-extraction convention; interlaced (Adam7) and 16-bit raise
-``NotImplementedError`` with a clear message. The encoder twin writes
-8-bit truecolor with filter 0 for fixtures and round-trip tests.
+Scope (r6: complete for DEFLATE streams): greyscale (0), truecolor
+(2), indexed (3), grey+alpha (4), RGBA (6) at every legal bit depth —
+1/2/4/8 and 16 (16-bit samples scale to 8 via the high byte) — plus
+Adam7 interlacing (each pass unfilters as its own sub-image and
+scatters into place). Alpha is composited over black, the common
+feature-extraction convention. The encoder twin writes 8-bit
+truecolor with filter 0 for fixtures and round-trip tests.
 """
 
 from __future__ import annotations
@@ -52,26 +54,63 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, bitdepth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    if bitdepth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (got {bitdepth})")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if bitdepth not in legal_depths[color]:
+        raise ValueError(f"bad PNG bit depth {bitdepth} for color type {color}")
 
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(h, stride + 1)
-    ftypes = rows[:, 0]
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    px = np.zeros((h, w, channels), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * bitdepth + 7) // 8
+        need = ph * (stride + 1)
+        if len(raw) < pos + need:
+            raise ValueError("truncated PNG pixel data")
+        sub = np.frombuffer(raw[pos : pos + need], np.uint8).reshape(ph, stride + 1)
+        pos += need
+        unfiltered = _unfilter(sub, stride, max(1, channels * bitdepth // 8))
+        px[y0::dy, x0::dx] = _to_samples(unfiltered, pw, ph, channels, bitdepth, color)
+    if color == 0:  # greyscale
+        return np.repeat(px, 3, axis=2)
+    if color == 2:  # truecolor
+        return px.copy()
+    if color == 3:  # indexed
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    # alpha variants: composite over black (feature-extraction default)
+    if color == 4:
+        grey = px[:, :, 0].astype(np.uint16) * px[:, :, 1].astype(np.uint16) // 255
+        return np.repeat(grey.astype(np.uint8)[:, :, None], 3, axis=2)
+    rgb = px[:, :, :3].astype(np.uint16) * px[:, :, 3:4].astype(np.uint16) // 255
+    return rgb.astype(np.uint8)
+
+
+# Adam7 pass grid: (x offset, y offset, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-row PNG filters over raw BYTES (filters always operate
+    on bytes regardless of bit depth — bpp = ceil(bits-per-pixel/8),
+    floored to 1 for sub-byte depths per the spec)."""
+    h = rows.shape[0]
     img = np.zeros((h, stride), np.uint8)
-    bpp = channels  # bytes per pixel at bitdepth 8
     prev = np.zeros(stride, np.uint8)
     for y in range(h):
         cur = rows[y, 1:].copy()
-        ft = ftypes[y]
+        ft = rows[y, 0]
         if ft == 0:
             pass
         elif ft == 1:  # Sub — sequential in x, loop pixel-groups
@@ -96,22 +135,28 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft} on row {y}")
         img[y] = cur
         prev = img[y]
+    return img
 
-    px = img.reshape(h, w, channels)
-    if color == 0:  # greyscale
-        return np.repeat(px, 3, axis=2)
-    if color == 2:  # truecolor
-        return px.copy()
-    if color == 3:  # indexed
-        if plte is None:
-            raise ValueError("indexed PNG missing PLTE")
-        return plte[px[:, :, 0]]
-    # alpha variants: composite over black (feature-extraction default)
-    if color == 4:
-        grey = px[:, :, 0].astype(np.uint16) * px[:, :, 1].astype(np.uint16) // 255
-        return np.repeat(grey.astype(np.uint8)[:, :, None], 3, axis=2)
-    rgb = px[:, :, :3].astype(np.uint16) * px[:, :, 3:4].astype(np.uint16) // 255
-    return rgb.astype(np.uint8)
+
+def _to_samples(
+    img: np.ndarray, w: int, h: int, channels: int, depth: int, color: int
+) -> np.ndarray:
+    """Unfiltered byte rows → (h, w, channels) uint8 samples: 16-bit
+    scales via the high byte; sub-byte depths unpack MSB-first and
+    greyscale values scale by the exact 255/(2^d - 1) factor (indexed
+    values are palette indexes and stay raw)."""
+    if depth == 8:
+        return img[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        u16 = np.ascontiguousarray(img[:, : w * channels * 2]).view(">u2")
+        return (u16 >> 8).astype(np.uint8).reshape(h, w, channels)
+    # 1/2/4-bit: only greyscale or indexed (channels == 1)
+    bits = np.unpackbits(img, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = bits.reshape(h, w, depth) @ weights
+    if color == 0:  # exact scale: 255 divisible by 1, 3, 15
+        vals = vals * (255 // ((1 << depth) - 1))
+    return vals.astype(np.uint8).reshape(h, w, 1)
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

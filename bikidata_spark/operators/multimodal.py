@@ -168,9 +168,10 @@ def decode_image(payload: bytes, mime: str | None = None):
     bottom-up), baseline-sequential AND progressive JPEG (pure-numpy
     decoder, functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
     intervals, SOF2 spectral-selection + successive-approximation
-    scans; arithmetic/12-bit raise NotImplementedError), 8-bit PNG
-    (stdlib-zlib decoder, functions/png.py — grey/truecolor/indexed/
-    alpha; interlaced and 16-bit raise), and GIF87a/89a first frame
+    scans; arithmetic/12-bit raise NotImplementedError), PNG at every
+    legal bit depth incl. 16-bit and Adam7 interlace (stdlib-zlib
+    decoder, functions/png.py — grey/truecolor/indexed/alpha,
+    1/2/4/8/16-bit), and GIF87a/89a first frame
     (pure-numpy LZW decoder, functions/gif.py — global/local palettes,
     interlacing). Raises ValueError on anything else."""
     import numpy as np

@@ -1468,6 +1468,78 @@ def test_png_roundtrip_and_filters():
     assert out[0, 0, 0] == 200 * 128 // 255 and out[0, 0, 1] == 0
 
 
+def test_png_16bit_subbyte_and_interlace():
+    """r6: the remaining PNG corners — 16-bit samples (scaled via the
+    high byte), 1/2/4-bit greyscale and indexed, and Adam7 interlace
+    (cross-checked pixel-identical against the sequential stream of
+    the same image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bikidata_spark.functions.png import _ADAM7, decode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rng = np.random.default_rng(11)
+
+    # 16-bit truecolor: decode takes the high byte
+    img16 = rng.integers(0, 65536, (7, 5, 3)).astype(">u2")
+    raw = b"".join(b"\x00" + img16[y].tobytes() for y in range(7))
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), (img16 >> 8).astype(np.uint8))
+
+    # sub-byte greyscale: 1/2/4-bit scale by 255/(2^d-1) exactly
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        w, h = 11, 3  # non-byte-aligned width exercises row padding
+        vals = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+        rows = []
+        for y in range(h):
+            bits = np.unpackbits(vals[y][:, None], axis=1, count=8)[:, 8 - depth :]
+            packed = np.packbits(bits.reshape(-1))
+            rows.append(b"\x00" + packed.tobytes())
+        png = (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png)[:, :, 0], vals * scale), depth
+
+    # Adam7: build the interlaced stream of a known image (filter 0
+    # per pass row) and pin it equal to the sequential decode
+    img = rng.integers(0, 256, (13, 9, 3)).astype(np.uint8)
+    seq = b"".join(b"\x00" + img[y].tobytes() for y in range(13))
+    png_seq = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 13, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(seq))
+        + chunk(b"IEND", b"")
+    )
+    passes = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            if sub.shape[1]:
+                passes.append(b"\x00" + sub[y].tobytes())
+    png_i7 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 13, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"".join(passes)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png_i7), decode_png(png_seq))
+    assert np.array_equal(decode_png(png_i7), img)
+
+
 def test_png_through_media_pipeline(spark):
     """PNG payloads flow through the Spark media kernels: magic-byte
     dispatch in decode_image, features, and resize all work; the
