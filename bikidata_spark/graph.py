@@ -124,17 +124,37 @@ def build_from_iterator(spark: SparkSession, rows, graph: str = "", batch_size: 
     return from_string_quads(reduce(lambda a, b: a.unionAll(b), frames))
 
 
+TERM_BUCKETS = 64
+
+
 def write_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
     """Persist a graph as parquet, triples sorted within files by (p, s)
     so Catalyst's parquet filter pushdown prunes row groups on property
-    lookups (the dominant access path, reference query.py:212-218)."""
+    lookups (the dominant access path, reference query.py:212-218).
+
+    The terms dictionary is hash-bucketed into ``TERM_BUCKETS``
+    partition directories (``bucket = pmod(hash, 64)``, rows sorted by
+    hash within each) — the same layout the FTS store uses for tokens:
+    a page hydration's term probe from a COLD store then lists/reads
+    only its hashes' bucket directories (PartitionFilters) and prunes
+    row groups by the hash min/max inside them, instead of scanning
+    the corpus-sized dictionary. Un-bucketed stores from earlier
+    versions read back fine (the probe just skips the bucket
+    predicate)."""
     (
         graph.triples.repartition("p")
         .sortWithinPartitions("p", "s")
         .write.mode(mode)
         .parquet(f"{path}/triples")
     )
-    graph.terms.write.mode(mode).parquet(f"{path}/terms")
+    (
+        graph.terms.withColumn("bucket", F.pmod(F.col("hash"), F.lit(TERM_BUCKETS)))
+        .repartition("bucket")
+        .sortWithinPartitions("hash")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
 
 
 def read_graph(spark: SparkSession, path: str) -> Graph:

@@ -1661,17 +1661,28 @@ class Engine:
         hs = list({int(h) for h in hashes if h is not None})
         if not hs:
             return {}
+        terms = self.graph.terms
+        if "bucket" in terms.columns:
+            # hash-bucketed store layout (write_graph): prune the scan
+            # to the probed hashes' bucket directories — the cold-store
+            # equivalent of the FTS token-bucket pruning. Python % and
+            # Spark pmod agree on negative hashes (both non-negative).
+            from ..graph import TERM_BUCKETS
+
+            buckets = sorted({h % TERM_BUCKETS for h in hs})
+            if len(buckets) <= _ISIN_PROBE_MAX:
+                terms = terms.filter(F.col("bucket").isin(buckets))
         with self._no_aqe():
             if len(hs) <= _ISIN_PROBE_MAX:
                 rows = (
-                    self.graph.terms.filter(F.col("hash").isin(hs))
+                    terms.filter(F.col("hash").isin(hs))
                     .select("hash", "value")
                     .collect()
                 )
             else:
                 need = self.graph.spark.createDataFrame([(h,) for h in hs], "hash long")
                 rows = (
-                    self.graph.terms.join(F.broadcast(need), "hash")
+                    terms.join(F.broadcast(need), "hash")
                     .select("hash", "value")
                     .collect()
                 )

@@ -304,6 +304,42 @@ def test_graph_store_scan_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<s:bigint,p:bigint>" in plan, plan
 
 
+def test_graph_store_terms_bucket_pruning(spark, tmp_path):
+    """r6: the persisted terms dictionary is hash-bucketed; a bounded
+    term probe from the cold store partition-prunes to its hashes'
+    bucket directories and still resolves every value. An Engine over
+    the store answers queries end-to-end."""
+    from pyspark.sql import functions as F
+
+    from bikidata_spark import Engine, from_string_quads, read_graph, write_graph
+    from bikidata_spark.graph import TERM_BUCKETS
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<p/a>", f'"v{i}"', "") for i in range(50)],
+        "s string, p string, o string, g string",
+    )
+    write_graph(from_string_quads(quads), str(tmp_path / "g"))
+    g = read_graph(spark, str(tmp_path / "g"))
+    assert "bucket" in g.terms.columns
+    eng = Engine(g)
+    # engine query end-to-end from the bucketed store
+    out = eng.query({"filters": [{"p": "<p/a>", "o": '"v7"'}], "size": 5})
+    assert out["total"] == 1 and "<e/7>" in out["results"]
+    # the probe plan carries PartitionFilters on bucket
+    some = [r["hash"] for r in g.terms.limit(3).collect()]
+    buckets = sorted({h % TERM_BUCKETS for h in some})
+    probe = g.terms.filter(
+        F.col("bucket").isin(buckets) & F.col("hash").isin(some)
+    ).select("hash", "value")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+    # _term_values resolves through the pruned path
+    vals = eng._term_values(iter(some))
+    assert set(vals) == set(some)
+
+
 def test_asof_join_semantics(spark):
     from bikidata_spark.operators.events import asof_join
 
