@@ -8,12 +8,12 @@ Huffman decode → dequantize → 8×8 IDCT → chroma upsample → YCbCr→RGB
 (ITU T.81 §A.3/F.2; no reference-repo counterpart — the reference has
 no media path at all).
 
-Scope (honestly bounded): baseline DCT sequential scans AND
-progressive (SOF2: spectral selection + successive approximation, EOB
-runs, AC refinement — T.81 Annex G, new r6), 8-bit precision,
-grayscale / 4:4:4 / 4:2:2 / 4:2:0, restart intervals. Arithmetic-
-coded, 12-bit, and hierarchical streams raise ``NotImplementedError``
-with a clear message.
+Scope (honestly bounded): sequential scans (SOF0 baseline AND SOF1
+extended, 8- or 12-bit precision — r6), progressive (SOF2: spectral
+selection + successive approximation, EOB runs, AC refinement — T.81
+Annex G, r6), grayscale / 4:4:4 / 4:2:2 / 4:2:0, restart intervals.
+Arithmetic-coded, hierarchical, and lossless streams raise
+``NotImplementedError`` with a clear message.
 
 The encoder halves exist so fixtures and round-trip tests need no
 external tool; they emit baseline or progressive 4:4:4 / grayscale
@@ -115,7 +115,7 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _decode_block(bits, dctab, actab, qt, pred):
+def _decode_block(bits, dctab, actab, qt, pred, level=128.0):
     s = _decode_huff(bits, dctab)
     dc = pred + (_extend(bits.receive(s), s) if s else 0)
     coef = np.zeros(64)
@@ -136,7 +136,7 @@ def _decode_block(bits, dctab, actab, qt, pred):
         k += 1
     blk = np.zeros(64)
     blk[ZIGZAG] = coef * qt  # dequantize in zigzag order, place natural
-    spatial = _M.T @ blk.reshape(8, 8) @ _M + 128.0
+    spatial = _M.T @ blk.reshape(8, 8) @ _M + level
     return spatial, dc
 
 
@@ -178,7 +178,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     qts[tq] = np.frombuffer(seg[p : p + 128], ">u2").astype(np.float64)
                     p += 128
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            precision = seg[0]
+            if precision not in (8, 12):
+                raise NotImplementedError(f"JPEG precision {precision} (only 8/12-bit)")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -191,13 +194,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 }
                 for i in range(nc)
             ]
-            frame = (h, w, comps)
+            frame = (h, w, comps, precision)
             progressive = marker == 0xC2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF 0x{marker:02X}: only baseline sequential (SOF0) "
+                f"JPEG SOF 0x{marker:02X}: sequential (SOF0/SOF1, 8/12-bit) "
                 "and progressive (SOF2) are implemented "
-                "(arithmetic/hierarchical/12-bit are not)"
+                "(arithmetic-coded/hierarchical/lossless are not)"
             )
         elif marker == 0xC4:  # DHT (may hold several tables)
             p = 0
@@ -233,7 +236,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(buf, pos, frame, qts, hdc, hac, scomp, ri):
-    H, W, comps = frame
+    H, W, comps, prec = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-W // (8 * hmax))
@@ -261,25 +264,40 @@ def _decode_scan(buf, pos, frame, qts, hdc, hac, scomp, ri):
                 for v in range(c["v"]):
                     for hh in range(c["h"]):
                         blk, preds[c["id"]] = _decode_block(
-                            bits, dctab, actab, qt, preds[c["id"]]
+                            bits, dctab, actab, qt, preds[c["id"]],
+                            float(1 << (prec - 1)),
                         )
                         y0 = (my * c["v"] + v) * 8
                         x0 = (mx * c["h"] + hh) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
             nmcu += 1
+    return _assemble(planes, comps, H, W, hmax, vmax, prec)
+
+
+def _assemble(planes, comps, H, W, hmax, vmax, prec):
+    """Shared tail: clamp at the frame precision, scale to 8 bits
+    (high nibble for 12-bit), upsample chroma, YCbCr→RGB."""
+    mx = float((1 << prec) - 1)
+    half = float(1 << (prec - 1))
+    shift = prec - 8
+
+    def to8(a):
+        a = np.clip(np.round(a), 0, mx)
+        return (a.astype(np.int32) >> shift).astype(np.uint8) if shift else a.astype(np.uint8)
+
     if len(comps) == 1:
-        y = np.clip(np.round(planes[comps[0]["id"]][:H, :W]), 0, 255)
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+        y = to8(planes[comps[0]["id"]][:H, :W])
+        return np.repeat(y[:, :, None], 3, axis=2)
     full = []
     for c in comps:
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:H, :W])
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - half, full[2] - half
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return to8(rgb)
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +311,7 @@ def _prog_init(frame):
     """Per-component zigzag coefficient store, padded to the MCU grid
     (interleaved DC scans cover padding blocks; AC scans touch only the
     component's own ceil-grid prefix)."""
-    H, W, comps = frame
+    H, W, comps = frame[0], frame[1], frame[2]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-W // (8 * hmax))
@@ -307,7 +325,7 @@ def _prog_init(frame):
 def _comp_grid(frame, c):
     """Non-padded block grid of one component (T.81 A.1.1) — the block
     count a NON-interleaved scan covers."""
-    H, W, comps = frame
+    H, W, comps = frame[0], frame[1], frame[2]
     hmax = max(x["h"] for x in comps)
     vmax = max(x["v"] for x in comps)
     cw = -(-W * c["h"] // hmax)
@@ -398,7 +416,7 @@ def _ac_refine(bits, blk, table, ss, se, al, state):
 def _prog_scan(buf, pos, frame, coefs, hdc, hac, scomp, ss, se, ah, al, ri):
     """Decode one progressive scan into ``coefs``; returns the offset
     of the next marker after the entropy-coded data."""
-    H, W, comps = frame
+    H, W, comps = frame[0], frame[1], frame[2]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-W // (8 * hmax))
@@ -465,7 +483,7 @@ def _prog_scan(buf, pos, frame, coefs, hdc, hac, scomp, ss, se, ah, al, ri):
 def _prog_reconstruct(frame, coefs, qts):
     """Dequantize + IDCT the accumulated coefficient store and apply
     the shared upsample/color tail."""
-    H, W, comps = frame
+    H, W, comps, prec = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = {}
@@ -475,21 +493,9 @@ def _prog_reconstruct(frame, coefs, qts):
         nat[:, :, ZIGZAG] = zz * qts[c["tq"]]
         bby, bbx = zz.shape[0], zz.shape[1]
         blocks = nat.reshape(bby, bbx, 8, 8)
-        spatial = np.einsum("ux,abuv,vy->abxy", _M, blocks, _M) + 128.0
+        spatial = np.einsum("ux,abuv,vy->abxy", _M, blocks, _M) + float(1 << (prec - 1))
         planes[c["id"]] = spatial.transpose(0, 2, 1, 3).reshape(bby * 8, bbx * 8)
-    if len(comps) == 1:
-        y = np.clip(np.round(planes[comps[0]["id"]][:H, :W]), 0, 255)
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    full = []
-    for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:H, :W])
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _assemble(planes, comps, H, W, hmax, vmax, prec)
 
 
 # ---------------------------------------------------------------------------
@@ -532,8 +538,8 @@ def _enc_tables():
     return dc, ac
 
 
-def _encode_block(w, dc_lut, ac_lut, qt, plane, pred):
-    coef = _M @ (plane - 128.0) @ _M.T
+def _encode_block(w, dc_lut, ac_lut, qt, plane, pred, level=128.0):
+    coef = _M @ (plane - level) @ _M.T
     q = np.round(coef.reshape(64)[ZIGZAG] / qt).astype(np.int64)
     diff = int(q[0]) - pred
     s = int(abs(diff)).bit_length()
@@ -837,5 +843,75 @@ def encode_jpeg_progressive(img: np.ndarray, qt: np.ndarray | None = None) -> by
                     for b in range(q[cid].shape[0] * q[cid].shape[1])
                 ],
             )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended-sequential encoder — fixture twin for SOF1 decode.
+# Same structure as encode_jpeg (4:4:4 / grayscale, filter tables sized
+# for 12-bit categories: DC 0-15 at length 5, AC run/size s<=14 at
+# length 9).
+# ---------------------------------------------------------------------------
+
+_ENC12_DC_COUNTS = [0, 0, 0, 0, 16] + [0] * 11
+_ENC12_DC_VALUES = list(range(16))
+_ENC12_AC_COUNTS = [0] * 8 + [226] + [0] * 7
+_ENC12_AC_VALUES = (
+    [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0xF0]
+)
+
+
+def encode_jpeg_12(img: np.ndarray, qt: np.ndarray | None = None) -> bytes:
+    """(H, W, 3) or (H, W) uint16 with 0..4095 samples → 12-bit
+    extended-sequential (SOF1) JFIF bytes, 4:4:4 or grayscale."""
+    if qt is None:
+        qt = np.full(64, 4.0)
+    qt = np.asarray(qt, dtype=np.float64)
+    img = np.asarray(img)
+    if img.max() > 4095:
+        raise ValueError("12-bit encoder needs samples in 0..4095")
+    gray = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0,
+        ]
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + np.clip(qt, 1, 255).astype(np.uint8).tobytes())
+    sof = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC1, sof)
+    out += _seg(0xC4, bytes([0x00] + _ENC12_DC_COUNTS) + bytes(_ENC12_DC_VALUES))
+    out += _seg(0xC4, bytes([0x10] + _ENC12_AC_COUNTS) + bytes(_ENC12_AC_VALUES))
+    sos = bytes([nc]) + b"".join(bytes([cid, 0x00]) for cid in range(1, nc + 1))
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+
+    dc_lut = {v: k for k, v in _huff_table(_ENC12_DC_COUNTS, _ENC12_DC_VALUES).items()}
+    ac_lut = {v: k for k, v in _huff_table(_ENC12_AC_COUNTS, _ENC12_AC_VALUES).items()}
+    bw = _BitWriter()
+    preds = [0] * nc
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, p in enumerate(planes):
+                preds[ci] = _encode_block(
+                    bw, dc_lut, ac_lut, qt,
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    preds[ci], level=2048.0,
+                )
+    bw.flush()
+    out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

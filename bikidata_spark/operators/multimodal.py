@@ -165,10 +165,11 @@ def decode_image(payload: bytes, mime: str | None = None):
 
     Formats: PPM ``P6`` (binary, maxval <= 255, ``#`` comments), BMP
     (BITMAPINFOHEADER family, 24-bit, BI_RGB uncompressed, top-down or
-    bottom-up), baseline-sequential AND progressive JPEG (pure-numpy
-    decoder, functions/jpeg.py — grayscale/4:4:4/4:2:2/4:2:0, restart
-    intervals, SOF2 spectral-selection + successive-approximation
-    scans; arithmetic/12-bit raise NotImplementedError), PNG at every
+    bottom-up), sequential (8- and 12-bit) AND progressive JPEG
+    (pure-numpy decoder, functions/jpeg.py — grayscale/4:4:4/4:2:2/
+    4:2:0, restart intervals, SOF2 spectral-selection + successive-
+    approximation scans; arithmetic/hierarchical raise
+    NotImplementedError), PNG at every
     legal bit depth incl. 16-bit and Adam7 interlace (stdlib-zlib
     decoder, functions/png.py — grey/truecolor/indexed/alpha,
     1/2/4/8/16-bit), and GIF87a/89a first frame

@@ -1345,6 +1345,33 @@ def test_jpeg_progressive_matches_baseline():
     assert mm.decode_image(encode_jpeg_progressive(grad)).shape == (21, 19, 3)
 
 
+def test_jpeg_12bit_extended_sequential():
+    """r6: 12-bit SOF1 decode — level shift 2048, 12-bit clamp, scale
+    to 8 bits via the high nibble; gray and color, non-multiple-of-8
+    dims, extended Huffman categories (DC size 13+, AC size 13)."""
+    import numpy as np
+
+    from bikidata_spark.functions.jpeg import decode_jpeg, encode_jpeg_12
+
+    rng = np.random.default_rng(5)
+    img12 = rng.integers(0, 4096, (13, 11, 3)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_12(img12, qt=np.ones(64)))
+    assert out.shape == (13, 11, 3) and out.dtype == np.uint8
+    # 12-bit quantization error collapses in the 8-bit projection
+    err = np.abs(out.astype(int) - (img12 >> 4).astype(int))
+    assert err.max() <= 2, err.max()
+    # grayscale incl. extreme values (max-magnitude DC/AC categories)
+    g = np.zeros((8, 8), np.uint16)
+    g[0, 0] = 4095
+    g[4, 4] = 4095
+    og = decode_jpeg(encode_jpeg_12(g, qt=np.ones(64)))
+    assert og.shape == (8, 8, 3)
+    assert og[0, 0, 0] >= 250 and og[7, 7, 0] <= 6
+    smooth = (np.mgrid[0:9, 0:10][0] * 400).astype(np.uint16)
+    os_ = decode_jpeg(encode_jpeg_12(smooth, qt=np.ones(64)))
+    assert np.abs(os_[:, :, 0].astype(int) - (smooth >> 4).astype(int)).max() <= 1
+
+
 def test_jpeg_unsupported_sof_raises():
     import numpy as np
     import pytest
