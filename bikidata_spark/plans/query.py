@@ -61,6 +61,11 @@ _ISIN_PROBE_MAX = 200
 # all of them); bigger ones take the distributed walk
 _LOCAL_PATHS_EDGES = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_EDGES", "200000"))
 _LOCAL_PATHS_SUBJECTS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_SUBJECTS", "20000"))
+# local walk row budget: multi-parent DAGs multiply path rows per level
+# (a diamond ladder doubles them) — past this the local walk bails and
+# the distributed walk (which spreads the same blowup over executors)
+# takes over
+_LOCAL_PATHS_MAX_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_MAX_ROWS", "2000000"))
 
 
 # Session-global state that must be keyed by the SESSION, not the
@@ -1228,9 +1233,10 @@ class Engine:
             subj = subjects.select("s").limit(_LOCAL_PATHS_SUBJECTS + 1).collect()
             if len(subj) <= _LOCAL_PATHS_SUBJECTS:
                 rows = self._paths_local_rows(lmap, [r["s"] for r in subj])
-                return self.graph.spark.createDataFrame(
-                    rows, "src long, pos int, ancestor long"
-                )
+                if rows is not None:  # None: row budget blown — go distributed
+                    return self.graph.spark.createDataFrame(
+                        rows, "src long, pos int, ancestor long"
+                    )
         edges = self._paths_edges(prop)
         start = subjects.select(
             F.col("s").alias("src"), F.col("s").alias("cur")
@@ -1376,12 +1382,15 @@ class Engine:
                 self._paths_edge_maps[key] = result
         return result
 
-    def _paths_local_rows(self, edges_map: dict, subject_hashes) -> list:
+    def _paths_local_rows(self, edges_map: dict, subject_hashes) -> list | None:
         """Python twin of the distributed walk below — (src, pos,
         ancestor) tuples with identical multiplicity, cycle, and
         hard-cap semantics (batch-aligned cycle checks included). Kept
         step-for-step parallel to the DataFrame loop so the
-        differential test can pin them equal."""
+        differential test can pin them equal. Returns None when the
+        accumulated rows blow the _LOCAL_PATHS_MAX_ROWS budget (a
+        multi-parent DAG can multiply rows per level); the caller then
+        falls back to the distributed walk."""
         from collections import Counter
 
         mult = Counter(int(s) for s in subject_hashes)
@@ -1414,6 +1423,8 @@ class Engine:
                     if nxt:
                         new[src] = nxt
                         rows.extend((src, depth, p) for p in nxt)
+                if len(rows) > _LOCAL_PATHS_MAX_ROWS:
+                    return None  # DAG blowup: hand off to the distributed walk
                 frontier = new
                 if not frontier:
                     break
@@ -1619,12 +1630,16 @@ class Engine:
                 # too: collect, then one terms probe for their labels)
                 for pad in opts.get("paths", []):
                     lmap = self._paths_edges_map(str(pad))
-                    if lmap is not None:
+                    lrows = (
+                        self._paths_local_rows(lmap, page_hashes)
+                        if lmap is not None
+                        else None
+                    )
+                    if lrows is not None:
                         # dimension-sized hierarchy: walk driver-side
                         # with zero Spark jobs (see paths())
                         pcol = [
-                            {"src": s, "pos": p, "ancestor": a}
-                            for s, p, a in self._paths_local_rows(lmap, page_hashes)
+                            {"src": s, "pos": p, "ancestor": a} for s, p, a in lrows
                         ]
                     else:
                         subj_df = self.graph.spark.createDataFrame(

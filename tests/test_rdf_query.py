@@ -305,6 +305,39 @@ def test_paths_exact_depth_bound_kept(spark):
     assert "<c/0>" not in by_src
 
 
+def test_paths_local_row_budget_falls_back(spark, monkeypatch):
+    """A multi-parent DAG that blows the local walk's row budget hands
+    off to the distributed walk mid-request instead of exploding driver
+    memory — results identical either way."""
+    import bikidata_spark.plans.query as qmod
+    from bikidata_spark import Engine, from_string_quads
+
+    # diamond ladder: each level doubles the path count (2^6 = 64 rows
+    # for the deepest subject)
+    quads = []
+    for lv in range(6):
+        for side in ("l", "r"):
+            quads.append((f"<n/{lv}/{side}>", "<p/parent>", f"<n/{lv+1}/l>", ""))
+            quads.append((f"<n/{lv}/{side}>", "<p/parent>", f"<n/{lv+1}/r>", ""))
+    quads.append(("<n/0/l>", "<p/type>", "<c/thing>", ""))
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    )
+
+    def rows_with(budget):
+        monkeypatch.setattr(qmod, "_LOCAL_PATHS_MAX_ROWS", budget)
+        eng = Engine(g)
+        subj, _ = eng.subjects({"filters": [{"p": "<p/type>", "o": "<c/thing>"}]})
+        return sorted(
+            (r["src"], r["pos"], r["ancestor"])
+            for r in eng.paths(subj, "<p/parent>").collect()
+        )
+
+    full = rows_with(10**7)  # local walk completes
+    tiny = rows_with(10)  # budget blown → distributed walk
+    assert full == tiny and len(full) > 60
+
+
 def test_order_key_index_invalidated_on_graph_swap(spark):
     """The persisted order-key sort index is generation-keyed: after
     replace_graph, ordered pages must reflect the NEW labels, not the
