@@ -418,32 +418,37 @@ class Engine:
             return self._walk_up(base, hops), None
 
         if p_head == "fts":
-            scored = self.fts.match(o, conjunctive=True)  # (lit, score)
-            base = t.join(scored, t.o == scored.lit)
+            # (lit, score) BM25 matches, persisted + counted ONCE. The
+            # count gates an explicit broadcast into the corpus join: a
+            # served match is request-sized, and without the hint the
+            # statically-planned point path (AQE off) would sort-merge
+            # the whole triples table against it — the single largest
+            # cost in the r6 fts request. Past the gate (a one-term
+            # query matching a corpus-scale slice of the literals) the
+            # join falls back to a shuffle join with AQE's skew
+            # handling governing the at-scale plan. The persist also
+            # means the postings scan + BM25 aggregation execute once
+            # even though the subject set and the score frame both
+            # derive from it; released in query()'s finally via the
+            # per-thread transient registry.
+            scored = self.fts.match(o, conjunctive=True).persist()
+            self._register_transient(scored)
+            n_scored = scored.count()
+            probe = F.broadcast(scored) if n_scored <= _HOP_BROADCAST_ROWS else scored
+            base = t.join(probe, t.o == scored.lit)
             if p_prop:
                 base = base.filter(F.col("p") == H(p_prop))
             base = with_g(base)
             # scores ride the walk to the ancestor (reference query.py:204
-            # selects T{parents}.s, score); per-subject max like the
-            # reference's s_by_score aggregation (query.py:682-684).
-            # persist() the walked (s, score) rows: the subject set and
-            # the score frame both derive from them, and as independent
-            # lineages each would re-execute the whole match+walk
-            # (measured ~0.8 s per extra execution at sf0.1). persist —
-            # not localCheckpoint — so the FTS store scan's
-            # PartitionFilters pruning stays visible in served plans
-            # (the cluster-shape tests pin it); the cache is released
-            # deterministically by query()'s finally via the per-thread
-            # transient registry — NOT left to driver GC, which under
-            # sustained serving let storage blocks pile up between
-            # collection cycles.
-            walked = self._walk_up(
-                base.select("s", "score"), hops, carry=("score",)
-            ).persist()
-            self._register_transient(walked)
-            subj = walked.select("s").distinct()
-            scores = walked.groupBy("s").agg(F.max("score").alias("score"))
-            return subj, scores
+            # selects T{parents}.s, score). The walked rows return
+            # UN-aggregated under the _INLINE_SCORES contract:
+            # _subjects_uncached folds the per-subject max score
+            # (reference s_by_score, query.py:682-684) and the subject
+            # distinct into its single tagged aggregation — ONE shuffle
+            # computes membership and ranking, where the r6 shape paid
+            # a walked persist + a distinct + a separate score groupBy.
+            walked = self._walk_up(base.select("s", "score"), hops, carry=("score",))
+            return walked, _INLINE_SCORES
 
         if p.startswith("<"):
             cond = F.col("p") == H(p_head)
