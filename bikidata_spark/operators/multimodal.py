@@ -7,22 +7,25 @@ per-row Python work on large binary payloads (no per-row pickling, and
 the pipeline stays partition-parallel: media bytes never concentrate on
 the driver).
 
-ALL THREE modalities have REAL kernels for their codec-free container
-formats (pure stdlib + numpy — deterministic on any engine):
+ALL THREE modalities have REAL kernels (pure stdlib + numpy —
+deterministic on any engine):
 
 - audio: ``decode_wav`` (RIFF/WAVE PCM) + ``wav_features`` (windowed
   RMS + log-spectral bands);
-- image: ``decode_image`` (PPM ``P6`` and uncompressed 24-bit BMP) +
-  ``image_features`` (luminance stats + histogram) + a numpy
+- image: ``decode_image`` — PPM ``P6``, uncompressed 24-bit BMP,
+  baseline + progressive + 12-bit JPEG (functions/jpeg.py), every
+  legal PNG shape incl. 16-bit / sub-byte depths / Adam7
+  (functions/png.py), GIF87a/89a (functions/gif.py) — plus
+  ``image_features`` (luminance stats + histogram) and a numpy
   nearest-neighbor ``resize_images``;
 - video: ``decode_y4m`` (YUV4MPEG2 — the raw interchange format ffmpeg
   pipes speak) + ``sample_frames`` at a given period + per-sampled-
   frame features averaged.
 
-COMPRESSED codecs (JPEG/PNG/H.264 — PIL/ffmpeg) are NOT in this
-container; those mimes still raise ``NotImplementedError`` unless
-``fake=True`` (deterministic byte-hash feature), clearly marked. The
-compressed path would slot into the same ``decode_*`` seam.
+Codecs with no pure-numpy decoder here (H.264/WebP/MP3 — ffmpeg/PIL
+territory) still raise ``NotImplementedError`` unless ``fake=True``
+(deterministic byte-hash feature), clearly marked; they would slot
+into the same ``decode_*`` seam.
 """
 
 from __future__ import annotations

@@ -55,6 +55,13 @@ _FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "50000"))
 # literal IN-list probes beat a broadcast join only while the list is
 # page-sized — building the expression costs ~0.5 ms/element over py4j
 _ISIN_PROBE_MAX = 200
+# Sentinel returned as the "scores" half of filter_subjects() when the
+# subject frame carries UN-aggregated (s, score) rows: _subjects_uncached
+# folds the per-subject max score (reference s_by_score, query.py:682-684)
+# and the membership distinct into its single tagged aggregation, so one
+# shuffle computes both — instead of a persist + distinct + separate
+# score groupBy per scored filter.
+_INLINE_SCORES = object()
 # paths(): hierarchies with at most this many edges are collected once
 # per generation and walked driver-side (hierarchies are dimension
 # tables — regions/categories/taxonomies — so this covers virtually
@@ -787,6 +794,7 @@ class Engine:
         groups: list[list[int]] = []
         excepts: list[int] = []
         tagged: list[DataFrame] = []
+        inline_tagged: list[tuple[int, DataFrame]] = []
         plain_conds: list[tuple[int, Column]] = []
         score_frames = []
         n_tags = 0
@@ -800,10 +808,15 @@ class Engine:
                 subj, scores = self.filter_subjects(q)
                 if subj is None:
                     continue
-                if scores is not None:
-                    score_frames.append(scores)
                 tag = n_tags
-                tagged.append(subj.select("s").withColumn("_ftag", F.lit(tag)))
+                if scores is _INLINE_SCORES:
+                    # un-aggregated (s, score) rows: fold into the tagged
+                    # aggregation below instead of a per-filter groupBy
+                    inline_tagged.append((tag, subj))
+                else:
+                    if scores is not None:
+                        score_frames.append(scores)
+                    tagged.append(subj.select("s").withColumn("_ftag", F.lit(tag)))
             n_tags += 1
             if not groups:
                 groups.append([tag])
@@ -824,11 +837,58 @@ class Engine:
             )
         if not groups:
             return None, None
-        if len(tagged) == 1 and len(plain_conds) <= 1 and not excepts and len(groups) == 1 and len(groups[0]) == 1:
+        inline_sbs = None
+        n_frames = len(tagged) + len(inline_tagged)
+        single = (
+            n_frames == 1
+            and len(plain_conds) <= 1
+            and not excepts
+            and len(groups) == 1
+            and len(groups[0]) == 1
+        )
+        if single and not inline_tagged:
             combined = tagged[0].select("s").distinct()
+        elif single:
+            # one scored filter: membership distinct AND per-subject max
+            # score in the SAME aggregation — one shuffle total. The agg
+            # frame is persisted (request-scoped) so the count lineage
+            # and the later score join both read it instead of each
+            # re-executing the match + walk.
+            agg = (
+                inline_tagged[0][1]
+                .groupBy("s")
+                .agg(F.max("score").alias("score"))
+                .persist()
+            )
+            self._register_transient(agg)
+            combined = agg.select("s")
+            inline_sbs = agg.select("s", "score")
         else:
+            if inline_tagged:
+                # normalize every frame to (s, _ftag, _score): unscored
+                # frames carry null, which max() ignores, so membership
+                # and ranking still cost the one tagged shuffle
+                null_score = F.lit(None).cast("double")
+                tagged = [
+                    fr.select("s", "_ftag", null_score.alias("_score"))
+                    for fr in tagged
+                ]
+                for tg, fr in inline_tagged:
+                    tagged.append(
+                        fr.select(
+                            "s",
+                            F.lit(tg).alias("_ftag"),
+                            F.col("score").cast("double").alias("_score"),
+                        )
+                    )
             allt = reduce(lambda a, b: a.unionAll(b), tagged)
-            agg = allt.groupBy("s").agg(F.collect_set("_ftag").alias("_tags"))
+            if inline_tagged:
+                agg = allt.groupBy("s").agg(
+                    F.collect_set("_ftag").alias("_tags"),
+                    F.max("_score").alias("_maxscore"),
+                )
+            else:
+                agg = allt.groupBy("s").agg(F.collect_set("_ftag").alias("_tags"))
             cond = reduce(
                 lambda a, b: a | b,
                 [
@@ -841,11 +901,28 @@ class Engine:
             )
             for e in excepts:
                 cond = cond & ~F.array_contains(F.col("_tags"), e)
-            combined = agg.filter(cond).select("s")
+            if inline_tagged:
+                agg = agg.filter(cond).persist()
+                self._register_transient(agg)
+                combined = agg.select("s")
+                inline_sbs = agg.filter(F.col("_maxscore").isNotNull()).select(
+                    "s", F.col("_maxscore").alias("score")
+                )
+            else:
+                combined = agg.filter(cond).select("s")
         s_by_score = None
-        if score_frames:
-            all_scores = reduce(lambda a, b: a.union(b), score_frames)
-            s_by_score = all_scores.groupBy("s").agg(F.max("score").alias("score"))
+        if score_frames or inline_sbs is not None:
+            frames = list(score_frames)
+            if inline_sbs is not None:
+                frames.append(inline_sbs)
+            if len(frames) == 1 and inline_sbs is not None:
+                # already per-subject max from the tagged aggregation
+                s_by_score = inline_sbs
+            else:
+                all_scores = reduce(lambda a, b: a.union(b), frames)
+                s_by_score = all_scores.groupBy("s").agg(
+                    F.max("score").alias("score")
+                )
         return combined, s_by_score
 
     def subjects_values(self, opts: dict) -> DataFrame:
