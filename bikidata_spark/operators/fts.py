@@ -250,11 +250,23 @@ def write_fts_index(index: FtsIndex, path: str, num_buckets: int = 64) -> None:
     """Persist the index with postings and token stats hash-partitioned
     by token bucket: a conjunctive query then reads only its terms'
     bucket directories (partition pruning — the 100 TB layout where a
-    3-term query touches 3/64ths of the postings store)."""
+    3-term query touches 3/64ths of the postings store).
+
+    Postings persist WITH the per-literal document length ``dl``
+    (norms-in-postings, the classic search-engine layout): a served
+    ``match`` on the re-opened store then scores from the pruned
+    postings rows alone — no corpus-sized ``doc_len`` join per query.
+    The denormalization costs one lit-keyed join at WRITE time and
+    ~8 bytes/posting of storage; ``read_fts_index``/``match`` detect
+    the column, so stores written before this layout still work via
+    the join fallback."""
+    postings = index.postings
+    if "dl" not in postings.columns:
+        # index came from a normalized source (an old persisted store,
+        # an incremental log): pay the norms join here, once
+        postings = postings.join(index.doc_len, "lit")
     (
-        # normalized store layout regardless of the in-memory
-        # denormalization (drop is a no-op when dl is absent)
-        index.postings.drop("dl")
+        postings
         .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
         .repartition("bucket")
         .sortWithinPartitions("token")

@@ -85,6 +85,16 @@ def start_fts_ingest(
         )
         meta.coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
 
+    # segment layout conformance: every postings segment of one store
+    # must have the same schema (the union read takes one file's schema).
+    # New stores write norms-in-postings (dl denormalized — match()
+    # then needs no doc_len join); a store whose existing segments lack
+    # dl keeps the normalized layout until compact_fts_store upgrades it.
+    try:
+        dl_in_postings = "dl" in spark.read.parquet(f"{store_dir}/postings").columns
+    except AnalysisException:
+        dl_in_postings = True
+
     stream = spark.readStream.schema(MUTATION_SCHEMA).json(src_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -110,8 +120,10 @@ def start_fts_ingest(
             .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
             .persist()
         )
+        doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
+        seg = postings.join(doc_len, "lit") if dl_in_postings else postings
         (
-            postings.repartition("bucket")
+            seg.repartition("bucket")
             .sortWithinPartitions("token")
             .write.mode("overwrite")
             .partitionBy("bucket")
@@ -125,7 +137,6 @@ def start_fts_ingest(
             .partitionBy("bucket")
             .parquet(f"{store_dir}/token_df/batch={batch_id}")
         )
-        doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
         doc_len.write.mode("overwrite").parquet(f"{store_dir}/doc_len/batch={batch_id}")
         part = doc_len.agg(
             F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
@@ -176,8 +187,12 @@ def bootstrap_fts_store(
         .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))
         .persist()
     )
+    doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
     (
-        postings.repartition("bucket")
+        # norms-in-postings: match() on the merged store scores from
+        # pruned postings rows alone, no corpus doc_len join per query
+        postings.join(doc_len, "lit")
+        .repartition("bucket")
         .sortWithinPartitions("token")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -191,7 +206,6 @@ def bootstrap_fts_store(
         .partitionBy("bucket")
         .parquet(f"{store_dir}/token_df/batch=-1")
     )
-    doc_len = postings.groupBy("lit").agg(F.sum("tf").alias("dl")).persist()
     doc_len.write.mode("overwrite").parquet(f"{store_dir}/doc_len/batch=-1")
     doc_len.agg(
         F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
@@ -247,6 +261,11 @@ def compact_fts_store(spark: SparkSession, store_dir: str, force: bool = False) 
 
     tmp = f"{store_dir}/_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
+    if "dl" not in postings.columns:
+        # pre-norms-in-postings store: the compaction rewrite is the
+        # natural moment to upgrade the layout (doc_len segments are
+        # disjoint by lit — the seen-log indexed each literal once)
+        postings = postings.join(doc_len.select("lit", "dl"), "lit")
     (
         postings.drop("bucket")
         .withColumn("bucket", _token_bucket_col(F.col("token"), num_buckets))

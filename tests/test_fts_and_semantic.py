@@ -183,6 +183,34 @@ def test_persisted_index_matches_inmemory(spark, tmp_path):
 
     plan = persisted.match("alpha")._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+    # norms-in-postings store layout: dl persists WITH the postings, so
+    # the re-opened store scores without a corpus doc_len join — exactly
+    # one scan (the postings) feeds the match plan besides token_df
+    assert "dl" in persisted.postings.columns
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_persisted_index_normalized_back_compat(spark, tmp_path):
+    """A store written before norms-in-postings (no dl column) still
+    matches via the doc_len join fallback."""
+    from bikidata_spark.operators.fts import read_fts_index, write_fts_index
+
+    g = _mini_graph(spark)
+    idx = build_fts_index(g.literals())
+    path = str(tmp_path / "fts_old")
+    write_fts_index(idx, path, num_buckets=8)
+    # strip dl out of the persisted postings, emulating the old layout
+    stripped = spark.read.parquet(f"{path}/postings").drop("dl")
+    stripped.write.mode("overwrite").parquet(f"{path}/postings_tmp")
+    import shutil
+
+    shutil.rmtree(f"{path}/postings")
+    shutil.move(f"{path}/postings_tmp", f"{path}/postings")
+    old = read_fts_index(spark, path)
+    assert "dl" not in old.postings.columns
+    a = sorted((r["lit"], round(r["score"], 9)) for r in idx.match("alpha beta").collect())
+    b = sorted((r["lit"], round(r["score"], 9)) for r in old.match("alpha beta").collect())
+    assert a == b
 
 
 def test_stemmed_index_matches_plural_queries(spark):
