@@ -1679,7 +1679,18 @@ class Engine:
             page_hashes = [r["s"] for r in page]
             hash_to_val = {r["s"]: r["s_value"] for r in page}
             if page_hashes:
-                t = self.graph.triples.filter(F.col("s").isin(page_hashes))
+                if len(page_hashes) <= _ISIN_PROBE_MAX:
+                    t = self.graph.triples.filter(F.col("s").isin(page_hashes))
+                else:
+                    # large page (size can be 999+): an IN-list costs
+                    # ~0.5 ms/element to BUILD over py4j and compiles a
+                    # giant literal predicate — ship the hashes as an
+                    # Arrow-built broadcast probe instead (one hash join,
+                    # still no corpus shuffle)
+                    probe = self.graph.spark.createDataFrame(
+                        [(h,) for h in page_hashes], "s long"
+                    )
+                    t = self.graph.triples.join(F.broadcast(probe), "s")
                 only_p = opts.get("only_properties") or []
                 excl_p = opts.get("exclude_properties") or []
                 if only_p:

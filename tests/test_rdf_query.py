@@ -161,6 +161,20 @@ def test_size_zero_is_aggregates_only(engine):
     assert r2["size"] == 999 and len(r2["results"]) == 1
 
 
+def test_large_page_hydration_uses_join_probe(engine, monkeypatch):
+    """A page wider than the IN-list cap hydrates through the broadcast
+    join probe; results are identical to the literal-probe path (the
+    default size is 999 — an IN-list that big costs ~0.5 s of py4j
+    expression building per request)."""
+    from bikidata_spark.plans import query as qmod
+
+    opts = {"filters": [{"p": "<p/type>", "o": "<c/nation>"}], "size": 30}
+    want = engine.query(opts)
+    monkeypatch.setattr(qmod, "_ISIN_PROBE_MAX", 5)
+    got = engine.query(opts)
+    assert got["results"] == want["results"] and got["total"] == want["total"]
+
+
 def test_sample_deterministic_no_global_sort(engine):
     # seeded consistent sample: same rows on every run (md5-keyed top-n,
     # partitioning-independent), planned as TakeOrderedAndProject — a
