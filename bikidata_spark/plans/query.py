@@ -1273,6 +1273,65 @@ class Engine:
             return out
         return out.orderBy(F.col("count").desc(), F.col("val").asc())
 
+    def _facets_fused(
+        self,
+        s_results: DataFrame | None,
+        aggs: list[str],
+        known_rows: int | None = None,
+    ) -> dict[str, list[tuple[int, str]]]:
+        """Every requested (unweighted) facet in ONE job (reference
+        query.py:744-753 loops one SQL statement per aggregate; the r6
+        engine likewise collected once per facet). Each triples row is
+        tagged with the facet indexes it contributes to — property
+        facets match on ``p``, ``properties``/``graphs`` contribute
+        unconditionally with ``p``/``g`` as the key — via an
+        array-of-structs + array_compact + explode, so one scan of the
+        (semi-joined) corpus, one groupBy(tag, key) shuffle, and one
+        terms-resolution join serve k facets. At serving scale that is
+        k-1 fewer scheduler round-trips per request; at cluster scale
+        k-1 fewer corpus scans + exchanges. Results split driver-side
+        (facet outputs are distinct-value-sized) and sort like the
+        per-facet path: count desc, val asc."""
+        t = self.graph.triples
+        if s_results is not None:
+            t = t.join(
+                self._probe_side(s_results.select("s"), known_rows), "s", "left_semi"
+            )
+        branches = []
+        for i, agg in enumerate(aggs):
+            if agg == "properties":
+                branches.append(
+                    F.struct(F.lit(i).alias("_tag"), F.col("p").alias("_key"))
+                )
+            elif agg == "graphs":
+                branches.append(
+                    F.struct(F.lit(i).alias("_tag"), F.col("g").alias("_key"))
+                )
+            else:
+                branches.append(
+                    F.when(
+                        F.col("p") == H(str(agg)),
+                        F.struct(F.lit(i).alias("_tag"), F.col("o").alias("_key")),
+                    )
+                )
+        pairs = t.select(
+            F.explode(F.array_compact(F.array(*branches))).alias("_tk")
+        ).select(F.col("_tk._tag").alias("_tag"), F.col("_tk._key").alias("_key"))
+        grouped = pairs.groupBy("_tag", "_key").agg(F.count("*").alias("count"))
+        if known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS:
+            grouped = F.broadcast(grouped)
+        terms = self.graph.terms.select("hash", F.col("value").alias("val"))
+        out = grouped.join(terms, grouped._key == terms.hash).select(
+            "_tag", "count", "val"
+        )
+        rows = out.collect()
+        by_tag: dict[int, list] = {i: [] for i in range(len(aggs))}
+        for r in rows:
+            by_tag[r["_tag"]].append((r["count"], r["val"]))
+        for vals in by_tag.values():
+            vals.sort(key=lambda cv: (-cv[0], cv[1]))
+        return {agg: by_tag[i] for i, agg in enumerate(aggs)}
+
     # ---- paths ---------------------------------------------------------
     def paths(self, subjects: DataFrame, prop: str) -> DataFrame:
         """Ancestor chains via `prop` edges: (s, pos, ancestor) with
@@ -1641,19 +1700,19 @@ class Engine:
         aggregates = {}
         known = total if s_results is not None else None
         small = known is not None and known <= _HOP_BROADCAST_ROWS
-        for agg in opts.get("aggregates", []):
-            if s_results is None and agg not in ("properties", "graphs"):
-                continue
-            # unordered facet + driver-side sort: the result is
-            # distinct-value-sized, and skipping the global orderBy
-            # saves a range-partitioning exchange (plus its sampling
-            # job) per facet
+        # every requested facet in ONE fused job (see _facets_fused);
+        # property facets over an unfiltered corpus are skipped like the
+        # per-facet path did
+        fused_aggs = [
+            agg
+            for agg in opts.get("aggregates", [])
+            if s_results is not None or agg in ("properties", "graphs")
+        ]
+        if fused_aggs:
             with self._no_aqe() if small else contextlib.nullcontext():
-                rows = self.facet(
-                    s_results, agg, known_rows=known, ordered=False
-                ).collect()
-            rows.sort(key=lambda r: (-r["count"], r["val"]))
-            aggregates[agg] = [(r["count"], r["val"]) for r in rows]
+                aggregates = self._facets_fused(
+                    s_results, fused_aggs, known_rows=known
+                )
 
         results: dict = {}
         if s_results is not None and size > 0:
@@ -1703,6 +1762,13 @@ class Engine:
                 # a generic 3-way join here would shuffle+sort the
                 # corpus-sized terms side three times for a page of rows
                 hydrated = t.select("s", "p", "o", "g").collect()
+                # results follows PAGE order (reference query.py:756-787
+                # hydrates `order by W.pos` and its results dict keeps
+                # that insertion order): the collect above returns
+                # partition order, so stable-sort by page position —
+                # page-sized, driver-side, free
+                _pos = {h: i for i, h in enumerate(page_hashes)}
+                hydrated.sort(key=lambda row: _pos[row["s"]])
                 hv = self._term_values(
                     h for row in hydrated for h in (row["p"], row["o"], row["g"])
                 )

@@ -547,3 +547,50 @@ def test_cluster_shaped_plans(spark, tmp_path, monkeypatch):
         assert recs["rdf_semantic_ivf"]["partition_filters"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_fused_facets_match_per_facet(engine):
+    """query()'s single fused facet job must equal the per-facet facet()
+    API across all three facet kinds (property facet, properties,
+    graphs) on the same filtered subject set."""
+    opts = {
+        "size": 0,
+        "filters": [{"p": "<p/type>", "o": "<c/customer>"}],
+        "aggregates": ["<p/mktsegment>", "<p/nation>", "properties", "graphs"],
+    }
+    r = engine.query(opts)
+    s_results, _ = engine.subjects({"filters": opts["filters"]})
+    for agg in opts["aggregates"]:
+        rows = engine.facet(s_results, agg).collect()
+        expect = [(x["count"], x["val"]) for x in rows]
+        expect.sort(key=lambda cv: (-cv[0], cv[1]))
+        assert r["aggregates"][agg] == expect, agg
+
+
+def test_fused_facets_single_job(engine):
+    """k facets cost ONE job (plus any broadcast-exchange jobs), not k:
+    the fused tagged aggregation is the point of _facets_fused."""
+    sc = engine.graph.spark.sparkContext
+    tracker = sc.statusTracker()
+    opts = {
+        "size": 0,
+        "filters": [{"p": "<p/type>", "o": "<c/customer>"}],
+    }
+    engine.query(opts)  # warm caches: subject set, persisted frames
+    before = len(tracker.getJobIdsForGroup(None) or []) or len(
+        tracker.getActiveJobsIds() or []
+    )
+    sc.setJobGroup("fused-facets-probe", "facet job count probe")
+    try:
+        engine.query(
+            dict(opts, aggregates=["<p/mktsegment>", "<p/nation>", "properties"])
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = tracker.getJobIdsForGroup("fused-facets-probe")
+    # subject set is cached; remaining jobs: fast-page collect + ONE
+    # fused facet collect + bounded broadcast-exchange side jobs. The
+    # pre-fusion shape paid one collect PER facet — with 3 facets the
+    # bound below would be violated.
+    assert jobs, "probe job group recorded no jobs — tracker misused"
+    assert len(jobs) <= 5, jobs
