@@ -327,8 +327,9 @@ def token_postings(toks: DataFrame, stem: bool) -> DataFrame:
     With ``stem``, RAW postings aggregate first — the occurrence-level
     shuffle is identical to the unstemmed build — then the Porter
     stemmer runs over the POSTINGS rows (already deduplicated to
-    distinct (doc, token) pairs) and same-stem rows re-aggregate with
-    a postings-sized second shuffle. Stemming per posting instead of
+    distinct (doc, token) pairs) that can possibly change (see the
+    numeric/short identity gate below) and same-stem rows re-aggregate
+    with a postings-sized second shuffle. Stemming per posting instead of
     per occurrence captures most of the Zipf dedup win (postings ≤
     occurrences, and the re-agg shuffle it needs is postings-sized)
     while staying ONE lineage — no extra distinct / checkpoint /
@@ -341,8 +342,24 @@ def token_postings(toks: DataFrame, stem: bool) -> DataFrame:
     raw = toks.groupBy("lit", "token").agg(F.count("*").alias("tf"))
     if not stem:
         return raw
-    stemmed = stem_tokens_df(raw, "token")
-    return stemmed.groupBy("lit", "token").agg(F.sum("tf").alias("tf"))
+    # PURE-NUMERIC tokens are Porter fixed points (every rule needs an
+    # alphabetic suffix — s/ed/ing/…/e/ll — which a [0-9]+ token cannot
+    # end with), and ≤2-char tokens are identity by the stemmer's own
+    # final gate. Routing those rows AROUND the nine-layer regex tower
+    # and unioning back before the re-aggregation is semantically
+    # identical (the groupBy still merges stem collisions like
+    # "12s"→"12" with a doc's existing "12") but skips the tower for
+    # the dominant row class: key/phone/amount-style corpora are >90%
+    # numeric tokens, measured 4.3 s → 1.7 s for the sf0.1 stemmed
+    # build. Both branches read the SAME shuffle output (Spark reuses
+    # the exchange), so the split costs no extra scan of the corpus.
+    gate = F.col("token").rlike("^[0-9]+$") | (F.length("token") <= 2)
+    stemmed = stem_tokens_df(raw.filter(~gate), "token")
+    return (
+        stemmed.unionAll(raw.filter(gate))
+        .groupBy("lit", "token")
+        .agg(F.sum("tf").alias("tf"))
+    )
 
 
 def build_fts_index(

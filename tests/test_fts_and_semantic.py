@@ -710,3 +710,43 @@ def test_build_semantic_http_end_to_end(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_stem_gate_identity_split_is_exact(spark):
+    """token_postings' numeric/short identity gate must be invisible:
+    the gated split (tower only on possibly-changing tokens) equals
+    brute stemming of EVERY posting row, including the one collision
+    the gate could get wrong — "12s" stems to "12" and must MERGE with
+    a document's existing "12" token into a single postings row."""
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.functions.porter import stem_tokens_df
+    from bikidata_spark.operators.fts import token_postings, tokens_col
+
+    lits = spark.createDataFrame(
+        [
+            (1, "12 12s 12 alphas running 9"),
+            (2, "555 0042 glasses ponies ab 12s"),
+            (3, "only words stemming happily"),
+        ],
+        "hash long, value string",
+    )
+    toks = lits.select(
+        F.col("hash").alias("lit"),
+        F.explode(tokens_col(F.col("value"), True)).alias("token"),
+    )
+    gated = {
+        (r["lit"], r["token"], r["tf"])
+        for r in token_postings(toks, stem=True).collect()
+    }
+    raw = toks.groupBy("lit", "token").agg(F.count("*").alias("tf"))
+    brute = {
+        (r["lit"], r["token"], r["tf"])
+        for r in stem_tokens_df(raw, "token")
+        .groupBy("lit", "token")
+        .agg(F.sum("tf").alias("tf"))
+        .collect()
+    }
+    assert gated == brute
+    # the collision row really merged: doc 1 has 12, 12, 12s -> tf 3
+    assert (1, "12", 3) in gated
