@@ -144,6 +144,13 @@ def tokenize_query(text: str, stem: bool = False, strip_accents: bool = False) -
     return [porter_stem(t) for t in toks] if stem else toks
 
 
+# a conjunctive match can't return more rows than its rarest term's
+# document frequency, so any query whose terms all have df at or below
+# this is safe to broadcast WITHOUT counting it first. Matches the
+# default engine-side broadcast gate (plans/query._HOP_BROADCAST_ROWS).
+BROADCAST_SAFE_DF = 500_000
+
+
 @dataclass
 class FtsIndex:
     postings: DataFrame  # lit: long, token: string, tf: long
@@ -160,6 +167,34 @@ class FtsIndex:
     # accents were stripped at build time (reference default); query
     # terms get the same translate map
     strip: bool = True
+    # lazy driver-side {token: df} for tokens ABOVE BROADCAST_SAFE_DF —
+    # the Zipf head, so bounded (typically a handful of stop-word-ish
+    # tokens even at corpus scale). Built once per index by the first
+    # match_upper_bound() call; every later fts query gates its
+    # broadcast with ZERO Spark jobs where the previous shape paid a
+    # persist + count per query.
+    _heavy_memo: dict | None = None
+
+    def heavy_tokens(self) -> dict:
+        if self._heavy_memo is None:
+            rows = (
+                self.token_df.filter(F.col("df") > BROADCAST_SAFE_DF)
+                .select("token", "df")
+                .collect()
+            )
+            self._heavy_memo = {r["token"]: int(r["df"]) for r in rows}
+        return self._heavy_memo
+
+    def match_upper_bound(self, text: str) -> int:
+        """Upper bound on ``match(text, conjunctive=True)``'s row count:
+        a conjunctive match is contained in its rarest term's postings,
+        so the bound is min over terms of (exact df if the token is in
+        the heavy head, else BROADCAST_SAFE_DF)."""
+        terms = list(dict.fromkeys(tokenize_query(text, self.stem, self.strip)))
+        if not terms:
+            return 0
+        heavy = self.heavy_tokens()
+        return min(heavy.get(t, BROADCAST_SAFE_DF) for t in terms)
 
     def _term_postings(self, df: DataFrame, terms: list[str]) -> DataFrame:
         cond = F.col("token").isin(terms)

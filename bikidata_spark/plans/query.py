@@ -425,23 +425,34 @@ class Engine:
             return self._walk_up(base, hops), None
 
         if p_head == "fts":
-            # (lit, score) BM25 matches, persisted + counted ONCE. The
-            # count gates an explicit broadcast into the corpus join: a
-            # served match is request-sized, and without the hint the
-            # statically-planned point path (AQE off) would sort-merge
-            # the whole triples table against it — the single largest
-            # cost in the r6 fts request. Past the gate (a one-term
-            # query matching a corpus-scale slice of the literals) the
-            # join falls back to a shuffle join with AQE's skew
-            # handling governing the at-scale plan. The persist also
-            # means the postings scan + BM25 aggregation execute once
-            # even though the subject set and the score frame both
-            # derive from it; released in query()'s finally via the
-            # per-thread transient registry.
+            # (lit, score) BM25 matches. The broadcast into the corpus
+            # join is essential: a served match is request-sized, and
+            # without the hint the statically-planned point path (AQE
+            # off) would sort-merge the whole triples table against it
+            # — the single largest cost in the r6 fts request. The
+            # broadcast-safety gate is now JOB-FREE for the common
+            # case: a conjunctive match is bounded by its rarest
+            # term's df, and the index keeps the df Zipf head driver-
+            # side (FtsIndex.match_upper_bound — one bounded probe per
+            # index lifetime, not a persist + count per query). Only a
+            # query built purely from heavy head tokens falls back to
+            # the measured count; past THAT gate the join stays a
+            # shuffle join with AQE's skew handling governing the
+            # at-scale plan.
+            # the persist stays (lazy — no extra job): the match feeds
+            # several actions in one request (fast page, score join,
+            # count fallback) and uncached it re-executes per action
             scored = self.fts.match(o, conjunctive=True).persist()
             self._register_transient(scored)
-            n_scored = scored.count()
-            probe = F.broadcast(scored) if n_scored <= _HOP_BROADCAST_ROWS else scored
+            if self.fts.match_upper_bound(o) <= _HOP_BROADCAST_ROWS:
+                probe = F.broadcast(scored)
+            else:
+                n_scored = scored.count()
+                probe = (
+                    F.broadcast(scored)
+                    if n_scored <= _HOP_BROADCAST_ROWS
+                    else scored
+                )
             base = t.join(probe, t.o == scored.lit)
             if p_prop:
                 base = base.filter(F.col("p") == H(p_prop))
@@ -861,6 +872,12 @@ class Engine:
                 .persist()
             )
             self._register_transient(agg)
+            # materialization BARRIER, not just a count: the fast page
+            # references agg through two independent broadcast futures
+            # (capped members + capped scores) which, against a cold
+            # cache, race and each re-execute the match + walk. One
+            # count fills the cache before any consumer forks.
+            agg.count()
             combined = agg.select("s")
             inline_sbs = agg.select("s", "score")
         else:
@@ -916,8 +933,15 @@ class Engine:
             if inline_sbs is not None:
                 frames.append(inline_sbs)
             if len(frames) == 1 and inline_sbs is not None:
-                # already per-subject max from the tagged aggregation
+                # already per-subject max from the tagged aggregation.
+                # The inline frame is by construction a SUBSET of the
+                # returned member set (same persisted agg, filtered to
+                # scored rows) — flag that so the fast page may cap +
+                # broadcast it with the member-side cap proof (see
+                # _query_impl): a join that survives the fast-page cap
+                # never truncated this frame either.
                 s_by_score = inline_sbs
+                s_by_score._subset_of_members = True
             else:
                 all_scores = reduce(lambda a, b: a.union(b), frames)
                 s_by_score = all_scores.groupBy("s").agg(
@@ -1683,9 +1707,19 @@ class Engine:
             capped = F.broadcast(s_results.limit(_FAST_PAGE_ROWS + 1))
             sel = capped.join(terms, capped.s == terms.hash).select("s", "s_value")
             if s_by_score is not None:
-                # scores ride the same action; the join shuffles only
-                # the two subject-sized frames, never the corpus
-                sel = sel.join(s_by_score, "s", "left")
+                # scores ride the same action. When the score frame is
+                # a known subset of the member set (single scored
+                # filter — the common fts/semantic point query), cap +
+                # broadcast it exactly like the subject side: if the
+                # fast page is accepted (≤ _FAST_PAGE_ROWS members)
+                # the subset cap never truncated, and the join plans
+                # as a map-only BroadcastHashJoin instead of a
+                # 32-partition sort-merge shuffle (AQE is off in this
+                # scope, so nothing else would demote the SMJ).
+                sbs = s_by_score
+                if getattr(sbs, "_subset_of_members", False):
+                    sbs = F.broadcast(sbs.limit(_FAST_PAGE_ROWS + 1))
+                sel = sel.join(sbs, "s", "left")
             with self._no_aqe():
                 rows = sel.collect()
             if len(rows) <= _FAST_PAGE_ROWS:
@@ -1884,7 +1918,18 @@ class Engine:
         return spark.sql(sql)
 
     def total(self) -> int:
-        return self.graph.triples.select("s").distinct().count()
+        """Distinct-subject count (reference query.py:13-17). The count
+        is a corpus-wide shuffle yet a pure function of the graph, so
+        it memoizes per generation — serving traffic hits total() on
+        every request shape and was paying the full aggregation each
+        time (6× the reference's DuckDB count at sf3)."""
+        gen = self._graph_generation
+        cached = getattr(self, "_total_memo", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        n = self.graph.triples.select("s").distinct().count()
+        self._total_memo = (gen, n)
+        return n
 
     def properties(self) -> DataFrame:
         """(val, count) distinct-subject count per property
