@@ -175,6 +175,8 @@ class FtsIndex:
     # broadcast with ZERO Spark jobs where the previous shape paid a
     # persist + count per query.
     _heavy_memo: dict | None = None
+    # LRU of exact df per already-probed query token (see term_dfs)
+    _df_lru: dict | None = None
 
     def heavy_tokens(self) -> dict:
         if self._heavy_memo is None:
@@ -197,6 +199,41 @@ class FtsIndex:
         heavy = self.heavy_tokens()
         return min(heavy.get(t, BROADCAST_SAFE_DF) for t in terms)
 
+    def term_dfs(self, text: str) -> dict:
+        """EXACT df per query term, driver-side: heavy-head tokens come
+        from the memoized Zipf head, the rest from one bucket-pruned
+        probe of token_df per previously-unseen token (LRU'd on the
+        index, so repeated serving terms cost zero jobs). Absent tokens
+        have df 0. This powers the term-at-a-time point path: with df
+        known, BM25 idf becomes a literal (no token_df join in the
+        match plan) and ``min(df)`` decides collect-vs-broadcast with
+        certainty instead of an upper bound."""
+        terms = list(dict.fromkeys(tokenize_query(text, self.stem, self.strip)))
+        if not terms:
+            return {}
+        heavy = self.heavy_tokens()
+        if self._df_lru is None:
+            self._df_lru = {}
+        out: dict = {}
+        missing: list[str] = []
+        for t in terms:
+            if t in heavy:
+                out[t] = heavy[t]
+            elif t in self._df_lru:
+                out[t] = self._df_lru[t]
+            else:
+                missing.append(t)
+        if missing:
+            rows = self._term_postings(self.token_df, missing).collect()
+            found = {r["token"]: int(r["df"]) for r in rows}
+            for t in missing:
+                df = found.get(t, 0)
+                out[t] = df
+                self._df_lru[t] = df
+            while len(self._df_lru) > 65536:
+                self._df_lru.pop(next(iter(self._df_lru)))
+        return out
+
     def _term_postings(self, df: DataFrame, terms: list[str]) -> DataFrame:
         cond = F.col("token").isin(terms)
         if self.num_buckets:
@@ -205,8 +242,16 @@ class FtsIndex:
             cond = F.col("bucket").isin(buckets) & cond
         return df.filter(cond)
 
-    def match(self, text: str, conjunctive: bool = True) -> DataFrame:
-        """Literals matching ``text`` → (lit, score). BM25-scored."""
+    def match(
+        self, text: str, conjunctive: bool = True, dfs: dict | None = None
+    ) -> DataFrame:
+        """Literals matching ``text`` → (lit, score). BM25-scored.
+
+        With ``dfs`` (exact per-term document frequencies from
+        :meth:`term_dfs`), df is injected as a per-term LITERAL column
+        instead of a broadcast token_df join — one broadcast-exchange
+        job fewer in every downstream action, and the arithmetic is
+        bit-identical (the same JVM expressions over the same values)."""
         # dedupe (order-preserving): stemming can collapse distinct query
         # words into one term ('customer customers' → ['custom','custom']);
         # count_distinct(token) could then never reach len(terms) and a
@@ -215,9 +260,16 @@ class FtsIndex:
         if not terms:
             return self.postings.sparkSession.createDataFrame([], "lit long, score double")
         n = self.n_docs
-        hits = self._term_postings(self.postings, terms).join(
-            F.broadcast(self._term_postings(self.token_df, terms)), "token"
-        )
+        if dfs is not None and all(t in dfs for t in terms):
+            hits = self._term_postings(self.postings, terms)
+            df_col = F.lit(float(dfs[terms[0]]))
+            for t in terms[1:]:
+                df_col = F.when(F.col("token") == t, float(dfs[t])).otherwise(df_col)
+            hits = hits.withColumn("df", df_col.cast("long"))
+        else:
+            hits = self._term_postings(self.postings, terms).join(
+                F.broadcast(self._term_postings(self.token_df, terms)), "token"
+            )
         if "dl" not in self.postings.columns:
             # persisted/incremental stores keep the normalized layout —
             # resolve document length with the join the in-memory index

@@ -439,12 +439,52 @@ class Engine:
             # the measured count; past THAT gate the join stays a
             # shuffle join with AQE's skew handling governing the
             # at-scale plan.
-            # the persist stays (lazy — no extra job): the match feeds
-            # several actions in one request (fast page, score join,
-            # count fallback) and uncached it re-executes per action
-            scored = self.fts.match(o, conjunctive=True).persist()
+            # term-at-a-time point path: term_dfs gives EXACT per-term
+            # df driver-side (heavy head + LRU'd pruned probes — zero
+            # jobs for repeated serving terms), so (a) BM25 idf is a
+            # literal and the match plan loses its token_df broadcast
+            # join, and (b) min(df) bounds the conjunctive match with
+            # certainty. A probe-small match (≤ _ISIN_PROBE_MAX) is
+            # COLLECTED — one job — and re-enters the corpus scan as a
+            # SQL-string IN + literal score map (single py4j call, no
+            # nested broadcast futures for downstream actions to race
+            # on). Larger matches broadcast when min(df) clears the
+            # gate; only a query built purely from heavy tokens still
+            # pays a measured count.
+            dfs = self.fts.term_dfs(o)
+            bound = min(dfs.values()) if dfs else 0
+            scored = self.fts.match(o, conjunctive=True, dfs=dfs)
+            if bound <= _ISIN_PROBE_MAX:
+                # keep the probe frame inspectable: its plan carries the
+                # bucket partition-pruning that no longer appears in the
+                # returned (driver-re-emitted) subject plan — the
+                # cluster plan audit reads it from here
+                probes = getattr(self, "_fts_probe_frames", None)
+                if probes is None:
+                    probes = self._fts_probe_frames = []
+                probes.append(scored)
+                del probes[:-4]
+                rows = scored.collect()
+                if not rows:
+                    empty = self.graph.spark.createDataFrame(
+                        [], "s long, score double"
+                    )
+                    return empty, _INLINE_SCORES
+                in_list = ",".join(str(int(r["lit"])) for r in rows)
+                map_args = ",".join(
+                    f"{int(r['lit'])}L,{float(r['score'])!r}D" for r in rows
+                )
+                base = t.filter(F.expr(f"o IN ({in_list})"))
+                if p_prop:
+                    base = base.filter(F.col("p") == H(p_prop))
+                base = with_g(base).select(
+                    "s", F.expr(f"element_at(map({map_args}),o)").alias("score")
+                )
+                walked = self._walk_up(base, hops, carry=("score",))
+                return walked, _INLINE_SCORES
+            scored = scored.persist()
             self._register_transient(scored)
-            if self.fts.match_upper_bound(o) <= _HOP_BROADCAST_ROWS:
+            if bound <= _HOP_BROADCAST_ROWS:
                 probe = F.broadcast(scored)
             else:
                 n_scored = scored.count()
@@ -872,14 +912,13 @@ class Engine:
                 .persist()
             )
             self._register_transient(agg)
-            # materialization BARRIER, not just a count: the fast page
-            # references agg through two independent broadcast futures
-            # (capped members + capped scores) which, against a cold
-            # cache, race and each re-execute the match + walk. One
-            # count fills the cache before any consumer forks.
-            agg.count()
             combined = agg.select("s")
             inline_sbs = agg.select("s", "score")
+            # the member set WITH its scores in one frame: the fast
+            # page joins terms against this once instead of
+            # broadcasting members and scores separately (two futures,
+            # two joins) — see _query_impl
+            combined._inline_scored_frame = agg.select("s", "score")
         else:
             if inline_tagged:
                 # normalize every frame to (s, _ftag, _score): unscored
@@ -923,6 +962,9 @@ class Engine:
                 self._register_transient(agg)
                 combined = agg.select("s")
                 inline_sbs = agg.filter(F.col("_maxscore").isNotNull()).select(
+                    "s", F.col("_maxscore").alias("score")
+                )
+                combined._inline_scored_frame = agg.select(
                     "s", F.col("_maxscore").alias("score")
                 )
             else:
@@ -1704,22 +1746,33 @@ class Engine:
         )
         if fast:
             terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
-            capped = F.broadcast(s_results.limit(_FAST_PAGE_ROWS + 1))
-            sel = capped.join(terms, capped.s == terms.hash).select("s", "s_value")
-            if s_by_score is not None:
-                # scores ride the same action. When the score frame is
-                # a known subset of the member set (single scored
-                # filter — the common fts/semantic point query), cap +
-                # broadcast it exactly like the subject side: if the
-                # fast page is accepted (≤ _FAST_PAGE_ROWS members)
-                # the subset cap never truncated, and the join plans
-                # as a map-only BroadcastHashJoin instead of a
-                # 32-partition sort-merge shuffle (AQE is off in this
-                # scope, so nothing else would demote the SMJ).
-                sbs = s_by_score
-                if getattr(sbs, "_subset_of_members", False):
-                    sbs = F.broadcast(sbs.limit(_FAST_PAGE_ROWS + 1))
-                sel = sel.join(sbs, "s", "left")
+            scored_src = getattr(s_results, "_inline_scored_frame", None)
+            if s_by_score is not None and scored_src is not None:
+                # the member set CARRIES its scores (inline tagged
+                # aggregation): one capped broadcast + one terms join
+                # serve both the page values and the ranking — no
+                # second broadcast future, no separate score join
+                capped = F.broadcast(scored_src.limit(_FAST_PAGE_ROWS + 1))
+                sel = capped.join(terms, capped.s == terms.hash).select(
+                    "s", "s_value", "score"
+                )
+            else:
+                capped = F.broadcast(s_results.limit(_FAST_PAGE_ROWS + 1))
+                sel = capped.join(terms, capped.s == terms.hash).select(
+                    "s", "s_value"
+                )
+                if s_by_score is not None:
+                    # scores from an independent lineage (e.g. several
+                    # score-bearing filters): when the frame is a known
+                    # subset of the member set, cap + broadcast it with
+                    # the member-side cap proof — a fast page that is
+                    # accepted (≤ _FAST_PAGE_ROWS members) never
+                    # truncated the subset either. Otherwise the left
+                    # join stays a small sorted-shuffle join.
+                    sbs = s_by_score
+                    if getattr(sbs, "_subset_of_members", False):
+                        sbs = F.broadcast(sbs.limit(_FAST_PAGE_ROWS + 1))
+                    sel = sel.join(sbs, "s", "left")
             with self._no_aqe():
                 rows = sel.collect()
             if len(rows) <= _FAST_PAGE_ROWS:

@@ -542,8 +542,17 @@ def test_cluster_shaped_plans(spark, tmp_path, monkeypatch):
         # persisted-store scans push their filters down
         for name in ("rdf_filter_must", "rdf_fts", "rdf_paths", "rdf_facet_nation"):
             assert recs[name]["pushed_filters"], (name, recs[name])
-        # FTS buckets and IVF cells partition-prune
-        assert recs["rdf_fts"]["partition_filters"]
+        # FTS buckets and IVF cells partition-prune. The fts point path
+        # collects its probe driver-side (term-at-a-time), so the
+        # bucket pruning lives in the recorded PROBE plan, not the
+        # returned subject plan
+        fts_eng = mod._engine(spark, SF_DIR)
+        probe_frames = getattr(fts_eng, "_fts_probe_frames", [])
+        assert probe_frames, "fts driver path recorded no probe frame"
+        probe_rec = audit_plan(
+            probe_frames[-1]._jdf.queryExecution().executedPlan().toString()
+        )
+        assert probe_rec["partition_filters"], probe_rec
         assert recs["rdf_semantic_ivf"]["partition_filters"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
