@@ -1157,6 +1157,21 @@ class Engine:
                 return df
         try:
             df = self._order_key_frame(None, rule).persist()
+            # right-size the cached index to its measured row count:
+            # the build's shuffle width (spark.sql.shuffle.partitions)
+            # is corpus-sized, but the index is label-count-sized, and
+            # every ordered page scans ALL cached partitions — 32
+            # near-empty task launches per probe at small SF. coalesce
+            # reads the already-persisted blocks (no shuffle, no
+            # recompute); at cluster scale the quotient keeps the
+            # index as wide as its data needs.
+            n = df.count()
+            parts = max(1, min(n // 500_000 + 1, 2048))
+            if parts < df.rdd.getNumPartitions():
+                slim = df.coalesce(parts).persist()
+                slim.count()
+                df.unpersist()
+                df = slim
         except ValueError:
             return None  # malformed rule — let the per-query path raise
         with self._cache_lock:
