@@ -603,3 +603,40 @@ def test_fused_facets_single_job(engine):
     # bound below would be violated.
     assert jobs, "probe job group recorded no jobs — tracker misused"
     assert len(jobs) <= 5, jobs
+
+
+def test_total_memo_invalidates_on_replace_graph(spark, engine):
+    """total() memoizes per graph generation — a graph swap must drop
+    the memo, and mutation flows all route through replace_graph."""
+    from bikidata_spark import Engine
+    from bikidata_spark.graph import from_string_quads
+
+    quads = spark.createDataFrame(
+        [("<s/1>", "<p/a>", "<o/1>", ""), ("<s/2>", "<p/a>", "<o/2>", "")],
+        "s string, p string, o string, g string",
+    )
+    eng = Engine(from_string_quads(quads))
+    assert eng.total() == 2
+    assert eng.total() == 2  # memo hit
+    bigger = spark.createDataFrame(
+        [("<s/%d>" % i, "<p/a>", "<o/1>", "") for i in range(5)],
+        "s string, p string, o string, g string",
+    )
+    eng.replace_graph(from_string_quads(bigger))
+    assert eng.total() == 5
+
+
+def test_fts_term_dfs_warm_queries_schedule_no_df_jobs(engine):
+    """Repeated serving vocabulary must not re-probe token_df: after the
+    first query warms the df LRU, term_dfs is job-free."""
+    idx = engine.fts
+    sc = engine.graph.spark.sparkContext
+    idx.term_dfs("customer 000000013")  # warm (probe + heavy memo)
+    tracker = sc.statusTracker()
+    sc.setJobGroup("dfs-warm-probe", "x")
+    try:
+        dfs = idx.term_dfs("customer 000000013")
+    finally:
+        sc.setJobGroup(None, None)
+    assert dfs["customer"] > 0 and dfs["000000013"] >= 1
+    assert not (tracker.getJobIdsForGroup("dfs-warm-probe") or [])
