@@ -1,0 +1,717 @@
+"""Driver-resident point-query tier: zero Spark jobs per request.
+
+The reference engine is single-node DuckDB, so its point-query latency
+at small corpus sizes is bounded by memory bandwidth (tens of ms).
+A Spark plan — however well shaped — pays one scheduler round-trip
+(~70-120 ms on this host) per job, and the r6-r8 rounds drove the
+per-request job count to its floor (5-7). The remaining gap at small
+scale is architectural: interactive sub-100 ms serving needs an index
+tier that does not cross the job scheduler at all.
+
+This module is that tier, built the same way as the engine's other
+capped driver-side fast paths (the fast page, the local paths walk,
+the term-at-a-time FTS probes — docs/PLANS.md): for graphs whose quad
+count fits a strict cap (``BIKIDATA_SPARK_LOCAL_TIER_ROWS``, default
+4M quads ≈ 128 MB of int64 columns), ``Engine.query()`` mirrors the
+dictionary-encoded store into driver memory ONCE per graph generation
+— the quad table as four numpy int64 columns, the term dictionary as
+two Python dicts, and (lazily, per FTS index) the postings as a
+token-keyed dict — and serves the reference JSON query API (reference
+query.py:620-886) entirely driver-side.
+
+Why this does not mortgage the 100 TB design:
+
+- the sizing probe itself is bounded: ``triples.limit(cap+1).count()``
+  — a petabyte store pays one cheap partial scan to discover it is
+  over-cap and never collects anything;
+- over-cap graphs take the unchanged distributed path, whose plans
+  (tagged single-aggregation algebra, broadcast-gated joins, pruned
+  stores) are audited separately and carry the at-scale story;
+- the mirror is generation-keyed like every other derived cache and
+  dropped on ``replace_graph``;
+- the tier BAILS (returns ``None`` → distributed path) on any
+  construct it cannot mirror bit-for-bit: ``regex`` filters (Java vs
+  Python regex dialects) and ``semantic`` filters (IVF probe
+  selection); everything it does serve is differential-tested against
+  the distributed path over the full option space
+  (tests/test_local_tier.py) and rides through the reference-parity
+  suite, which drives ``query()`` end-to-end at fixture scale.
+
+Semantics mirrored (with their distributed counterparts):
+
+- filter algebra incl. group/except precedence — plans/query.py
+  ``_subjects_uncached``;
+- plain p/o/g filters, multi-object, object-only, ``id``, seeded
+  ``random|sample N``, n-hop walks — ``filter_subjects``;
+- conjunctive BM25 ``fts`` (scores bit-matched: same constants, same
+  expression shape, IEEE doubles both sides) — operators/fts.py
+  ``FtsIndex.match``;
+- default lexical / score-ordered / sort-api ordered paging —
+  ``_query_impl`` fast page + ``_order_key_frame`` (Python's
+  code-point string order IS Spark's UTF8 binary order);
+- facets (``_facets_fused``), hydration with only/exclude projection,
+  ``paths`` chains (reusing the engine's driver-local hierarchy walk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+import threading
+from functools import cmp_to_key
+
+import numpy as np
+
+from .query import (
+    RDFS_LABEL_IRI,
+    SAMPLE_SEED,
+    _normalize_order_rules,
+    _parse_size_start,
+    parse_hops_and_prop,
+)
+
+# sentinel: the filter (or the whole query) needs the distributed path
+_BAIL = object()
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+# Java's \s (used by the order-key clean step's collapse_space) is the
+# ASCII class [ \t\n\x0B\f\r]; Python's \s would also eat unicode
+# whitespace, silently diverging from the Spark expression it mirrors
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
+_LANG_TAG_RE = re.compile('"@[A-Za-z-]+$')
+_RAW_TEXT_RE = re.compile('^"(.+)"')
+_NUM_PREFIX_RE = re.compile("^([0-9]+)")
+_LONG_MAX = (1 << 63) - 1
+
+
+def _group_max(keys: np.ndarray, vals: np.ndarray):
+    """Per-key max over (keys, vals) → (unique keys, max vals)."""
+    if keys.size == 0:
+        return _EMPTY, np.empty(0, dtype=np.float64)
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    boundaries = np.flatnonzero(np.diff(k)) + 1
+    starts = np.concatenate(([0], boundaries))
+    maxes = np.maximum.reduceat(v, starts)
+    return k[starts], maxes
+
+
+class _LocalFts:
+    """Driver-side mirror of one FtsIndex: token → (lit, tf, dl) rows.
+
+    Scoring mirrors ``FtsIndex.match`` exactly — same BM25 constants,
+    same expression shape and association order, IEEE doubles on both
+    sides (reference: DuckDB fts match_bm25, reference query.py:187-210).
+    """
+
+    def __init__(self, tok2rows: dict, n_docs: int, avgdl: float, stem: bool, strip: bool):
+        self.tok2rows = tok2rows
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.stem = stem
+        self.strip = strip
+
+    def match(self, text: str):
+        """Conjunctive BM25 match → (lits int64 array, scores array)."""
+        from ..operators.fts import BM25_B, BM25_K1, tokenize_query
+
+        terms = list(dict.fromkeys(tokenize_query(text, self.stem, self.strip)))
+        if not terms:
+            return _EMPTY, np.empty(0, dtype=np.float64)
+        lit_parts, sc_parts = [], []
+        n = float(self.n_docs)
+        for t in terms:
+            rows = self.tok2rows.get(t)
+            if rows is None:
+                # conjunctive: a term with df=0 empties the match
+                return _EMPTY, np.empty(0, dtype=np.float64)
+            lits, tf, dl = rows
+            df = float(lits.size)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf_part = (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / self.avgdl)
+            )
+            lit_parts.append(lits)
+            sc_parts.append(idf * tf_part)
+        all_lits = np.concatenate(lit_parts)
+        all_sc = np.concatenate(sc_parts)
+        order = np.argsort(all_lits, kind="stable")
+        k, v = all_lits[order], all_sc[order]
+        boundaries = np.flatnonzero(np.diff(k)) + 1
+        starts = np.concatenate(([0], boundaries))
+        counts = np.diff(np.concatenate((starts, [k.size])))
+        sums = np.add.reduceat(v, starts)
+        full = counts == len(terms)
+        return k[starts][full], sums[full]
+
+
+class LocalTier:
+    """One graph generation's driver-resident mirror."""
+
+    def __init__(self, s, p, o, g, hash_to_value, value_to_hash, literal_hashes):
+        self.s = s
+        self.p = p
+        self.o = o
+        self.g = g
+        self.h2v = hash_to_value
+        self.v2h = value_to_hash
+        self.is_lit = literal_hashes
+        self.nrows = int(s.size)
+        # lazily-built _LocalFts keyed by the engine's FtsIndex object
+        # identity (a load_fts/replace swaps the object); None value =
+        # measured too big, stay distributed for fts filters
+        self._fts_state: tuple | None = None
+        self._fts_lock = threading.Lock()
+        self.queries_served = 0
+
+    # ---- small helpers -------------------------------------------------
+
+    def _hashes(self, terms) -> np.ndarray:
+        """Dictionary codes for the given lexical forms; absent terms
+        match nothing (the distributed path hashes them to codes that
+        exist in no triple — same semantics)."""
+        hs = [self.v2h[t] for t in terms if t in self.v2h]
+        return np.array(hs, dtype=np.int64) if hs else _EMPTY
+
+    def _g_mask(self, g: str):
+        if not g:
+            return None
+        hs = self._hashes(g.split(" "))
+        return np.isin(self.g, hs)
+
+    def _and(self, mask, gmask):
+        return mask if gmask is None else (mask & gmask)
+
+    def _walk(self, subjects: np.ndarray, hops: int) -> np.ndarray:
+        """n-hop parents walk, deduplicated (plans/query._walk_up)."""
+        front = subjects
+        for _ in range(hops):
+            mask = np.isin(self.o, front)
+            front = np.unique(self.s[mask])
+        return front
+
+    def _walk_scores(self, s0: np.ndarray, sc0: np.ndarray, hops: int):
+        """Score-carrying walk; per-subject max at each level (max is
+        associative, so folding early matches the distributed path's
+        single final max over all walked rows)."""
+        cur_s, cur_sc = s0, sc0
+        for _ in range(hops):
+            mask = np.isin(self.o, cur_s)
+            oo, ss = self.o[mask], self.s[mask]
+            if oo.size == 0:
+                return _EMPTY, np.empty(0, dtype=np.float64)
+            lut = dict(zip(cur_s.tolist(), cur_sc.tolist()))
+            sc = np.fromiter((lut[x] for x in oo.tolist()), dtype=np.float64, count=oo.size)
+            cur_s, cur_sc = _group_max(ss, sc)
+        return cur_s, cur_sc
+
+    # ---- FTS mirror ----------------------------------------------------
+
+    def _local_fts(self, engine, max_rows: int):
+        """Build (once per FtsIndex) the driver-side postings mirror, or
+        None when the index is over-cap / an old normalized store."""
+        index = engine.fts  # builds the in-memory index if absent — the
+        # distributed path would equally pay this one-time build
+        st = self._fts_state
+        if st is not None and st[0] is index:
+            return st[1]
+        with self._fts_lock:
+            st = self._fts_state
+            if st is not None and st[0] is index:
+                return st[1]
+            lf = self._build_local_fts(index, max_rows)
+            self._fts_state = (index, lf)
+            return lf
+
+    @staticmethod
+    def _build_local_fts(index, max_rows: int):
+        if "dl" not in index.postings.columns:
+            # pre-r7 persisted store without norms-in-postings: the dl
+            # join shape is the distributed path's business
+            return None
+        if index.postings.limit(max_rows + 1).count() > max_rows:
+            return None
+        pdf = index.postings.select("lit", "token", "tf", "dl").toPandas()
+        lits = pdf["lit"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.float64)
+        dls = pdf["dl"].to_numpy(dtype=np.float64)
+        toks = pdf["token"].to_numpy()
+        order = np.argsort(toks, kind="stable")
+        toks_s = toks[order]
+        boundaries = np.flatnonzero(toks_s[1:] != toks_s[:-1]) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [toks_s.size])) if toks_s.size else starts
+        tok2rows = {}
+        for a, b in zip(starts, ends):
+            idx = order[a:b]
+            tok2rows[toks_s[a]] = (lits[idx], tfs[idx], dls[idx])
+        return _LocalFts(tok2rows, index.n_docs, float(index.avgdl), index.stem, index.strip)
+
+    # ---- one filter → (subjects, scores|None) --------------------------
+
+    def _filter_members(self, engine, q: dict, fts_max_rows: int):
+        """Mirror of plans/query.Engine.filter_subjects for one filter.
+        Returns (subjects ndarray, score dict|None), None when the
+        engine would skip the filter, or _BAIL for the distributed
+        path."""
+        p = str(q.get("p", "")).strip(" ")
+        o = str(q.get("o", "")).strip(" ")
+        gq = str(q.get("g", "")).strip(" ")
+        hops, p_prop, p_head = parse_hops_and_prop(p)
+        gmask = self._g_mask(gq)
+
+        if p == "" and (o.startswith("<") or o.startswith("_:")):
+            oh = self.v2h.get(o)
+            if oh is None:
+                return _EMPTY, None
+            mask = self._and(self.o == oh, gmask)
+            return np.unique(self.s[mask]), None
+
+        if p == "id":
+            if o.startswith(("random", "sample")):
+                parts = o.split(" ")
+                n = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+                subj = np.unique(self.s if gmask is None else self.s[gmask])
+                keyed = []
+                for h in subj.tolist():
+                    v = self.h2v.get(h)
+                    if v is None:
+                        continue
+                    k = int(
+                        hashlib.md5(
+                            f"sample:{SAMPLE_SEED}:{v}".encode("utf8")
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    keyed.append((k, v, h))
+                keyed.sort(key=lambda t: (t[0], t[1]))
+                return np.array(sorted(h for _, _, h in keyed[:n]), dtype=np.int64), None
+            terms = o.split(" ") if " " in o and o.startswith("<") else [o]
+            hs = self._hashes(terms)
+            mask = self._and(np.isin(self.s, hs), gmask)
+            return np.unique(self.s[mask]), None
+
+        if p_head in ("semantic", "regex"):
+            return _BAIL
+
+        if p_head == "fts":
+            lf = self._local_fts(engine, fts_max_rows)
+            if lf is None:
+                return _BAIL
+            lits, lscores = lf.match(o)
+            mask = np.isin(self.o, lits)
+            if p_prop:
+                ph = self.v2h.get(p_prop)
+                mask = mask & (self.p == ph) if ph is not None else np.zeros(self.nrows, bool)
+            mask = self._and(mask, gmask)
+            ss, oo = self.s[mask], self.o[mask]
+            if ss.size == 0:
+                return _EMPTY, {}
+            lut = dict(zip(lits.tolist(), lscores.tolist()))
+            sc = np.fromiter((lut[x] for x in oo.tolist()), dtype=np.float64, count=oo.size)
+            cur_s, cur_sc = _group_max(ss, sc)
+            cur_s, cur_sc = self._walk_scores(cur_s, cur_sc, hops)
+            return cur_s, dict(zip(cur_s.tolist(), cur_sc.tolist()))
+
+        if p.startswith("<"):
+            ph = self.v2h.get(p_head)
+            if ph is None:
+                return _EMPTY, None
+            mask = self.p == ph
+            if o:
+                terms = o.split(" ") if (o.startswith("<") and " " in o) else [o]
+                mask = mask & np.isin(self.o, self._hashes(terms))
+            mask = self._and(mask, gmask)
+            return self._walk(np.unique(self.s[mask]), hops), None
+
+        return None
+
+    # ---- filter algebra (mirror of _subjects_uncached) -----------------
+
+    def _members(self, engine, opts: dict, fts_max_rows: int):
+        """→ (members set|None, scores dict|None) or _BAIL."""
+        groups: list[list[int]] = []
+        excepts: list[int] = []
+        sets: dict[int, set] = {}
+        score_maps: list[dict] = []
+        n_tags = 0
+        for q in opts.get("filters", []):
+            op = q.get("op", "should")
+            r = self._filter_members(engine, q, fts_max_rows)
+            if r is _BAIL:
+                return _BAIL
+            if r is None:
+                continue
+            subj, sc = r
+            tag = n_tags
+            sets[tag] = set(subj.tolist())
+            if sc is not None:
+                score_maps.append(sc)
+            n_tags += 1
+            if not groups:
+                groups.append([tag])
+            elif op in ("must", "and"):
+                groups[-1].append(tag)
+            elif op == "not":
+                excepts.append(tag)
+            else:
+                groups.append([tag])
+        if not groups:
+            return None, None
+        members: set = set()
+        for grp in groups:
+            inter = None
+            for tg in grp:
+                inter = sets[tg] if inter is None else (inter & sets[tg])
+            members |= inter
+        for e in excepts:
+            members -= sets[e]
+        scores = None
+        if score_maps:
+            scores = {}
+            for m in score_maps:
+                for s_, v_ in m.items():
+                    prev = scores.get(s_)
+                    if prev is None or v_ > prev:
+                        scores[s_] = v_
+        return members, scores
+
+    # ---- facets (mirror of _facets_fused) ------------------------------
+
+    def _facets(self, members_arr: np.ndarray | None, aggs: list[str]) -> dict:
+        memmask = (
+            np.isin(self.s, members_arr) if members_arr is not None else None
+        )
+
+        def _counts(keys: np.ndarray):
+            vals, counts = np.unique(keys, return_counts=True)
+            out = []
+            for h, c in zip(vals.tolist(), counts.tolist()):
+                v = self.h2v.get(h)
+                if v is not None:
+                    out.append((c, v))
+            out.sort(key=lambda cv: (-cv[0], cv[1]))
+            return out
+
+        result = {}
+        for agg in aggs:
+            if agg == "properties":
+                keys = self.p if memmask is None else self.p[memmask]
+            elif agg == "graphs":
+                keys = self.g if memmask is None else self.g[memmask]
+            else:
+                ph = self.v2h.get(str(agg))
+                if ph is None:
+                    result[agg] = []
+                    continue
+                mask = self.p == ph
+                if memmask is not None:
+                    mask &= memmask
+                keys = self.o[mask]
+            result[agg] = _counts(keys)
+        return result
+
+    # ---- ordered paging (mirror of _order_key_frame + page) ------------
+
+    @staticmethod
+    def _order_supported(rule: dict) -> bool:
+        by = (rule.get("by") or "label").lower()
+        if by == "label":
+            return True
+        if by == "property":
+            return bool(rule.get("prop"))
+        if by == "object_label":
+            return bool(rule.get("via"))
+        return False  # unknown 'by' → distributed path raises ValueError
+
+    def _label_pairs(self, members_arr: np.ndarray, rule: dict):
+        """(subject, label-literal-hash) pairs for the rule's source
+        property — mirror of _order_key_frame's lab frame (label rows
+        join the LITERALS dictionary, so IRI-valued 'labels' drop)."""
+        by = (rule.get("by") or "label").lower()
+        memmask = np.isin(self.s, members_arr)
+        if by in ("label", "property"):
+            prop = RDFS_LABEL_IRI if by == "label" else rule.get("prop")
+            ph = self.v2h.get(prop)
+            if ph is None:
+                return []
+            mask = memmask & (self.p == ph)
+            return list(zip(self.s[mask].tolist(), self.o[mask].tolist()))
+        # object_label: members --via--> obj --rdfs:label--> literal
+        via_h = self.v2h.get(rule.get("via"))
+        lab_h = self.v2h.get(RDFS_LABEL_IRI)
+        if via_h is None or lab_h is None:
+            return []
+        vmask = memmask & (self.p == via_h)
+        s_via, objs = self.s[vmask], self.o[vmask]
+        lmask = (self.p == lab_h) & np.isin(self.s, objs)
+        obj2labels: dict = {}
+        for os_, oo_ in zip(self.s[lmask].tolist(), self.o[lmask].tolist()):
+            obj2labels.setdefault(os_, []).append(oo_)
+        pairs = []
+        for sv, ob in zip(s_via.tolist(), objs.tolist()):
+            for lh in obj2labels.get(ob, ()):
+                pairs.append((sv, lh))
+        return pairs
+
+    def _order_keys(self, members_arr: np.ndarray, rule: dict) -> dict:
+        """subject → (sort_label, num_prefix|None), best label per the
+        language-rank rule (mirror of _order_key_frame)."""
+        langs = rule.get("lang") or ["de", "en"]
+        mode = (rule.get("mode") or "lex").lower()
+        clean = rule.get("clean") or {"trim": True, "lower": mode == "lex"}
+        natural = bool(rule.get("natural", False))
+        c = clean or {}
+
+        best: dict[int, tuple] = {}
+        for s_, lh in self._label_pairs(members_arr, rule):
+            if lh not in self.is_lit:
+                continue
+            lbl = self.h2v.get(lh)
+            if lbl is None:
+                continue
+            rank = len(langs) + 2
+            for i, lg in enumerate(langs):
+                if lbl.endswith(f'"@{lg}'):
+                    rank = i + 1
+                    break
+            else:
+                if not _LANG_TAG_RE.search(lbl):
+                    rank = len(langs) + 1
+            m = _RAW_TEXT_RE.search(lbl)
+            expr = m.group(1) if m else ""
+            if c.get("remove_quotes", False):
+                expr = re.sub('^"|"$', "", expr)
+            if c.get("collapse_space", False):
+                expr = re.sub(_JAVA_WS, " ", expr)
+            if c.get("strip_punct", False):
+                expr = re.sub("^[^0-9A-Za-z]+", "", expr)
+            if c.get("trim", True):
+                # Spark's trim removes ASCII 0x20 only
+                expr = expr.strip(" ")
+            if mode == "lex" and c.get("lower", True):
+                expr = expr.lower()
+            key = (rank, expr)
+            prev = best.get(s_)
+            if prev is None or key < prev:
+                best[s_] = key
+        out = {}
+        for s_, (_, lbl) in best.items():
+            npfx = None
+            if natural:
+                m = _NUM_PREFIX_RE.match(lbl)
+                if m:
+                    v = int(m.group(1))
+                    npfx = v if v <= _LONG_MAX else None  # try_cast overflow
+            out[s_] = (lbl, npfx)
+        return out
+
+    def _ordered_page(self, values: list, rule: dict, size: int, start: int):
+        """values: [(s, s_value)] → ordered page slice (mirror of
+        page()'s order_cols: null_key, [num-prefix keys], sort_label
+        with direction, s_value tiebreak)."""
+        direction = (rule.get("dir") or "asc").lower()
+        nulls = (rule.get("nulls") or "last").lower()
+        natural = bool(rule.get("natural", False))
+        members_arr = np.array(sorted(s for s, _ in values), dtype=np.int64)
+        keys = self._order_keys(members_arr, rule)
+        desc = direction == "desc"
+
+        rows = []
+        for s_, v_ in values:
+            k = keys.get(s_)
+            if k is None:
+                nk = -1 if nulls == "first" else 1
+                rows.append((nk, True, 0, None, v_, s_))
+            else:
+                lbl, npfx = k
+                rows.append((0, npfx is None, npfx or 0, lbl, v_, s_))
+
+        def cmp(a, b):
+            if a[0] != b[0]:
+                return -1 if a[0] < b[0] else 1
+            if natural:
+                if a[1] != b[1]:
+                    return -1 if a[1] < b[1] else 1
+                if not a[1] and a[2] != b[2]:
+                    lt = a[2] < b[2]
+                    if desc:
+                        lt = not lt
+                    return -1 if lt else 1
+            la, lb = a[3], b[3]
+            if la is not None and lb is not None and la != lb:
+                lt = la < lb
+                if desc:
+                    lt = not lt
+                return -1 if lt else 1
+            if a[4] != b[4]:
+                return -1 if a[4] < b[4] else 1
+            return 0
+
+        rows.sort(key=cmp_to_key(cmp))
+        return [(r[5], r[4]) for r in rows[start : start + size]]
+
+    # ---- the query() mirror -------------------------------------------
+
+    def try_query(self, engine, opts: dict, fts_max_rows: int) -> dict | None:
+        """Serve the full reference query() response driver-side, or
+        return None when any part needs the distributed path (mirror of
+        plans/query.Engine._query_impl)."""
+        size, start = _parse_size_start(opts)
+        order_rules = _normalize_order_rules(opts.get("order"))
+        if order_rules and not self._order_supported(order_rules[0]):
+            return None
+        r = self._members(engine, opts, fts_max_rows)
+        if r is _BAIL:
+            return None
+        members, scores = r
+
+        if members is not None:
+            # mirror of the fast page's terms join: subjects missing
+            # from the dictionary drop from values AND from total (the
+            # dictionary-completeness invariant makes this moot for any
+            # graph the engine itself built)
+            values = [
+                (s_, v_)
+                for s_ in members
+                if (v_ := self.h2v.get(s_)) is not None
+            ]
+            total = len(values)
+        else:
+            values = []
+            total = 0
+
+        aggregates = {}
+        fused_aggs = [
+            agg
+            for agg in opts.get("aggregates", [])
+            if members is not None or agg in ("properties", "graphs")
+        ]
+        if fused_aggs:
+            marr = (
+                np.array(sorted(s for s, _ in values), dtype=np.int64)
+                if members is not None
+                else None
+            )
+            aggregates = self._facets(marr, fused_aggs)
+
+        results: dict = {}
+        if members is not None and size > 0:
+            if order_rules:
+                page_vals = self._ordered_page(values, order_rules[0], size, start)
+            elif scores is not None:
+                rows = [(s_, v_, scores.get(s_)) for s_, v_ in values]
+                rows.sort(
+                    key=lambda t: (t[2] is None, -(t[2] or 0.0), t[1])
+                )
+                page_vals = [(s_, v_) for s_, v_, _ in rows[start : start + size]]
+            else:
+                values.sort(key=lambda t: t[1])
+                page_vals = values[start : start + size]
+
+            page_hashes = [s_ for s_, _ in page_vals]
+            hash_to_val = dict(page_vals)
+            if page_hashes:
+                mask = np.isin(self.s, np.array(page_hashes, dtype=np.int64))
+                only_p = opts.get("only_properties") or []
+                excl_p = opts.get("exclude_properties") or []
+                if only_p:
+                    mask &= np.isin(self.p, self._hashes(list(only_p)))
+                elif excl_p:
+                    hs = self._hashes(list(excl_p))
+                    if hs.size:
+                        mask &= ~np.isin(self.p, hs)
+                idx = np.flatnonzero(mask)
+                pos = {h: i for i, h in enumerate(page_hashes)}
+                ordered_idx = sorted(idx.tolist(), key=lambda i: pos[int(self.s[i])])
+                for i in ordered_idx:
+                    sv = hash_to_val[int(self.s[i])]
+                    p_val = self.h2v.get(int(self.p[i]))
+                    o_val = self.h2v.get(int(self.o[i]))
+                    if p_val is None or o_val is None:
+                        continue
+                    g_val = self.h2v.get(int(self.g[i]))
+                    ent = results.setdefault(sv, {"id": sv, "graph": []})
+                    ent.setdefault(p_val, [])
+                    if o_val not in ent[p_val]:
+                        ent[p_val].append(o_val)
+                    if g_val and g_val not in ent["graph"]:
+                        ent["graph"].append(g_val)
+                # paths chains: reuse the engine's driver-local walk
+                # (zero jobs once the hierarchy map is built); larger
+                # hierarchies fall back to the distributed walk exactly
+                # like _query_impl
+                for pad in opts.get("paths", []):
+                    lmap = engine._paths_edges_map(str(pad))
+                    lrows = (
+                        engine._paths_local_rows(lmap, page_hashes)
+                        if lmap is not None
+                        else None
+                    )
+                    if lrows is not None:
+                        pcol = [
+                            {"src": s_, "pos": p_, "ancestor": a_}
+                            for s_, p_, a_ in lrows
+                        ]
+                    else:
+                        from pyspark.sql import functions as F  # noqa: F401
+
+                        subj_df = engine.graph.spark.createDataFrame(
+                            [(h,) for h in page_hashes], "s long"
+                        )
+                        pcol = engine.paths(subj_df, str(pad)).collect()
+                    av = {}
+                    for r_ in pcol:
+                        h_ = r_["ancestor"]
+                        v_ = self.h2v.get(h_)
+                        if v_ is not None:
+                            av[h_] = v_
+                    chains: dict = {}
+                    for r_ in pcol:
+                        a_val = av.get(r_["ancestor"])
+                        if a_val is not None:
+                            chains.setdefault(r_["src"], []).append(
+                                (r_["pos"], a_val)
+                            )
+                    for h_, chain in chains.items():
+                        sv = hash_to_val.get(h_)
+                        if sv is None:
+                            continue
+                        ordered = [v for _, v in sorted(chain)]
+                        results.setdefault(sv, {"id": sv, "graph": []}).setdefault(
+                            "_paths", {}
+                        )[pad] = ordered
+
+        self.queries_served += 1
+        back = {"results": results, "total": total, "size": size, "start": start}
+        if aggregates:
+            back["aggregates"] = aggregates
+        return back
+
+
+def build_local_tier(engine, max_rows: int) -> LocalTier | None:
+    """Collect the graph into a LocalTier, or None when over-cap.
+
+    The probe is bounded (``limit(cap+1).count()``), so calling this on
+    an arbitrarily large store costs one cheap partial-scan job."""
+    t = engine.graph.triples
+    if t.limit(max_rows + 1).count() > max_rows:
+        return None
+    pdf = t.select("s", "p", "o", "g").toPandas()
+    terms = engine.graph.terms.select("hash", "value", "is_literal").toPandas()
+    hashes = terms["hash"].tolist()
+    vals = terms["value"].tolist()
+    h2v = dict(zip(hashes, vals))
+    v2h = dict(zip(vals, hashes))
+    is_lit = {h for h, il in zip(hashes, terms["is_literal"].tolist()) if il}
+    return LocalTier(
+        pdf["s"].to_numpy(dtype=np.int64),
+        pdf["p"].to_numpy(dtype=np.int64),
+        pdf["o"].to_numpy(dtype=np.int64),
+        pdf["g"].to_numpy(dtype=np.int64),
+        h2v,
+        v2h,
+        is_lit,
+    )

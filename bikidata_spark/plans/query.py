@@ -73,6 +73,19 @@ _LOCAL_PATHS_SUBJECTS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_SUBJECTS"
 # the distributed walk (which spreads the same blowup over executors)
 # takes over
 _LOCAL_PATHS_MAX_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_MAX_ROWS", "2000000"))
+# quad count under which query() serves from a driver-resident mirror
+# of the store with ZERO Spark jobs per request (plans/local_tier.py —
+# the logical conclusion of the capped fast-path family: at the
+# measured ~70-120 ms/job scheduler floor, sub-100 ms point serving
+# cannot cross the job scheduler at all). 4M quads ≈ 128 MB of int64
+# columns + the term dictionary; 0 disables. Over-cap graphs pay one
+# bounded limit(cap+1).count() probe per generation and stay on the
+# distributed path.
+_LOCAL_TIER_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_ROWS", "4000000"))
+# postings-row cap for the tier's driver-side FTS mirror (lazily built
+# per FtsIndex; over-cap indexes leave fts filters on the distributed
+# term-at-a-time path)
+_LOCAL_TIER_FTS_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_FTS_ROWS", "8000000"))
 
 
 # Session-global state that must be keyed by the SESSION, not the
@@ -207,6 +220,15 @@ class Engine:
     # swap (the key is only the filter spec, so a stale insert would be
     # served until TTL). _cache_put drops inserts from older generations.
     _graph_generation: int = field(default=0, repr=False)
+    # driver-resident point-query tier (plans/local_tier.py): built once
+    # per generation for graphs under `local_tier_rows` quads, serves
+    # query() with zero Spark jobs. 0 disables (tests pinning
+    # distributed plan shapes set this).
+    local_tier_rows: int = field(default=_LOCAL_TIER_ROWS)
+    local_tier_fts_rows: int = field(default=_LOCAL_TIER_FTS_ROWS)
+    # (generation, LocalTier | None) — None value = measured over-cap
+    _local_tier_state: tuple | None = field(default=None, repr=False)
+    _local_tier_lock: object = field(default_factory=threading.Lock, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -244,6 +266,7 @@ class Engine:
                     pass
             self._paths_edge_cache = {}
             self._paths_edge_maps = {}
+            self._local_tier_state = None
 
     # ---- indexes -------------------------------------------------------
     @property
@@ -814,7 +837,20 @@ class Engine:
                 "hits": self._subject_cache_hits,
                 "misses": self._subject_cache_misses,
                 "semantic_fallback_scans": self._semantic_fallback_scans,
+                "local_tier": self._local_tier_stats(),
             }
+
+    def _local_tier_stats(self) -> dict:
+        st = self._local_tier_state
+        if st is None or st[0] != self._graph_generation:
+            return {"state": "unbuilt"}
+        if st[1] is None:
+            return {"state": "over_cap"}
+        return {
+            "state": "active",
+            "quads": st[1].nrows,
+            "queries_served": st[1].queries_served,
+        }
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:
         """Combine filter subject sets with SQL set-operator PRECEDENCE,
@@ -1705,10 +1741,43 @@ class Engine:
         )
 
     # ---- full query (reference-shaped result) -------------------------
+    def _local_tier(self):
+        """The driver-resident mirror for this generation, or None
+        (disabled / over-cap). Built under a lock so concurrent serving
+        threads pay the one-time collect once."""
+        if self.local_tier_rows <= 0:
+            return None
+        gen = self._graph_generation
+        st = self._local_tier_state
+        if st is not None and st[0] == gen:
+            return st[1]
+        with self._local_tier_lock:
+            st = self._local_tier_state
+            if st is not None and st[0] == gen:
+                return st[1]
+            from .local_tier import build_local_tier
+
+            tier = build_local_tier(self, self.local_tier_rows)
+            self._local_tier_state = (gen, tier)
+            return tier
+
     def query(self, opts: dict) -> dict:
         """Reference-compatible entry point (query.py:620-886): returns
         {results: {iri: {prop: [vals]}}, total, size, start, aggregates}.
-        Only page-sized data is collected."""
+        Only page-sized data is collected.
+
+        Graphs under ``local_tier_rows`` quads serve from the
+        driver-resident tier (zero Spark jobs per request,
+        plans/local_tier.py); the tier returns None for any construct
+        it does not mirror (regex/semantic filters, over-cap FTS
+        indexes) and the distributed plan below remains the single
+        source of truth — every tier response shape is
+        differential-tested against it (tests/test_local_tier.py)."""
+        tier = self._local_tier()
+        if tier is not None:
+            back = tier.try_query(self, opts, self.local_tier_fts_rows)
+            if back is not None:
+                return back
         try:
             return self._query_impl(opts)
         finally:

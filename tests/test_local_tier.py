@@ -1,0 +1,258 @@
+"""Differential tests: the driver-resident point-query tier
+(plans/local_tier.py) must return BYTE-IDENTICAL responses to the
+distributed query() path over the full option space it claims to
+mirror — filters (plain/multi-object/graph/id/sample/fts/hops),
+set-operator precedence, paging, sort-api ordering, facets, hydration
+projection, and paths chains.
+
+The tier engages automatically for cap-sized graphs, so the reference
+parity suite and every existing query()-driven test also run through
+it; this file pins the tier AGAINST the distributed path directly (two
+engines over the same graph, one with the tier disabled) plus the
+tier's cap/bail/invalidation machinery.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _mk_quads():
+    """A graph with the pathologies the tier must mirror: multilingual
+    labels (@de/@en/@fr/untagged), missing labels, numeric prefixes
+    (natural sort), datatyped literals, several named graphs, text for
+    fts, a broader-hierarchy for paths, and a via-property for
+    object_label ordering."""
+    rng = random.Random(421)
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    quads = []
+    cats = [f"<cat/{i}>" for i in range(6)]
+    for i, c in enumerate(cats):
+        quads.append((c, label, f'"Category {i}"@en', ""))
+        if i > 0:
+            quads.append((c, "<p/broader>", cats[(i - 1) // 2], ""))
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+    for i in range(300):
+        e = f"<e/{i}>"
+        g = "" if i % 3 == 0 else f"<g/{i % 3}>"
+        quads.append((e, "<p/type>", f"<t/{i % 4}>", g))
+        quads.append((e, "<p/cat>", cats[i % 6], g))
+        if i % 7 != 0:  # some entities have no label at all
+            lang = ["", "@de", "@en", "@fr"][i % 4]
+            pfx = f"{i * 3 % 50} " if i % 5 == 0 else ""
+            quads.append((e, label, f'"{pfx}Entity {i:03d}"{lang}', g))
+        if i % 2 == 0:
+            txt = " ".join(rng.sample(words, 3))
+            quads.append((e, "<p/desc>", f'"{txt} item {i}"', g))
+        if i % 11 == 0:
+            quads.append((e, "<p/num>", f'"{i}"^^<http://www.w3.org/2001/XMLSchema#integer>', g))
+        quads.append((e, "<p/peer>", f"<e/{(i + 13) % 300}>", g))
+    return quads
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    """(tier-backed engine, distributed-only engine) over ONE graph."""
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(
+        _mk_quads(), "s string, p string, o string, g string"
+    )
+    graph = from_string_quads(quads).cache()
+    graph.triples.count()
+    tiered = Engine(graph)
+    plain = Engine(graph, local_tier_rows=0)
+    assert tiered._local_tier() is not None
+    assert plain._local_tier() is None
+    return tiered, plain
+
+
+BATTERY = [
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}]},
+    {"filters": [{"p": "<p/type>", "o": "<t/1> <t/2>"}]},  # multi-object
+    {"filters": [{"p": "<p/type>", "o": "<t/1>", "g": "<g/1>"}]},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>", "g": "<g/1> <g/2>"}]},
+    {"filters": [{"p": "<p/cat>"}]},  # property presence, no object
+    {"filters": [{"p": "", "o": "<cat/2>"}]},  # object-only
+    {"filters": [{"p": "id", "o": "<e/5> <e/6> <e/7>"}]},
+    {"filters": [{"p": "id", "o": "sample 5"}]},
+    {"filters": [{"p": "id", "o": "random 3"}]},
+    {"filters": [{"p": "<p/peer> 2", "o": "<e/20>"}]},  # 2-hop walk
+    {"filters": [{"p": "fts", "o": "alpha beta"}]},
+    {"filters": [{"p": "fts 1", "o": "gamma"}]},
+    {"filters": [{"p": "fts <p/desc>", "o": "omega"}]},
+    {"filters": [{"p": "fts", "o": "nosuchtoken"}]},
+    {  # group/except precedence: A or (B and C), minus D
+        "filters": [
+            {"p": "<p/type>", "o": "<t/0>"},
+            {"p": "<p/type>", "o": "<t/1>", "op": "should"},
+            {"p": "<p/cat>", "o": "<cat/1>", "op": "must"},
+            {"p": "<p/cat>", "o": "<cat/3>", "op": "not"},
+        ]
+    },
+    {
+        "filters": [
+            {"p": "fts", "o": "alpha"},
+            {"p": "<p/type>", "o": "<t/0>", "op": "must"},
+        ]
+    },
+    {"filters": [{"p": "<p/type>", "o": "<t/9>"}]},  # empty result
+    {"filters": [{"p": "<nosuch>", "o": "<t/1>"}]},  # absent property
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 7, "start": 3},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 0,
+     "aggregates": ["<p/cat>", "properties", "graphs"]},
+    {"aggregates": ["properties", "graphs"]},  # no filters at all
+    {"filters": [{"p": "<p/cat>", "o": "<cat/1>"}],
+     "aggregates": ["<p/type>", "<nosuch>"]},
+    {"filters": [{"p": "<p/type>", "o": "<t/2>"}],
+     "only_properties": ["<p/cat>", "<p/type>"]},
+    {"filters": [{"p": "<p/type>", "o": "<t/2>"}],
+     "exclude_properties": ["<p/peer>", "<p/desc>"]},
+    {"filters": [{"p": "<p/cat>", "o": "<cat/2>"}], "paths": ["<p/broader>"]},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 10,
+     "order": {"by": "label"}},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 10,
+     "order": {"by": "label", "dir": "desc"}},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 400,
+     "order": {"by": "label", "nulls": "first"}},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 400,
+     "order": {"by": "label", "natural": True, "lang": ["en", "de"]}},
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 20,
+     "order": {"by": "label", "mode": "raw", "clean": {"strip_punct": True,
+                                                       "collapse_space": True}}},
+    {"filters": [{"p": "<p/type>", "o": "<t/3>"}], "size": 15,
+     "order": {"by": "property", "prop": "<p/num>"}},
+    {"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 15,
+     "order": {"by": "object_label", "via": "<p/cat>"}},
+    {"filters": [{"p": "fts", "o": "alpha"}], "size": 25},  # score order
+    {"filters": [{"p": "fts", "o": "beta gamma"}], "size": 25, "start": 5},
+]
+
+
+@pytest.mark.parametrize("opts", BATTERY, ids=[f"b{i}" for i in range(len(BATTERY))])
+def test_tier_matches_distributed(pair, opts):
+    tiered, plain = pair
+    served_before = tiered._local_tier().queries_served
+    ours = tiered.query(dict(opts))
+    theirs = plain.query({**opts, "use_cache": False})
+    assert tiered._local_tier().queries_served == served_before + 1
+    assert ours == theirs
+
+
+def test_fuzzed_filter_chains(pair):
+    """Seeded random boolean chains over the filter algebra: the
+    group/except precedence parse must agree between the tier and the
+    tagged-aggregation distributed plan."""
+    tiered, plain = pair
+    rng = random.Random(77)
+    pool = [
+        {"p": "<p/type>", "o": "<t/0>"},
+        {"p": "<p/type>", "o": "<t/1> <t/3>"},
+        {"p": "<p/cat>", "o": "<cat/1>"},
+        {"p": "<p/cat>", "o": "<cat/2>", "g": "<g/1>"},
+        {"p": "", "o": "<cat/4>"},
+        {"p": "fts", "o": "delta"},
+        {"p": "<p/peer>", "o": "<e/40>"},
+    ]
+    for _ in range(25):
+        k = rng.randint(1, 4)
+        filters = []
+        for j in range(k):
+            f = dict(rng.choice(pool))
+            if j > 0:
+                f["op"] = rng.choice(["should", "must", "not"])
+            filters.append(f)
+        opts = {"filters": filters, "size": 30}
+        ours = tiered.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"mismatch for {filters}"
+
+
+def test_tier_serves_with_zero_spark_jobs(pair):
+    tiered, _ = pair
+    spark = tiered.graph.spark
+    tiered.query({"filters": [{"p": "<p/type>", "o": "<t/2>"}]})  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("tier-zero-jobs", "tier probe")
+    try:
+        tiered.query(
+            {
+                "filters": [{"p": "<p/type>", "o": "<t/1>"}],
+                "aggregates": ["<p/cat>"],
+                "order": {"by": "label"},
+                "size": 10,
+            }
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("tier-zero-jobs")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []
+
+
+def test_tier_bails_to_distributed_for_regex_and_semantic(pair):
+    tiered, plain = pair
+    opts = {"filters": [{"p": "regex", "o": ".*Entity 00.*"}], "size": 5}
+    ours = tiered.query(dict(opts))
+    theirs = plain.query({**opts, "use_cache": False})
+    assert ours == theirs
+    assert ours["total"] > 0
+
+
+def test_cap_gates_the_tier(spark):
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<p>", f'"v{i}"', "") for i in range(50)],
+        "s string, p string, o string, g string",
+    )
+    g = from_string_quads(quads).cache()
+    eng = Engine(g, local_tier_rows=10)  # 50 quads > cap
+    assert eng._local_tier() is None
+    assert eng.cache_stats()["local_tier"]["state"] == "over_cap"
+    back = eng.query({"filters": [{"p": "<p>", "o": '"v7"'}]})
+    assert back["total"] == 1
+
+
+def test_generation_invalidation(spark):
+    """replace_graph must drop the mirror: post-mutation queries see
+    the new graph."""
+    from bikidata_spark import Engine, from_string_quads
+
+    def mk(n):
+        quads = spark.createDataFrame(
+            [(f"<e/{i}>", "<p>", '"v"', "") for i in range(n)],
+            "s string, p string, o string, g string",
+        )
+        return from_string_quads(quads).cache()
+
+    eng = Engine(mk(5))
+    assert eng.query({"filters": [{"p": "<p>", "o": '"v"'}]})["total"] == 5
+    assert eng.cache_stats()["local_tier"]["state"] == "active"
+    eng.replace_graph(mk(9))
+    assert eng.cache_stats()["local_tier"]["state"] == "unbuilt"
+    assert eng.query({"filters": [{"p": "<p>", "o": '"v"'}]})["total"] == 9
+
+
+def test_sf_corpus_differential(spark, engine):
+    """The same battery's core shapes over the sf0.001 TPC-H
+    triplization (realistic IRIs/literals, the corpus every other test
+    queries)."""
+    from bikidata_spark import Engine
+
+    assert engine._local_tier() is not None  # sf0.001 fits the cap
+    plain = Engine(engine.graph, embeddings=engine.embeddings, local_tier_rows=0)
+    shapes = [
+        {"filters": [{"p": "<p/region>", "o": "<e/region/1>"}], "size": 12,
+         "aggregates": ["<p/region>"]},
+        {"filters": [{"p": "fts", "o": "customer"}], "size": 10},
+        {"filters": [{"p": "<p/nation> 1", "o": "<e/nation/7>"}], "size": 8},
+        {"filters": [{"p": "id", "o": "sample 4"}]},
+        {"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}], "size": 9,
+         "order": {"by": "label", "natural": True}},
+    ]
+    for opts in shapes:
+        ours = engine.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"mismatch for {opts}"

@@ -578,7 +578,12 @@ def test_fused_facets_match_per_facet(engine):
 
 def test_fused_facets_single_job(engine):
     """k facets cost ONE job (plus any broadcast-exchange jobs), not k:
-    the fused tagged aggregation is the point of _facets_fused."""
+    the fused tagged aggregation is the point of _facets_fused. Pins
+    the DISTRIBUTED plan shape, so the local tier (which serves this
+    query with zero jobs outright) is disabled."""
+    from bikidata_spark import Engine
+
+    engine = Engine(engine.graph, local_tier_rows=0)
     sc = engine.graph.spark.sparkContext
     tracker = sc.statusTracker()
     opts = {

@@ -227,4 +227,13 @@ def test_status_endpoint(serving):
     assert s1["errors"] == 0
     assert s1["uptime_s"] >= s0["uptime_s"]
     sc = s1["subject_cache"]
-    assert sc["entries"] >= 1 and sc["misses"] >= 1 and sc["max"] == 32
+    assert sc["max"] == 32
+    tier = sc["local_tier"]
+    if tier["state"] == "active":
+        # cap-sized graph: queries served driver-side by the local
+        # tier, which bypasses the persisted subject-set cache (the
+        # counter restarts with the post-insert generation's tier, and
+        # the serving-layer result cache absorbed the repeat query)
+        assert tier["queries_served"] >= 1
+    else:
+        assert sc["entries"] >= 1 and sc["misses"] >= 1
