@@ -147,6 +147,17 @@ class _LocalFts:
         return k[starts][full], sums[full]
 
 
+def _range_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Concatenated [lo_i, hi_i) ranges as one index array."""
+    counts = hi - lo
+    nz = counts > 0
+    lo, counts = lo[nz], counts[nz]
+    if lo.size == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(np.cumsum(counts) - counts, counts)
+    return np.arange(counts.sum(), dtype=np.int64) - offs + np.repeat(lo, counts)
+
+
 class LocalTier:
     """One graph generation's driver-resident mirror."""
 
@@ -159,12 +170,42 @@ class LocalTier:
         self.v2h = value_to_hash
         self.is_lit = literal_hashes
         self.nrows = int(s.size)
+        # sorted row indexes over s and o: membership tests against a
+        # key set then cost O(k log n + hits) via searchsorted instead
+        # of np.isin's per-call O(n log n) re-sort of the whole column
+        # (measured 10x off the walk- and facet-heavy tier queries)
+        self._s_order = np.argsort(s, kind="stable")
+        self._s_sorted = s[self._s_order]
+        self._o_order = np.argsort(o, kind="stable")
+        self._o_sorted = o[self._o_order]
+        # full-corpus subject → (sort_label, num_prefix) maps, keyed by
+        # the order-rule signature (the tier twin of the engine's
+        # persisted _order_keys_cached sort index), built once per rule
+        self._order_key_maps: dict = {}
+        self._order_lock = threading.Lock()
         # lazily-built _LocalFts keyed by the engine's FtsIndex object
         # identity (a load_fts/replace swaps the object); None value =
         # measured too big, stay distributed for fts filters
         self._fts_state: tuple | None = None
         self._fts_lock = threading.Lock()
         self.queries_served = 0
+
+    def _rows_mask(self, sorted_col, order, keys: np.ndarray) -> np.ndarray:
+        """Boolean row mask: column value ∈ keys (sorted-index probe)."""
+        mask = np.zeros(self.nrows, dtype=bool)
+        if keys.size == 0:
+            return mask
+        keys = np.unique(keys)
+        lo = np.searchsorted(sorted_col, keys, "left")
+        hi = np.searchsorted(sorted_col, keys, "right")
+        mask[order[_range_indices(lo, hi)]] = True
+        return mask
+
+    def _s_in(self, keys: np.ndarray) -> np.ndarray:
+        return self._rows_mask(self._s_sorted, self._s_order, keys)
+
+    def _o_in(self, keys: np.ndarray) -> np.ndarray:
+        return self._rows_mask(self._o_sorted, self._o_order, keys)
 
     # ---- small helpers -------------------------------------------------
 
@@ -188,7 +229,7 @@ class LocalTier:
         """n-hop parents walk, deduplicated (plans/query._walk_up)."""
         front = subjects
         for _ in range(hops):
-            mask = np.isin(self.o, front)
+            mask = self._o_in(front)
             front = np.unique(self.s[mask])
         return front
 
@@ -198,7 +239,7 @@ class LocalTier:
         single final max over all walked rows)."""
         cur_s, cur_sc = s0, sc0
         for _ in range(hops):
-            mask = np.isin(self.o, cur_s)
+            mask = self._o_in(cur_s)
             oo, ss = self.o[mask], self.s[mask]
             if oo.size == 0:
                 return _EMPTY, np.empty(0, dtype=np.float64)
@@ -290,7 +331,7 @@ class LocalTier:
                 return np.array(sorted(h for _, _, h in keyed[:n]), dtype=np.int64), None
             terms = o.split(" ") if " " in o and o.startswith("<") else [o]
             hs = self._hashes(terms)
-            mask = self._and(np.isin(self.s, hs), gmask)
+            mask = self._and(self._s_in(hs), gmask)
             return np.unique(self.s[mask]), None
 
         if p_head in ("semantic", "regex"):
@@ -301,7 +342,7 @@ class LocalTier:
             if lf is None:
                 return _BAIL
             lits, lscores = lf.match(o)
-            mask = np.isin(self.o, lits)
+            mask = self._o_in(lits)
             if p_prop:
                 ph = self.v2h.get(p_prop)
                 mask = mask & (self.p == ph) if ph is not None else np.zeros(self.nrows, bool)
@@ -322,7 +363,7 @@ class LocalTier:
             mask = self.p == ph
             if o:
                 terms = o.split(" ") if (o.startswith("<") and " " in o) else [o]
-                mask = mask & np.isin(self.o, self._hashes(terms))
+                mask = mask & self._o_in(self._hashes(terms))
             mask = self._and(mask, gmask)
             return self._walk(np.unique(self.s[mask]), hops), None
 
@@ -381,9 +422,7 @@ class LocalTier:
     # ---- facets (mirror of _facets_fused) ------------------------------
 
     def _facets(self, members_arr: np.ndarray | None, aggs: list[str]) -> dict:
-        memmask = (
-            np.isin(self.s, members_arr) if members_arr is not None else None
-        )
+        memmask = self._s_in(members_arr) if members_arr is not None else None
 
         def _counts(keys: np.ndarray):
             vals, counts = np.unique(keys, return_counts=True)
@@ -426,27 +465,33 @@ class LocalTier:
             return bool(rule.get("via"))
         return False  # unknown 'by' → distributed path raises ValueError
 
-    def _label_pairs(self, members_arr: np.ndarray, rule: dict):
+    def _label_pairs(self, members_arr: np.ndarray | None, rule: dict):
         """(subject, label-literal-hash) pairs for the rule's source
         property — mirror of _order_key_frame's lab frame (label rows
-        join the LITERALS dictionary, so IRI-valued 'labels' drop)."""
+        join the LITERALS dictionary, so IRI-valued 'labels' drop).
+        ``members_arr=None`` covers every subject (the full-corpus
+        shape the order-key map caches, like _order_keys_cached)."""
         by = (rule.get("by") or "label").lower()
-        memmask = np.isin(self.s, members_arr)
+        memmask = self._s_in(members_arr) if members_arr is not None else None
         if by in ("label", "property"):
             prop = RDFS_LABEL_IRI if by == "label" else rule.get("prop")
             ph = self.v2h.get(prop)
             if ph is None:
                 return []
-            mask = memmask & (self.p == ph)
+            mask = self.p == ph
+            if memmask is not None:
+                mask &= memmask
             return list(zip(self.s[mask].tolist(), self.o[mask].tolist()))
         # object_label: members --via--> obj --rdfs:label--> literal
         via_h = self.v2h.get(rule.get("via"))
         lab_h = self.v2h.get(RDFS_LABEL_IRI)
         if via_h is None or lab_h is None:
             return []
-        vmask = memmask & (self.p == via_h)
+        vmask = self.p == via_h
+        if memmask is not None:
+            vmask &= memmask
         s_via, objs = self.s[vmask], self.o[vmask]
-        lmask = (self.p == lab_h) & np.isin(self.s, objs)
+        lmask = (self.p == lab_h) & self._s_in(objs)
         obj2labels: dict = {}
         for os_, oo_ in zip(self.s[lmask].tolist(), self.o[lmask].tolist()):
             obj2labels.setdefault(os_, []).append(oo_)
@@ -456,7 +501,35 @@ class LocalTier:
                 pairs.append((sv, lh))
         return pairs
 
-    def _order_keys(self, members_arr: np.ndarray, rule: dict) -> dict:
+    def _order_keys_cached(self, rule: dict) -> dict:
+        """Full-corpus subject → (sort_label, num_prefix) map for the
+        rule, built once per rule signature — the tier twin of the
+        engine's persisted ``_order_keys_cached`` sort index (dir/nulls
+        are page-sort-time concerns and share one map)."""
+        import json
+
+        sig_src = {
+            k: rule.get(k)
+            for k in ("by", "prop", "via", "lang", "mode", "clean", "natural")
+            if rule.get(k) is not None
+        }
+        try:
+            sig = json.dumps(sig_src, sort_keys=True)
+        except (TypeError, ValueError):
+            return self._order_keys(None, rule)  # uncacheable payload
+        keys = self._order_key_maps.get(sig)
+        if keys is not None:
+            return keys
+        with self._order_lock:
+            keys = self._order_key_maps.get(sig)
+            if keys is None:
+                keys = self._order_keys(None, rule)
+                while len(self._order_key_maps) >= 8:
+                    self._order_key_maps.pop(next(iter(self._order_key_maps)))
+                self._order_key_maps[sig] = keys
+            return keys
+
+    def _order_keys(self, members_arr: np.ndarray | None, rule: dict) -> dict:
         """subject → (sort_label, num_prefix|None), best label per the
         language-rank rule (mirror of _order_key_frame)."""
         langs = rule.get("lang") or ["de", "en"]
@@ -515,8 +588,7 @@ class LocalTier:
         direction = (rule.get("dir") or "asc").lower()
         nulls = (rule.get("nulls") or "last").lower()
         natural = bool(rule.get("natural", False))
-        members_arr = np.array(sorted(s for s, _ in values), dtype=np.int64)
-        keys = self._order_keys(members_arr, rule)
+        keys = self._order_keys_cached(rule)
         desc = direction == "desc"
 
         rows = []
@@ -529,28 +601,32 @@ class LocalTier:
                 lbl, npfx = k
                 rows.append((0, npfx is None, npfx or 0, lbl, v_, s_))
 
-        def cmp(a, b):
-            if a[0] != b[0]:
-                return -1 if a[0] < b[0] else 1
+        if not desc:
+            # ascending: one tuple-key sort (labels within the
+            # null-key=1 group are all None → "" ties → s_value break,
+            # identical to the comparator's behavior)
             if natural:
-                if a[1] != b[1]:
-                    return -1 if a[1] < b[1] else 1
-                if not a[1] and a[2] != b[2]:
-                    lt = a[2] < b[2]
-                    if desc:
-                        lt = not lt
-                    return -1 if lt else 1
-            la, lb = a[3], b[3]
-            if la is not None and lb is not None and la != lb:
-                lt = la < lb
-                if desc:
-                    lt = not lt
-                return -1 if lt else 1
-            if a[4] != b[4]:
-                return -1 if a[4] < b[4] else 1
-            return 0
+                rows.sort(key=lambda r: (r[0], r[1], r[2], r[3] or "", r[4]))
+            else:
+                rows.sort(key=lambda r: (r[0], r[3] or "", r[4]))
+        else:
 
-        rows.sort(key=cmp_to_key(cmp))
+            def cmp(a, b):
+                if a[0] != b[0]:
+                    return -1 if a[0] < b[0] else 1
+                if natural:
+                    if a[1] != b[1]:
+                        return -1 if a[1] < b[1] else 1
+                    if not a[1] and a[2] != b[2]:
+                        return -1 if a[2] > b[2] else 1
+                la, lb = a[3], b[3]
+                if la is not None and lb is not None and la != lb:
+                    return -1 if la > lb else 1
+                if a[4] != b[4]:
+                    return -1 if a[4] < b[4] else 1
+                return 0
+
+            rows.sort(key=cmp_to_key(cmp))
         return [(r[5], r[4]) for r in rows[start : start + size]]
 
     # ---- the query() mirror -------------------------------------------
@@ -614,7 +690,7 @@ class LocalTier:
             page_hashes = [s_ for s_, _ in page_vals]
             hash_to_val = dict(page_vals)
             if page_hashes:
-                mask = np.isin(self.s, np.array(page_hashes, dtype=np.int64))
+                mask = self._s_in(np.array(page_hashes, dtype=np.int64))
                 only_p = opts.get("only_properties") or []
                 excl_p = opts.get("exclude_properties") or []
                 if only_p:
