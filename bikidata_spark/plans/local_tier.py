@@ -74,6 +74,13 @@ from .query import (
 # sentinel: the filter (or the whole query) needs the distributed path
 _BAIL = object()
 
+# vector-row cap for the tier's semantic mirror (IVF store or brute
+# embeddings table); over-cap sources leave semantic filters on the
+# distributed cell-pruned path
+_VEC_ROWS = int(
+    __import__("os").environ.get("BIKIDATA_SPARK_LOCAL_TIER_VEC_ROWS", "500000")
+)
+
 _EMPTY = np.empty(0, dtype=np.int64)
 
 # Java's \s (used by the order-key clean step's collapse_space) is the
@@ -147,6 +154,89 @@ class _LocalFts:
         return k[starts][full], sums[full]
 
 
+def _fold_dot(M: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise dot(M[i], q) as the JVM fold computes it: a sequential
+    left fold ((0+x0)+x1)+… per row. np.dot's pairwise/SIMD summation
+    rounds differently; the dimension loop reproduces the distributed
+    ``F.aggregate`` bit-for-bit."""
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for j in range(M.shape[1]):
+        acc = acc + M[:, j] * q[j]
+    return acc
+
+
+def _fold_norm2(M: np.ndarray) -> np.ndarray:
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for j in range(M.shape[1]):
+        x = M[:, j]
+        acc = acc + x * x
+    return acc
+
+
+def _fold_norm2_vec(q: np.ndarray) -> float:
+    acc = 0.0
+    for x in q.tolist():
+        acc = acc + x * x
+    return acc
+
+
+class _LocalSemantic:
+    """Driver-side mirror of the semantic-filter scan sources: either
+    the persisted IVF store's (cell, nid, nv) rows grouped by cell, or
+    the brute (s, vec) embeddings table (plans/query._semantic_filter;
+    reference query.py:166-170)."""
+
+    def __init__(self, kind, dim, s_arr, M, cells=None, cids=None, cent_mat=None, nprobe=None):
+        self.kind = kind  # "ivf" | "brute"
+        self.dim = dim  # dim used for text->vector embedding
+        self.s_arr = s_arr  # brute: all ids; ivf: ids sorted by cell
+        self.M = M  # matching vector matrix
+        self.cells = cells  # ivf: {cell: (row_lo, row_hi)} into s_arr/M
+        self.cids = cids  # ivf: centroid ids (list[int])
+        self.cent_mat = cent_mat  # ivf: (k, d) centroid matrix
+        self.nprobe = nprobe
+
+    def probe_cells(self, q: np.ndarray) -> list:
+        """The nprobe nearest centroid ids — mirror of
+        operators.similarity._nearest_cells: cosine_sim =
+        dot/sqrt(n2a*n2b), sort by (negsim, cid), slice. Spark sorts
+        NaN greater than any double; Python's sort needs the explicit
+        key."""
+        dots = _fold_dot(self.cent_mat, q)
+        n2c = _fold_norm2(self.cent_mat)
+        n2q = _fold_norm2_vec(q)
+        sims = dots / np.sqrt(n2c * n2q)
+        scored = [
+            (math.isnan(-s), -s if not math.isnan(s) else 0.0, cid)
+            for s, cid in zip(sims.tolist(), self.cids)
+        ]
+        scored.sort()
+        return sorted(cid for _, _, cid in scored[: self.nprobe])
+
+    def scan(self, q: np.ndarray):
+        """(ids, distance) for the filter's scan scope — probed cells
+        for ivf, everything for brute. The similarity expression
+        mirrors plans/query._semantic_filter exactly:
+        sim = dot / (sqrt(n2(vec)) * sqrt(n2(qvec)))."""
+        if self.kind == "ivf":
+            parts = [self.cells[c] for c in self.probe_cells(q) if c in self.cells]
+            if not parts:
+                return _EMPTY, np.empty(0, dtype=np.float64)
+            idx = np.concatenate([np.arange(lo, hi) for lo, hi in parts])
+            s_arr, M = self.s_arr[idx], self.M[idx]
+        else:
+            s_arr, M = self.s_arr, self.M
+        if s_arr.size == 0:
+            return _EMPTY, np.empty(0, dtype=np.float64)
+        dots = _fold_dot(M, q)
+        norms = np.sqrt(_fold_norm2(M)) * math.sqrt(_fold_norm2_vec(q))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = dots / norms
+        dist = 1.0 - sim
+        keep = dist < 0.5  # NaN-safe: comparisons with NaN are False
+        return s_arr[keep], dist[keep]
+
+
 def _range_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Concatenated [lo_i, hi_i) ranges as one index array."""
     counts = hi - lo
@@ -188,6 +278,10 @@ class LocalTier:
         # measured too big, stay distributed for fts filters
         self._fts_state: tuple | None = None
         self._fts_lock = threading.Lock()
+        # lazily-built _LocalSemantic keyed by the engine's (ivf,
+        # embeddings) object identities
+        self._sem_state: tuple | None = None
+        self._sem_lock = threading.Lock()
         self.queries_served = 0
 
     def _rows_mask(self, sorted_col, order, keys: np.ndarray) -> np.ndarray:
@@ -290,6 +384,103 @@ class LocalTier:
             tok2rows[toks_s[a]] = (lits[idx], tfs[idx], dls[idx])
         return _LocalFts(tok2rows, index.n_docs, float(index.avgdl), index.stem, index.strip)
 
+    # ---- semantic mirror -----------------------------------------------
+
+    def _local_semantic(self, engine):
+        # identity-keyed (DataFrame __eq__ builds a Column, so no ==)
+        st = self._sem_state
+        if st is not None and st[0] is engine._ivf and st[1] is engine.embeddings:
+            return st[2]
+        with self._sem_lock:
+            st = self._sem_state
+            if (
+                st is not None
+                and st[0] is engine._ivf
+                and st[1] is engine.embeddings
+            ):
+                return st[2]
+            sem = self._build_local_semantic(engine)
+            self._sem_state = (engine._ivf, engine.embeddings, sem)
+            return sem
+
+    @staticmethod
+    def _build_local_semantic(engine):
+        ivf, emb = engine._ivf, engine.embeddings
+        if ivf is None and emb is None:
+            return None
+        # text-query embedding dim mirrors _semantic_filter: from the
+        # embeddings table when present, else the IVF store
+        if emb is not None:
+            first = emb.select("vec").first()
+            if first is None:
+                return None
+            dim = len(first["vec"])
+        if ivf is not None:
+            vectors, cents, nprobe = ivf
+            if vectors.limit(_VEC_ROWS + 1).count() > _VEC_ROWS:
+                return None
+            pdf = vectors.select("cell", "nid", "nv").toPandas()
+            order = np.argsort(pdf["cell"].to_numpy(), kind="stable")
+            cell_arr = pdf["cell"].to_numpy()[order]
+            s_arr = pdf["nid"].to_numpy(dtype=np.int64)[order]
+            M = np.array(pdf["nv"].tolist(), dtype=np.float64)[order]
+            cells = {}
+            if cell_arr.size:
+                bounds = np.flatnonzero(cell_arr[1:] != cell_arr[:-1]) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [cell_arr.size]))
+                for a, b in zip(starts, ends):
+                    cells[int(cell_arr[a])] = (int(a), int(b))
+            crows = sorted(
+                (int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents.collect()
+            )
+            cids = [cid for cid, _ in crows]
+            cent_mat = np.array([cv for _, cv in crows], dtype=np.float64)
+            if emb is None:
+                dim = M.shape[1] if M.size else 0
+            return _LocalSemantic(
+                "ivf", dim, s_arr, M, cells=cells, cids=cids,
+                cent_mat=cent_mat, nprobe=nprobe,
+            )
+        if emb.limit(_VEC_ROWS + 1).count() > _VEC_ROWS:
+            return None
+        pdf = emb.select("s", "vec").toPandas()
+        s_arr = pdf["s"].to_numpy(dtype=np.int64)
+        M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        return _LocalSemantic("brute", dim, s_arr, M)
+
+    def _semantic_members(self, engine, q: dict, o: str, gmask):
+        """Mirror of plans/query._semantic_filter → (subjects, scores)."""
+        if engine._ivf is None and engine.embeddings is None:
+            return _BAIL  # the distributed path raises the contract error
+        sem = self._local_semantic(engine)
+        if sem is None:
+            return _BAIL
+        qvec = q.get("vector")
+        if qvec is None:
+            from ..functions.embed import fake_embedding
+
+            fn = engine.embed_fn or fake_embedding
+            qvec = fn(o, sem.dim)
+        qarr = np.array([float(x) for x in qvec], dtype=np.float64)
+        if sem.kind == "brute":
+            # mirror the distributed path's serving-deployment telemetry
+            with engine._cache_lock:
+                engine._semantic_fallback_scans += 1
+        ids, dist = sem.scan(qarr)
+        if gmask is not None:
+            gsubs = np.unique(self.s[gmask])
+            keep = np.isin(ids, gsubs)
+            ids, dist = ids[keep], dist[keep]
+        with np.errstate(divide="ignore"):
+            score = np.where(dist <= 0.0, np.inf, 1.0 / dist)
+        scores: dict = {}
+        for s_, v_ in zip(ids.tolist(), score.tolist()):
+            prev = scores.get(s_)
+            if prev is None or v_ > prev:
+                scores[s_] = v_
+        return np.unique(ids), scores
+
     # ---- one filter → (subjects, scores|None) --------------------------
 
     def _filter_members(self, engine, q: dict, fts_max_rows: int):
@@ -334,8 +525,11 @@ class LocalTier:
             mask = self._and(self._s_in(hs), gmask)
             return np.unique(self.s[mask]), None
 
-        if p_head in ("semantic", "regex"):
-            return _BAIL
+        if p_head == "regex":
+            return _BAIL  # Java vs Python regex dialects
+
+        if p_head == "semantic":
+            return self._semantic_members(engine, q, o, gmask)
 
         if p_head == "fts":
             lf = self._local_fts(engine, fts_max_rows)

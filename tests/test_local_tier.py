@@ -256,3 +256,75 @@ def test_sf_corpus_differential(spark, engine):
         ours = engine.query(dict(opts))
         theirs = plain.query({**opts, "use_cache": False})
         assert ours == theirs, f"mismatch for {opts}"
+
+
+@pytest.fixture(scope="module")
+def sem_pair(spark, tmp_path_factory):
+    """(tiered, plain) engines with embeddings + an IVF store — the
+    semantic filter's two scan sources."""
+    from pyspark.sql import functions as F
+
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.operators.similarity import write_ivf_store
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<p/label>", f'"doc {i}"', "" if i % 2 else "<g/even>")
+         for i in range(24)],
+        "s string, p string, o string, g string",
+    )
+    g = from_string_quads(quads).cache()
+    rows = []
+    for i in range(24):
+        base = [0.0] * 6
+        base[0] = 1.0
+        base[1 + i % 4] = 0.7 + 0.013 * (i % 5)
+        rows.append((i, base))
+    ids = spark.createDataFrame(rows, "vid int, raw array<double>")
+    emb = ids.select(
+        F.xxhash64(
+            F.concat(F.lit("<e/"), F.col("vid").cast("string"), F.lit(">"))
+        ).alias("s"),
+        F.col("raw").alias("vec"),
+    )
+    cents = ids.filter(F.col("vid") < 4).select(
+        F.col("vid").cast("long").alias("cid"), F.col("raw").alias("cv")
+    )
+    path = str(tmp_path_factory.mktemp("tier_sem") / "ivf")
+    write_ivf_store(emb, path, "s", "vec", centroids=cents)
+    tiered = Engine(g, embeddings=emb)
+    plain = Engine(g, embeddings=emb, local_tier_rows=0)
+    return tiered, plain, path, rows
+
+
+SEM_SHAPES = [
+    lambda rows: {"filters": [{"p": "semantic", "vector": rows[0][1]}], "size": 30},
+    lambda rows: {"filters": [{"p": "semantic", "vector": rows[5][1],
+                               "g": "<g/even>"}], "size": 30},
+    lambda rows: {"filters": [{"p": "semantic", "o": "some query text"}], "size": 10},
+    lambda rows: {"filters": [
+        {"p": "semantic", "vector": rows[2][1]},
+        {"p": "<p/label>", "o": '"doc 2"', "op": "not"},
+    ], "size": 30, "aggregates": ["properties"]},
+]
+
+
+@pytest.mark.parametrize("mode", ["brute", "ivf1", "ivf2"])
+def test_semantic_tier_matches_distributed(sem_pair, mode):
+    tiered, plain, path, rows = sem_pair
+    if mode == "brute":
+        tiered._ivf = plain._ivf = None
+    else:
+        nprobe = 1 if mode == "ivf1" else 2
+        tiered.load_ivf(path, nprobe=nprobe)
+        plain.load_ivf(path, nprobe=nprobe)
+    for i, shape in enumerate(SEM_SHAPES):
+        opts = shape(rows)
+        ours = tiered.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"{mode} mismatch for {opts}"
+        if i == 0:  # the unrestricted vector query always matches
+            assert ours["total"] > 0
+    if mode == "brute":
+        # the tier mirrors the serving-deployment telemetry: brute
+        # scans without an IVF store are counted on both paths
+        assert tiered.cache_stats()["semantic_fallback_scans"] >= len(SEM_SHAPES)
