@@ -328,3 +328,58 @@ def test_semantic_tier_matches_distributed(sem_pair, mode):
         # the tier mirrors the serving-deployment telemetry: brute
         # scans without an IVF store are counted on both paths
         assert tiered.cache_stats()["semantic_fallback_scans"] >= len(SEM_SHAPES)
+
+
+def test_order_rule_fuzz_hostile_labels(spark):
+    """Adversarial differential fuzz of the order-key mirror: labels
+    with unicode whitespace (Java \\s is ASCII-only), case-mapping
+    edge codepoints (İ/ß/Turkish i), 20+-digit numeric prefixes
+    (try_cast overflow → null), embedded quotes, control characters,
+    and every clean-flag combination, against random rules."""
+    import random
+
+    from bikidata_spark import Engine, from_string_quads
+
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    hostile = [
+        "  leading spaces", "trailing\t tab\t", " nbsp figure",
+        "İstanbul", "ßharp", "STRASSE", "strasse", "123 numeric", "0123 pad",
+        "99999999999999999999 overflow", "9223372036854775807 max",
+        '"inner quotes"', "mixed   SPACE\truns", "~punct!lead", "\x0bvtab",
+        "Ωmega", "émigré", "é combining", "", " ", "ümlaut",
+    ]
+    quads = []
+    rng = random.Random(99)
+    for i in range(120):
+        e = f"<e/{i}>"
+        quads.append((e, "<p/type>", "<t/x>", ""))
+        n_labels = rng.randint(0, 2)
+        for _ in range(n_labels):
+            txt = rng.choice(hostile)
+            lang = rng.choice(["", "@en", "@de", "@tr", "@x-klingon"])
+            quads.append((e, label, f'"{txt}"{lang}', ""))
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    ).cache()
+    tiered = Engine(g)
+    plain = Engine(g, local_tier_rows=0)
+    for trial in range(30):
+        rule = {"by": "label"}
+        if rng.random() < 0.5:
+            rule["lang"] = rng.sample(["en", "de", "tr", "fr"], rng.randint(1, 3))
+        if rng.random() < 0.5:
+            rule["mode"] = rng.choice(["lex", "raw"])
+        if rng.random() < 0.6:
+            rule["clean"] = {
+                k: rng.random() < 0.5
+                for k in ("trim", "lower", "remove_quotes", "collapse_space", "strip_punct")
+            }
+        if rng.random() < 0.4:
+            rule["natural"] = True
+        rule["dir"] = rng.choice(["asc", "desc"])
+        rule["nulls"] = rng.choice(["first", "last"])
+        opts = {"filters": [{"p": "<p/type>", "o": "<t/x>"}], "order": rule,
+                "size": 120}
+        ours = tiered.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"trial {trial}: mismatch for rule {rule}"
