@@ -430,6 +430,11 @@ def main() -> None:
         # untimed; the persisted semantic IVF store survives the
         # restart on disk.
         seng._fts = eng._fts  # reuse the already-built FTS index
+        # warm the local tier's mirrors untimed, like the FTS index
+        # above: the serving sections measure steady-state serving,
+        # not the once-per-generation collect
+        seng.query({"filters": [{"p": "fts", "o": "customer"}], "size": 1})
+        seng.query({"filters": [{"p": "semantic", "vector": qvec}], "size": 1})
         serving_stats["fifo"] = _serving_workload(seng, qvec)
         spark.stop()
         os.environ["BIKIDATA_SPARK_SCHEDULER"] = "FAIR"
@@ -446,6 +451,8 @@ def main() -> None:
         feng = Engine(graph2, embeddings=sem_emb2)
         feng.load_ivf(f"{sstore}/ivf", nprobe=2)
         feng.fts  # build untimed, as on the FIFO side
+        feng.query({"filters": [{"p": "fts", "o": "customer"}], "size": 1})
+        feng.query({"filters": [{"p": "semantic", "vector": qvec}], "size": 1})
         t0 = time.perf_counter()
         serving_stats["fair"] = _serving_workload(feng, qvec)
         times["q_serving_concurrent"] = round(time.perf_counter() - t0, 3)

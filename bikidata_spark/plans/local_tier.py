@@ -298,6 +298,15 @@ class LocalTier:
     def _s_in(self, keys: np.ndarray) -> np.ndarray:
         return self._rows_mask(self._s_sorted, self._s_order, keys)
 
+    def total_subjects(self) -> int:
+        """Distinct-subject count (Engine.total's contract)."""
+        n = getattr(self, "_total_subjects", None)
+        if n is None:
+            ss = self._s_sorted
+            n = int((ss[1:] != ss[:-1]).sum()) + 1 if ss.size else 0
+            self._total_subjects = n
+        return n
+
     def _o_in(self, keys: np.ndarray) -> np.ndarray:
         return self._rows_mask(self._o_sorted, self._o_order, keys)
 

@@ -2064,7 +2064,14 @@ class Engine:
         cached = getattr(self, "_total_memo", None)
         if cached is not None and cached[0] == gen:
             return cached[1]
-        n = self.graph.triples.select("s").distinct().count()
+        st = self._local_tier_state
+        if st is not None and st[0] == gen and st[1] is not None:
+            # the mirror is already resident — count driver-side (the
+            # tier is never built FOR this; an unbuilt tier keeps the
+            # one-job distributed count below)
+            n = st[1].total_subjects()
+        else:
+            n = self.graph.triples.select("s").distinct().count()
         self._total_memo = (gen, n)
         return n
 
