@@ -272,7 +272,21 @@ class LocalTier:
         # the order-rule signature (the tier twin of the engine's
         # persisted _order_keys_cached sort index), built once per rule
         self._order_key_maps: dict = {}
+        # full-corpus subject arrays in final page order, keyed by
+        # (rule signature, dir, nulls): an ordered page is then a
+        # member-mask scan + slice instead of a per-request sort of
+        # the member set (the difference between O(page) and
+        # O(members log members) per request)
+        self._global_orders: dict = {}
         self._order_lock = threading.Lock()
+        # term dictionary as parallel sorted arrays for vectorized
+        # hash → value resolution (dict lookups cost ~100 ms per 300k
+        # members; a searchsorted gather costs ~10 ms)
+        th = np.fromiter(hash_to_value.keys(), dtype=np.int64, count=len(hash_to_value))
+        tv = np.array(list(hash_to_value.values()), dtype=object)
+        t_ord = np.argsort(th, kind="stable")
+        self._th_sorted = th[t_ord]
+        self._tv_sorted = tv[t_ord]
         # lazily-built _LocalFts keyed by the engine's FtsIndex object
         # identity (a load_fts/replace swaps the object); None value =
         # measured too big, stay distributed for fts filters
@@ -283,6 +297,22 @@ class LocalTier:
         self._sem_state: tuple | None = None
         self._sem_lock = threading.Lock()
         self.queries_served = 0
+
+    def _values_of(self, keys: np.ndarray):
+        """(values object array, found mask) for sorted-or-not keys —
+        vectorized h2v.get. Missing hashes get found=False (the
+        distributed terms join drops them)."""
+        idx = np.searchsorted(self._th_sorted, keys)
+        idx_c = np.minimum(idx, self._th_sorted.size - 1) if self._th_sorted.size else idx
+        found = (
+            (idx < self._th_sorted.size) & (self._th_sorted[idx_c] == keys)
+            if self._th_sorted.size
+            else np.zeros(keys.size, dtype=bool)
+        )
+        vals = np.empty(keys.size, dtype=object)
+        if self._th_sorted.size:
+            vals[found] = self._tv_sorted[idx_c[found]]
+        return vals, found
 
     def _rows_mask(self, sorted_col, order, keys: np.ndarray) -> np.ndarray:
         """Boolean row mask: column value ∈ keys (sorted-index probe)."""
@@ -578,7 +608,7 @@ class LocalTier:
         """→ (members set|None, scores dict|None) or _BAIL."""
         groups: list[list[int]] = []
         excepts: list[int] = []
-        sets: dict[int, set] = {}
+        sets: dict[int, np.ndarray] = {}  # sorted unique subject arrays
         score_maps: list[dict] = []
         n_tags = 0
         for q in opts.get("filters", []):
@@ -590,7 +620,7 @@ class LocalTier:
                 continue
             subj, sc = r
             tag = n_tags
-            sets[tag] = set(subj.tolist())
+            sets[tag] = subj  # np.unique output: sorted, deduplicated
             if sc is not None:
                 score_maps.append(sc)
             n_tags += 1
@@ -604,14 +634,22 @@ class LocalTier:
                 groups.append([tag])
         if not groups:
             return None, None
-        members: set = set()
+        # sorted-array set algebra (vectorized; Python sets cost ~0.5 µs
+        # per element — visible at 10^5-member filter results)
+        members = None
         for grp in groups:
             inter = None
             for tg in grp:
-                inter = sets[tg] if inter is None else (inter & sets[tg])
-            members |= inter
+                inter = (
+                    sets[tg]
+                    if inter is None
+                    else np.intersect1d(inter, sets[tg], assume_unique=True)
+                )
+            members = (
+                inter if members is None else np.union1d(members, inter)
+            )
         for e in excepts:
-            members -= sets[e]
+            members = np.setdiff1d(members, sets[e], assume_unique=True)
         scores = None
         if score_maps:
             scores = {}
@@ -784,18 +822,39 @@ class LocalTier:
             out[s_] = (lbl, npfx)
         return out
 
-    def _ordered_page(self, values: list, rule: dict, size: int, start: int):
-        """values: [(s, s_value)] → ordered page slice (mirror of
-        page()'s order_cols: null_key, [num-prefix keys], sort_label
-        with direction, s_value tiebreak)."""
+    def _global_order(self, rule: dict):
+        """EVERY dictionary-resolvable subject in final page order for
+        (rule, dir, nulls) → (subjects int64 array, values object
+        array). Built once and cached; an ordered page then reduces to
+        a member-mask scan + slice. The sort mirrors page()'s
+        order_cols: null_key, [num-prefix keys], sort_label with
+        direction, s_value tiebreak."""
+        import json
+
         direction = (rule.get("dir") or "asc").lower()
         nulls = (rule.get("nulls") or "last").lower()
         natural = bool(rule.get("natural", False))
+        sig_src = {
+            k: rule.get(k)
+            for k in ("by", "prop", "via", "lang", "mode", "clean", "natural")
+            if rule.get(k) is not None
+        }
+        try:
+            cache_key = (json.dumps(sig_src, sort_keys=True), direction, nulls)
+        except (TypeError, ValueError):
+            cache_key = None
+        if cache_key is not None:
+            hit = self._global_orders.get(cache_key)
+            if hit is not None:
+                return hit
         keys = self._order_keys_cached(rule)
         desc = direction == "desc"
 
+        subs = np.unique(self._s_sorted)
+        vals, found = self._values_of(subs)
+        subs, svals = subs[found], vals[found]
         rows = []
-        for s_, v_ in values:
+        for s_, v_ in zip(subs.tolist(), svals.tolist()):
             k = keys.get(s_)
             if k is None:
                 nk = -1 if nulls == "first" else 1
@@ -830,7 +889,34 @@ class LocalTier:
                 return 0
 
             rows.sort(key=cmp_to_key(cmp))
-        return [(r[5], r[4]) for r in rows[start : start + size]]
+        g_subj = np.array([r[5] for r in rows], dtype=np.int64)
+        g_vals = np.array([r[4] for r in rows], dtype=object)
+        # subject → page-rank permutation: a page request then searches
+        # only its MEMBERS (small) instead of scanning the corpus-sized
+        # order (np.searchsorted over the 10^6-entry order was the
+        # dominant per-request cost at sf1)
+        perm = np.argsort(g_subj, kind="stable")
+        out = (g_subj, g_vals, g_subj[perm], perm)
+        if cache_key is not None:
+            with self._order_lock:
+                while len(self._global_orders) >= 8:
+                    self._global_orders.pop(next(iter(self._global_orders)))
+                self._global_orders[cache_key] = out
+        return out
+
+    def _ordered_page(self, marr: np.ndarray, rule: dict, size: int, start: int):
+        """marr: SORTED member hashes → ordered page [(s, s_value)]:
+        rank the members via the cached subject→rank permutation,
+        argsort the (member-sized) ranks, slice."""
+        g_subj, g_vals, subj_sorted, ranks = self._global_order(rule)
+        if g_subj.size == 0 or marr.size == 0:
+            return []
+        pos = np.searchsorted(subj_sorted, marr)
+        pos_c = np.minimum(pos, subj_sorted.size - 1)
+        found = subj_sorted[pos_c] == marr
+        mranks = ranks[pos_c[found]]
+        sel = mranks[np.argsort(mranks)[start : start + size]]
+        return list(zip(g_subj[sel].tolist(), g_vals[sel].tolist()))
 
     # ---- the query() mirror -------------------------------------------
 
@@ -852,14 +938,11 @@ class LocalTier:
             # from the dictionary drop from values AND from total (the
             # dictionary-completeness invariant makes this moot for any
             # graph the engine itself built)
-            values = [
-                (s_, v_)
-                for s_ in members
-                if (v_ := self.h2v.get(s_)) is not None
-            ]
-            total = len(values)
+            vals, found = self._values_of(members)
+            marr, mvals = members[found], vals[found]
+            total = int(marr.size)
         else:
-            values = []
+            marr = mvals = None
             total = 0
 
         aggregates = {}
@@ -869,26 +952,26 @@ class LocalTier:
             if members is not None or agg in ("properties", "graphs")
         ]
         if fused_aggs:
-            marr = (
-                np.array(sorted(s for s, _ in values), dtype=np.int64)
-                if members is not None
-                else None
-            )
             aggregates = self._facets(marr, fused_aggs)
 
         results: dict = {}
         if members is not None and size > 0:
             if order_rules:
-                page_vals = self._ordered_page(values, order_rules[0], size, start)
+                page_vals = self._ordered_page(marr, order_rules[0], size, start)
             elif scores is not None:
-                rows = [(s_, v_, scores.get(s_)) for s_, v_ in values]
+                rows = [
+                    (s_, v_, scores.get(s_))
+                    for s_, v_ in zip(marr.tolist(), mvals.tolist())
+                ]
                 rows.sort(
                     key=lambda t: (t[2] is None, -(t[2] or 0.0), t[1])
                 )
                 page_vals = [(s_, v_) for s_, v_, _ in rows[start : start + size]]
             else:
-                values.sort(key=lambda t: t[1])
-                page_vals = values[start : start + size]
+                order = np.argsort(mvals, kind="stable")[start : start + size]
+                page_vals = list(
+                    zip(marr[order].tolist(), mvals[order].tolist())
+                )
 
             page_hashes = [s_ for s_, _ in page_vals]
             hash_to_val = dict(page_vals)
