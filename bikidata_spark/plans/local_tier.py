@@ -328,6 +328,23 @@ class LocalTier:
     def _s_in(self, keys: np.ndarray) -> np.ndarray:
         return self._rows_mask(self._s_sorted, self._s_order, keys)
 
+    def sp(self, s_list: list[str], p: str | None) -> dict:
+        """{subject: [object values]} — mirror of Engine.sp (reference
+        query.py:38-57), rows in stored order like the collect it
+        replaces."""
+        mask = self._s_in(self._hashes(s_list))
+        if p:
+            ph = self.v2h.get(p)
+            mask = mask & (self.p == ph) if ph is not None else np.zeros(self.nrows, bool)
+        out: dict = {}
+        for i in np.flatnonzero(mask).tolist():
+            s_val = self.h2v.get(int(self.s[i]))
+            o_val = self.h2v.get(int(self.o[i]))
+            if s_val is None or o_val is None:
+                continue
+            out.setdefault(s_val, []).append(o_val)
+        return out
+
     def total_subjects(self) -> int:
         """Distinct-subject count (Engine.total's contract)."""
         n = getattr(self, "_total_subjects", None)

@@ -2168,9 +2168,15 @@ class Engine:
 
     def sp(self, s_list: list[str], p: str | None) -> dict:
         """Batched lookup: {subject: [object values]}
-        (reference query.py:38-57)."""
+        (reference query.py:38-57). Serves from the local tier when the
+        mirror is resident (zero jobs; differential-tested in
+        tests/test_local_tier.py); the DataFrame form ``sp_df`` keeps
+        the distributed plan its oracle and plan audits pin."""
         if not isinstance(s_list, list):
             raise TypeError("s must be a list of strings")
+        tier = self._local_tier()
+        if tier is not None:
+            return tier.sp(s_list, p)
         t = self.graph.triples.filter(_isin_terms(F.col("s"), s_list))
         if p:
             t = t.filter(F.col("p") == H(p))

@@ -383,3 +383,17 @@ def test_order_rule_fuzz_hostile_labels(spark):
         ours = tiered.query(dict(opts))
         theirs = plain.query({**opts, "use_cache": False})
         assert ours == theirs, f"trial {trial}: mismatch for rule {rule}"
+
+
+def test_sp_matches_distributed(pair):
+    """Engine.sp (dict API) serves from the tier; values compare
+    order-insensitively (the distributed collect returns partition
+    order)."""
+    tiered, plain = pair
+    batch = [f"<e/{i}>" for i in range(12)] + ["<nosuch/iri>"]
+    for p in (None, "<p/cat>", "<nosuch>"):
+        ours = tiered.sp(batch, p)
+        theirs = plain.sp(batch, p)
+        assert {k: sorted(v) for k, v in ours.items()} == {
+            k: sorted(v) for k, v in theirs.items()
+        }, f"sp mismatch for p={p}"
