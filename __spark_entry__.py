@@ -238,8 +238,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # carries a full DuckDB oracle despite being a "random" sample
     q["rdf_sample"] = subj({"filters": [{"p": "id", "o": "sample 10"}]})
     q["rdf_filter_object_only"] = subj({"filters": [{"p": "", "o": "<e/nation/5>"}]})
-    q["rdf_filter_object_only_graph"] = subj(
-        {"filters": [{"p": "", "o": "<e/nation/5>", "g": "<g/customer>"}]}
+
+    # rdf_tier_query_page drives Engine.query() END-TO-END — at the
+    # gate's scale factor the driver-resident local tier
+    # (plans/local_tier.py) serves it with zero Spark jobs, so this
+    # entry puts the TIER inside the DuckDB-oracle fold (displaced the
+    # redundant rdf_filter_object_only_graph variant; graph-restricted
+    # filters stay covered by rdf_filter_graph_multi). The response
+    # page's results dict preserves page order, so pos is its 1-based
+    # enumeration — same shape as rdf_page_default_order's oracle.
+    def tier_page(opts):
+        def run(spark, sf_dir):
+            back = _engine(spark, sf_dir).query(dict(opts))
+            rows = [(i + 1, sv) for i, sv in enumerate(back["results"])]
+            return spark.createDataFrame(rows, "pos int, s string")
+
+        return run
+
+    q["rdf_tier_query_page"] = tier_page(
+        {"filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}], "size": 10, "start": 5}
     )
     q["rdf_filter_multi_object"] = subj(
         {"filters": [{"p": "<p/nation>", "o": "<e/nation/5> <e/nation/7>"}]}
@@ -876,8 +893,10 @@ def oracle_sql() -> dict[str, str]:
 ORDER BY CAST(CAST(('0x' || substr(md5('sample:{SAMPLE_SEED}:' || s), 1, 8)) AS UBIGINT) AS BIGINT) ASC, s ASC
 LIMIT 10"""
     )
-    o["rdf_filter_object_only_graph"] = _with_quads(
-        "SELECT DISTINCT s FROM quads WHERE o = '<e/nation/5>' AND g = '<g/customer>'"
+    o["rdf_tier_query_page"] = _with_quads(
+        f""", s_results AS (SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG}),
+page AS (SELECT s FROM s_results ORDER BY s LIMIT 10 OFFSET 5)
+SELECT CAST(row_number() OVER (ORDER BY s) AS INT) AS pos, s FROM page"""
     )
     o["rdf_filter_multi_object"] = _with_quads(
         "SELECT DISTINCT s FROM quads WHERE p = '<p/nation>' AND o IN ('<e/nation/5>', '<e/nation/7>')"
