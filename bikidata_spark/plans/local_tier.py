@@ -357,6 +357,95 @@ class LocalTier:
     def _o_in(self, keys: np.ndarray) -> np.ndarray:
         return self._rows_mask(self._o_sorted, self._o_order, keys)
 
+    # ---- mutation support ----------------------------------------------
+    # The mirror answers a mutation's existence probes (insert dup-check,
+    # delete guard — reference query.py:477-482, 547-551) driver-side,
+    # and Engine.mutate patches it across the generation bump instead of
+    # re-collecting the whole graph (plans/query.Engine.mutate).
+
+    def pattern_rows(self, s: int, p: int, o: int | None, g: int | None) -> np.ndarray:
+        """Row indexes matching one hashed pattern; ``o``/``g`` None =
+        wildcard. Subject-anchored: the sorted-s probe narrows to the
+        subject's rows (typically a handful), then p/o/g compare flat."""
+        lo = np.searchsorted(self._s_sorted, s, "left")
+        hi = np.searchsorted(self._s_sorted, s, "right")
+        rows = self._s_order[lo:hi]
+        if rows.size == 0:
+            return rows
+        keep = self.p[rows] == p
+        if o is not None:
+            keep &= self.o[rows] == o
+        if g is not None:
+            keep &= self.g[rows] == g
+        return rows[keep]
+
+    def spo_rows(
+        self,
+        s: str | None,
+        p: str | None,
+        o: str | None,
+        g: str | None,
+        size: int,
+        start: int,
+        max_rows: int = 200_000,
+    ) -> list | None:
+        """Mirror of Engine.spo (reference query.py:60-87): (s, p, o)
+        value rows of the triple pattern, ordered by (s, p, o), sliced
+        [start, start+size). Returns None when the pattern matches more
+        than ``max_rows`` rows — a corpus-scale sort belongs on the
+        distributed path, not the driver. Python tuple sort on str ==
+        Spark's UTF8 binary orderBy (code-point order — the pinned
+        order-key equivalence, tests/test_local_tier.py)."""
+        from ..functions.xxh import term_id
+
+        mask = None
+        for col, term in ((self.s, s), (self.p, p), (self.o, o), (self.g, g)):
+            if term is not None and term != "":
+                m = col == term_id(term)
+                mask = m if mask is None else (mask & m)
+        rows = np.flatnonzero(mask) if mask is not None else np.arange(self.nrows)
+        if rows.size > max_rows:
+            return None
+        sv, sf = self._values_of(self.s[rows])
+        pv, pf = self._values_of(self.p[rows])
+        ov, of = self._values_of(self.o[rows])
+        ok = sf & pf & of  # missing dictionary hashes drop, like the joins
+        out = sorted(zip(sv[ok].tolist(), pv[ok].tolist(), ov[ok].tolist()))
+        return out[start : start + size] if start else out[:size]
+
+    def patched(self, ins_rows: list, del_rows: np.ndarray) -> "LocalTier":
+        """New tier with ``del_rows`` (row indexes) removed and
+        ``ins_rows`` ((s,p,o,g) hash tuples) appended at the end —
+        the same row order the distributed lineage produces (delete is
+        an order-preserving anti-join, insert a trailing unionAll).
+
+        The term dicts are SHARED with this tier: mutation only ever
+        ADDS terms (the reference never garbage-collects them,
+        query.py:505-507), and a reader of the old tier can never look
+        up a hash that only new rows reference, so append-only sharing
+        is safe under the GIL. Array indexes rebuild via __init__
+        (O(n log n) argsorts, ~0.5 s at the 4M-row cap — versus the
+        several-second, multi-job re-collect this replaces); the lazy
+        FTS mirror is dropped (literal postings may have changed) but
+        the semantic mirror carries over (embeddings are not quad data
+        and are keyed by store identity, unchanged by quad mutations).
+        """
+        if del_rows.size:
+            keep = np.ones(self.nrows, dtype=bool)
+            keep[del_rows] = False
+            s, p, o, g = self.s[keep], self.p[keep], self.o[keep], self.g[keep]
+        else:
+            s, p, o, g = self.s, self.p, self.o, self.g
+        if ins_rows:
+            ins = np.array(ins_rows, dtype=np.int64).reshape(-1, 4)
+            s = np.concatenate([s, ins[:, 0]])
+            p = np.concatenate([p, ins[:, 1]])
+            o = np.concatenate([o, ins[:, 2]])
+            g = np.concatenate([g, ins[:, 3]])
+        t = LocalTier(s, p, o, g, self.h2v, self.v2h, self.is_lit)
+        t._sem_state = self._sem_state
+        return t
+
     # ---- small helpers -------------------------------------------------
 
     def _hashes(self, terms) -> np.ndarray:

@@ -34,8 +34,6 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from .operators.mutations import delete as _delete
-from .operators.mutations import insert as _insert
 from .plans.query import Engine
 
 
@@ -183,12 +181,11 @@ class Serving:
             return {"error": "are_hashes is only supported for deletes"}
         received = time.time()
         with self._mutate_lock:
-            if action == "insert":
-                new_graph, result = _insert(self.engine.graph, data)
-            else:
-                new_graph, result = _delete(self.engine.graph, data, are_hashes=are_hashes)
+            # Engine.mutate handles the graph swap itself and keeps the
+            # point-query tier warm (zero-job mutation when the mirror
+            # is resident — plans/query.Engine.mutate)
+            result = self.engine.mutate(action, data, are_hashes=are_hashes)
             if "error" not in result:
-                self.engine.replace_graph(new_graph)
                 with self._cache_lock:
                     self._cache.clear()  # results may be stale now
                     self._generation += 1  # in-flight queries must not cache

@@ -397,3 +397,31 @@ def test_sp_matches_distributed(pair):
         assert {k: sorted(v) for k, v in ours.items()} == {
             k: sorted(v) for k, v in theirs.items()
         }, f"sp mismatch for p={p}"
+
+
+def test_spo_matches_distributed(pair):
+    """Engine.spo serves from the tier as a LocalRelation; rows must
+    equal the distributed three-join + sort page exactly (order
+    included — both are total (s, p, o) orders)."""
+    tiered, plain = pair
+    patterns = [
+        ("<e/5>", None, None, None, 1000, 0),
+        (None, "<p/type>", "<t/1>", None, 1000, 0),
+        (None, "<p/type>", "<t/1>", "<g/1>", 1000, 0),
+        (None, "<p/cat>", None, None, 20, 5),  # paged mid-stream
+        (None, None, None, None, 30, 0),  # unfiltered, small page
+        ("<nosuch>", None, None, None, 10, 0),  # empty
+        ("", "<p/type>", "<t/2>", "", 1000, 0),  # "" wildcards like None
+    ]
+    for s, p, o, g, size, start in patterns:
+        ours = [tuple(r) for r in tiered.spo(s, p, o, g, size=size, start=start).collect()]
+        theirs = [tuple(r) for r in plain.spo(s, p, o, g, size=size, start=start).collect()]
+        assert ours == theirs, f"spo mismatch for {(s, p, o, g, size, start)}"
+
+
+def test_spo_bails_for_oversized_patterns(pair):
+    """Patterns beyond the driver-sort cap stay distributed (the tier
+    returns None and the plan keeps its corpus joins)."""
+    tiered, _ = pair
+    t = tiered._local_tier()
+    assert t.spo_rows(None, None, None, None, 10, 0, max_rows=5) is None

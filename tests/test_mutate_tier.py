@@ -1,0 +1,246 @@
+"""Zero-job mutations: Engine.mutate with a resident local tier must be
+observably IDENTICAL to the distributed operators.mutations path —
+result dicts, final store contents, and every downstream query surface
+(reference handle_insert/handle_delete, query.py:468-617).
+
+Two engines over independently-built copies of the same graph run the
+same mutation script; after every step the result dicts must match,
+and at the end the stores and a query battery compare equal. A third
+check rebuilds the tier from the mutated DISTRIBUTED graph and compares
+it against the PATCHED tier (LocalTier.patched) — catching any drift
+between the driver-side patch and the lineage it mirrors.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+
+def _mk_quads():
+    rng = random.Random(77)
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    quads = []
+    words = ["alpha", "beta", "gamma", "delta"]
+    for i in range(120):
+        e = f"<m/{i}>"
+        g = "" if i % 3 == 0 else f"<g/{i % 3}>"
+        quads.append((e, "<p/type>", f"<t/{i % 4}>", g))
+        if i % 5 != 0:
+            quads.append((e, label, f'"Entity {i:03d}"@en', g))
+        if i % 2 == 0:
+            quads.append((e, "<p/desc>", f'"{" ".join(rng.sample(words, 2))} item {i}"', g))
+        quads.append((e, "<p/peer>", f"<m/{(i + 7) % 120}>", g))
+    # a duplicated stored quad (sources can contain them; delete guards
+    # count stored ROWS, so this exercises the n_match mirror)
+    quads.append(("<m/dup>", "<p/type>", "<t/0>", ""))
+    quads.append(("<m/dup>", "<p/type>", "<t/0>", ""))
+    return quads
+
+
+def _mk_engine(spark, tier: bool):
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(_mk_quads(), "s string, p string, o string, g string")
+    graph = from_string_quads(quads).cache()
+    graph.triples.count()
+    eng = Engine(graph, local_tier_rows=(4_000_000 if tier else 0))
+    if tier:
+        assert eng._local_tier() is not None
+    return eng
+
+
+QUERY_BATTERY = [
+    {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 500},
+    {"filters": [{"p": "<p/new>", "o": '"fresh lit"'}], "size": 10},
+    {"filters": [{"p": "fts", "o": "alpha"}], "size": 25},
+    {"filters": [{"p": "fts", "o": "zulu"}], "size": 25},
+    {"filters": [{"p": "<p/type>"}], "size": 10, "order": {"by": "label"}},
+    {"size": 0, "aggregates": ["properties", "graphs", "<p/type>"]},
+    {"filters": [{"p": "<p/peer> 2", "o": "<m/20>"}], "size": 500},
+]
+
+# (action, data, are_hashes) — exercises new terms, named graphs, dup
+# and missing guards, wildcard deletes, and validation errors
+SCRIPT = [
+    ("insert", [{"s": "<m/new1>", "p": "<p/new>", "o": '"fresh lit"'}], False),
+    ("insert", [{"s": "<m/new1>", "p": "<p/new>", "o": '"fresh lit"'}], False),  # dup
+    (
+        "insert",
+        [
+            {"s": "<m/new2>", "p": "<p/new>", "o": '"fresh lit"', "g": "<g/1>"},
+            {"s": "<m/new2>", "p": "<p/type>", "o": "<t/1>", "g": "<g/9>"},
+            {"s": "_:b1", "p": "<p/new>", "o": "_:b2"},
+        ],
+        False,
+    ),
+    ("insert", [{"s": "bad", "p": "<p/new>", "o": '"x"'}], False),  # validation
+    ("insert", [{"s": "<m/v>", "p": "nop", "o": '"x"'}], False),  # validation
+    ("insert", [{"s": "<m/new3>", "p": "<p/desc>", "o": '"zulu item 999"'}], False),
+    ("delete", [{"s": "<m/new1>", "p": "<p/new>", "o": '"fresh lit"'}], False),
+    ("delete", [{"s": "<m/new1>", "p": "<p/new>", "o": '"fresh lit"'}], False),  # missing
+    ("delete", [{"s": "<m/nosuch>", "p": "<p/type>"}], False),  # wildcard missing
+    ("delete", [{"s": "<m/new2>", "p": "<p/new>"}], False),  # wildcard, named graph? (g="")
+    ("delete", [{"s": "<m/new2>", "p": "<p/new>", "o": '"fresh lit"', "g": "<g/1>"}], False),
+    ("delete", [{"s": "<m/7>", "p": "<p/peer>", "o": "<m/14>", "g": "<g/1>"}], False),
+    ("delete", [{"s": "<m/dup>", "p": "<p/type>", "o": "<t/0>"}], False),  # hits 2 rows
+    (
+        # mixed batch: with_o + wildcard in one call (guard runs on the
+        # post-with_o frame)
+        "delete",
+        [
+            {"s": "<m/9>", "p": "<p/peer>", "o": "<m/16>", "g": ""},
+            {"s": "<m/new3>", "p": "<p/desc>"},
+        ],
+        False,
+    ),
+]
+
+
+def _store_state(eng):
+    t = sorted(map(tuple, eng.graph.triples.collect()))
+    terms = sorted(map(tuple, eng.graph.terms.collect()))
+    return t, terms
+
+
+@pytest.fixture(scope="module")
+def mutated_pair(spark):
+    """Run the script against both engines, collecting step results."""
+    tiered = _mk_engine(spark, tier=True)
+    plain = _mk_engine(spark, tier=False)
+    # warm the tier so the patch path (not a rebuild) is what's tested
+    tiered.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})
+    steps = []
+    for action, data, are_hashes in SCRIPT:
+        a = tiered.mutate(action, [dict(d) for d in data], are_hashes=are_hashes)
+        b = plain.mutate(action, [dict(d) for d in data], are_hashes=are_hashes)
+        steps.append((action, data, a, b))
+    return tiered, plain, steps
+
+
+def test_step_results_identical(mutated_pair):
+    for action, data, a, b in mutated_pair[2]:
+        assert a == b, f"{action} {data}: tier={a} distributed={b}"
+
+
+def test_final_store_identical(mutated_pair):
+    tiered, plain, _ = mutated_pair
+    assert _store_state(tiered) == _store_state(plain)
+
+
+def test_queries_identical_after_script(mutated_pair):
+    tiered, plain, _ = mutated_pair
+    assert tiered._local_tier() is not None  # still resident, patched
+    for opts in QUERY_BATTERY:
+        ours = tiered.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"diverged on {opts}"
+
+
+def test_patched_tier_equals_rebuilt_tier(mutated_pair):
+    """The patched mirror must equal one re-collected from the mutated
+    distributed graph, row-set and dictionary both."""
+    tiered, _, _ = mutated_pair
+    patched = tiered._local_tier()
+    from bikidata_spark.plans.local_tier import build_local_tier
+
+    rebuilt = build_local_tier(tiered, tiered.local_tier_rows)
+    a = np.lexsort((patched.g, patched.o, patched.p, patched.s))
+    b = np.lexsort((rebuilt.g, rebuilt.o, rebuilt.p, rebuilt.s))
+    for col in ("s", "p", "o", "g"):
+        assert np.array_equal(getattr(patched, col)[a], getattr(rebuilt, col)[b]), col
+    # rebuilt dictionaries may lack terms the patch added for since-
+    # deleted triples? No: terms are never garbage-collected — the
+    # distributed terms frame keeps them, so the dicts must MATCH.
+    assert patched.h2v == rebuilt.h2v
+    assert patched.is_lit == rebuilt.is_lit
+
+
+def test_tier_mutation_is_zero_jobs(spark):
+    eng = _mk_engine(spark, tier=True)
+    eng.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("mutate-zero-jobs", "probe")
+    try:
+        r1 = eng.mutate("insert", [{"s": "<z/1>", "p": "<p/z>", "o": '"zz top"'}])
+        r2 = eng.mutate("delete", [{"s": "<z/1>", "p": "<p/z>"}])
+        r3 = eng.query({"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 2})
+        jobs = sc.statusTracker().getJobIdsForGroup("mutate-zero-jobs")
+    finally:
+        sc.setJobGroup(None, None)
+    assert r1 == {"triples_inserted": 1, "terms_inserted": 3}
+    assert r2 == {"triples_deleted": 1}
+    assert r3["total"] > 0
+    assert list(jobs) == []
+
+
+def test_hash_addressed_delete_through_tier(spark):
+    """are_hashes deletes: decimal, hex-digest, and unsigned forms, with
+    and without o — tier path vs distributed path."""
+    from bikidata_spark.functions.xxh import term_id, xxh64
+
+    tiered = _mk_engine(spark, tier=True)
+    plain = _mk_engine(spark, tier=False)
+    tiered.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})
+    s, p, o = term_id("<m/3>"), term_id("<p/peer>"), term_id("<m/10>")
+    batches = [
+        [{"s": str(s), "p": str(p), "o": str(o)}],  # decimal signed
+        [{"s": f"{xxh64('<m/4>'.encode()):016x}", "p": f"{xxh64(b'<p/peer>'):016x}"}],  # hex, wildcard o
+        [{"s": str(term_id("<m/6>") & (2**64 - 1)), "p": str(term_id("<p/type>"))}],  # unsigned
+        [{"s": str(term_id("<m/nosuch>")), "p": str(p)}],  # no match: 0 rows, no error
+    ]
+    for data in batches:
+        a = tiered.mutate("delete", [dict(d) for d in data], are_hashes=True)
+        b = plain.mutate("delete", [dict(d) for d in data], are_hashes=True)
+        assert a == b
+    assert _store_state(tiered) == _store_state(plain)
+    for opts in QUERY_BATTERY[:3]:
+        assert tiered.query(dict(opts)) == plain.query({**opts, "use_cache": False})
+
+
+def test_insert_past_cap_demotes_tier(spark):
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(
+        [(f"<c/{i}>", "<p>", f'"v{i}"', "") for i in range(10)],
+        "s string, p string, o string, g string",
+    )
+    eng = Engine(from_string_quads(quads).cache(), local_tier_rows=11)
+    assert eng._local_tier() is not None
+    r = eng.mutate("insert", [{"s": "<c/a>", "p": "<p>", "o": '"va"'}])  # 11 rows: at cap
+    assert r["triples_inserted"] == 1
+    assert eng._local_tier() is not None
+    r = eng.mutate("insert", [{"s": "<c/b>", "p": "<p>", "o": '"vb"'}])  # 12 > cap
+    assert r["triples_inserted"] == 1
+    st = eng._local_tier_state
+    assert st[0] == eng._graph_generation and st[1] is None  # demoted, not stale
+    assert eng.query({"filters": [{"p": "<p>", "o": '"vb"'}]})["total"] == 1
+
+
+def test_serving_mutations_keep_tier_warm(spark):
+    """The serving facade routes through Engine.mutate: after an
+    insert+delete cycle the tier is still resident and generation-
+    fresh (no re-collect on the next query)."""
+    import asyncio
+
+    from bikidata_spark.serving import Serving
+
+    eng = _mk_engine(spark, tier=True)
+    eng.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})
+    srv = Serving(eng, num_workers=2)
+
+    async def run():
+        r1 = await srv.insert_async("<w/1>", "<p/w>", '"warm"')
+        r2 = await srv.query_async({"filters": [{"p": "<p/w>", "o": '"warm"'}]})
+        r3 = await srv.delete_async("<w/1>", "<p/w>", '"warm"')
+        return r1, r2, r3
+
+    r1, r2, r3 = asyncio.get_event_loop().run_until_complete(run())
+    srv.close()
+    assert r1["triples_inserted"] == 1
+    assert r2["total"] == 1
+    assert r3["triples_deleted"] == 1
+    st = eng._local_tier_state
+    assert st is not None and st[0] == eng._graph_generation and st[1] is not None
