@@ -251,7 +251,8 @@ def _range_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 class LocalTier:
     """One graph generation's driver-resident mirror."""
 
-    def __init__(self, s, p, o, g, hash_to_value, value_to_hash, literal_hashes):
+    def __init__(self, s, p, o, g, hash_to_value, value_to_hash, literal_hashes,
+                 _indexes=None):
         self.s = s
         self.p = p
         self.o = o
@@ -264,10 +265,16 @@ class LocalTier:
         # key set then cost O(k log n + hits) via searchsorted instead
         # of np.isin's per-call O(n log n) re-sort of the whole column
         # (measured 10x off the walk- and facet-heavy tier queries)
-        self._s_order = np.argsort(s, kind="stable")
-        self._s_sorted = s[self._s_order]
-        self._o_order = np.argsort(o, kind="stable")
-        self._o_sorted = o[self._o_order]
+        if _indexes is not None:
+            # mutation patch (``patched``): indexes merged from the
+            # predecessor tier's in O(n) copies, no re-sort
+            (self._s_order, self._s_sorted, self._o_order, self._o_sorted,
+             self._th_sorted, self._tv_sorted) = _indexes
+        else:
+            self._s_order = np.argsort(s, kind="stable")
+            self._s_sorted = s[self._s_order]
+            self._o_order = np.argsort(o, kind="stable")
+            self._o_sorted = o[self._o_order]
         # full-corpus subject → (sort_label, num_prefix) maps, keyed by
         # the order-rule signature (the tier twin of the engine's
         # persisted _order_keys_cached sort index), built once per rule
@@ -282,11 +289,14 @@ class LocalTier:
         # term dictionary as parallel sorted arrays for vectorized
         # hash → value resolution (dict lookups cost ~100 ms per 300k
         # members; a searchsorted gather costs ~10 ms)
-        th = np.fromiter(hash_to_value.keys(), dtype=np.int64, count=len(hash_to_value))
-        tv = np.array(list(hash_to_value.values()), dtype=object)
-        t_ord = np.argsort(th, kind="stable")
-        self._th_sorted = th[t_ord]
-        self._tv_sorted = tv[t_ord]
+        if _indexes is None:
+            th = np.fromiter(
+                hash_to_value.keys(), dtype=np.int64, count=len(hash_to_value)
+            )
+            tv = np.array(list(hash_to_value.values()), dtype=object)
+            t_ord = np.argsort(th, kind="stable")
+            self._th_sorted = th[t_ord]
+            self._tv_sorted = tv[t_ord]
         # lazily-built _LocalFts keyed by the engine's FtsIndex object
         # identity (a load_fts/replace swaps the object); None value =
         # measured too big, stay distributed for fts filters
@@ -413,7 +423,28 @@ class LocalTier:
         out = sorted(zip(sv[ok].tolist(), pv[ok].tolist(), ov[ok].tolist()))
         return out[start : start + size] if start else out[:size]
 
-    def patched(self, ins_rows: list, del_rows: np.ndarray) -> "LocalTier":
+    @staticmethod
+    def _merge_sorted(sorted_vals, order, new_vals, first_new_id):
+        """Insert new (value, row-id) pairs into a stable sorted index
+        in O(n) copies — no re-sort. New row ids are all larger than
+        existing ones, so side='right' insertion keeps the stable
+        (value, row-id) order argsort(kind='stable') would produce."""
+        d_ord = np.argsort(new_vals, kind="stable")
+        vals = new_vals[d_ord]
+        pos = np.searchsorted(sorted_vals, vals, side="right")
+        return (
+            np.insert(sorted_vals, pos, vals),
+            np.insert(order, pos, first_new_id + d_ord),
+        )
+
+    @staticmethod
+    def _compact_sorted(sorted_vals, order, keep, new_id):
+        """Drop deleted rows from a sorted index and renumber the
+        surviving row ids to the compacted array."""
+        kept = keep[order]
+        return sorted_vals[kept], new_id[order[kept]]
+
+    def patched(self, ins_rows: list, del_rows: np.ndarray, new_terms=()) -> "LocalTier":
         """New tier with ``del_rows`` (row indexes) removed and
         ``ins_rows`` ((s,p,o,g) hash tuples) appended at the end —
         the same row order the distributed lineage produces (delete is
@@ -423,26 +454,52 @@ class LocalTier:
         ADDS terms (the reference never garbage-collects them,
         query.py:505-507), and a reader of the old tier can never look
         up a hash that only new rows reference, so append-only sharing
-        is safe under the GIL. Array indexes rebuild via __init__
-        (O(n log n) argsorts, ~0.5 s at the 4M-row cap — versus the
-        several-second, multi-job re-collect this replaces); the lazy
-        FTS mirror is dropped (literal postings may have changed) but
-        the semantic mirror carries over (embeddings are not quad data
-        and are keyed by store identity, unchanged by quad mutations).
+        is safe under the GIL. ``new_terms`` [(hash, value)] are the
+        dictionary additions, already applied to the shared dicts by
+        the caller — passed so the sorted term arrays can be MERGED.
+
+        Every index carries over by O(n) merge/compact copies instead
+        of a re-sort (LocalTier._merge_sorted/_compact_sorted): the
+        whole patch is ~30 ms at sf0.1's 1.14M rows where an
+        argsort-rebuilding __init__ costs ~0.35 s and the re-collect
+        it replaces ~4 s (tools-measured, docs/PLANS.md). The lazy FTS
+        mirror is dropped (literal postings may have changed); the
+        semantic mirror carries over (embeddings are not quad data,
+        keyed by store identity, unchanged by quad mutations).
         """
+        s_sorted, s_order = self._s_sorted, self._s_order
+        o_sorted, o_order = self._o_sorted, self._o_order
         if del_rows.size:
             keep = np.ones(self.nrows, dtype=bool)
             keep[del_rows] = False
+            new_id = np.cumsum(keep) - 1  # old row id → compacted id
             s, p, o, g = self.s[keep], self.p[keep], self.o[keep], self.g[keep]
+            s_sorted, s_order = self._compact_sorted(s_sorted, s_order, keep, new_id)
+            o_sorted, o_order = self._compact_sorted(o_sorted, o_order, keep, new_id)
         else:
             s, p, o, g = self.s, self.p, self.o, self.g
         if ins_rows:
+            base = int(s.size)
             ins = np.array(ins_rows, dtype=np.int64).reshape(-1, 4)
             s = np.concatenate([s, ins[:, 0]])
             p = np.concatenate([p, ins[:, 1]])
             o = np.concatenate([o, ins[:, 2]])
             g = np.concatenate([g, ins[:, 3]])
-        t = LocalTier(s, p, o, g, self.h2v, self.v2h, self.is_lit)
+            s_sorted, s_order = self._merge_sorted(s_sorted, s_order, ins[:, 0], base)
+            o_sorted, o_order = self._merge_sorted(o_sorted, o_order, ins[:, 2], base)
+        th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
+        if new_terms:
+            nt = sorted(new_terms)
+            nh = np.array([h for h, _ in nt], dtype=np.int64)
+            pos = np.searchsorted(th_sorted, nh, side="right")
+            th_sorted = np.insert(th_sorted, pos, nh)
+            nv = np.empty(len(nt), dtype=object)
+            nv[:] = [v for _, v in nt]
+            tv_sorted = np.insert(tv_sorted, pos, nv)
+        t = LocalTier(
+            s, p, o, g, self.h2v, self.v2h, self.is_lit,
+            _indexes=(s_order, s_sorted, o_order, o_sorted, th_sorted, tv_sorted),
+        )
         t._sem_state = self._sem_state
         return t
 

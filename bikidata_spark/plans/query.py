@@ -290,9 +290,12 @@ class Engine:
         array probes on the mirror, the new graph DataFrames are pure
         lineage (unionAll/anti-join over a LocalRelation — nothing
         executes until a distributed query needs it), and the tier is
-        PATCHED (LocalTier.patched) instead of re-collected. Measured at
-        sf0.1: a serving mutation round-trip drops from ~1.9 s (two
-        guard jobs + the next query's ~3 s re-collect) to ~0.2 s total.
+        PATCHED (LocalTier.patched, O(n)-merged indexes) instead of
+        re-collected. Measured at sf0.1 (1.14M quads): an
+        insert → point-query → delete cycle drops from ~7.2 s on the
+        r8 serving path (distributed guard jobs + graph swap + the next
+        query's full tier re-collect) to well under 0.1 s, all
+        driver-side (docs/PLANS.md §Zero-job mutations).
         """
         from ..operators.mutations import delete as _op_delete
         from ..operators.mutations import insert as _op_insert
@@ -316,11 +319,11 @@ class Engine:
                 return self._mutate_insert_tier(tier, data)
             return self._mutate_delete_tier(tier, data, are_hashes)
 
-    def _retier(self, tier, ins_rows: list, del_rows) -> None:
+    def _retier(self, tier, ins_rows: list, del_rows, new_terms=()) -> None:
         """Swap the patched mirror in under the post-bump generation;
         an over-cap result demotes to the distributed path (same cap
         build_local_tier probes)."""
-        new_tier = tier.patched(ins_rows, del_rows)
+        new_tier = tier.patched(ins_rows, del_rows, new_terms)
         if new_tier.nrows > self.local_tier_rows:
             new_tier = None
         self._local_tier_state = (self._graph_generation, new_tier)
@@ -373,7 +376,12 @@ class Engine:
             tier.v2h[v] = h
             if v.startswith('"'):
                 tier.is_lit.add(h)
-        self._retier(tier, rows, np.empty(0, dtype=np.int64))
+        self._retier(
+            tier,
+            rows,
+            np.empty(0, dtype=np.int64),
+            [(h, v) for v, h in new_terms.items()],
+        )
         return {"triples_inserted": len(data), "terms_inserted": len(new_terms)}
 
     def _mutate_delete_tier(self, tier, data: list[dict], are_hashes: bool) -> dict:

@@ -156,6 +156,16 @@ def test_patched_tier_equals_rebuilt_tier(mutated_pair):
     # distributed terms frame keeps them, so the dicts must MATCH.
     assert patched.h2v == rebuilt.h2v
     assert patched.is_lit == rebuilt.is_lit
+    # the O(n)-merged indexes must be EXACTLY what a stable argsort
+    # would have produced (ties ordered by row id — the property every
+    # searchsorted probe and the sp() stored-order contract rely on)
+    assert np.array_equal(patched._s_order, np.argsort(patched.s, kind="stable"))
+    assert np.array_equal(patched._s_sorted, patched.s[patched._s_order])
+    assert np.array_equal(patched._o_order, np.argsort(patched.o, kind="stable"))
+    assert np.array_equal(patched._o_sorted, patched.o[patched._o_order])
+    assert np.array_equal(patched._th_sorted, np.sort(patched._th_sorted))
+    got = {int(h): v for h, v in zip(patched._th_sorted, patched._tv_sorted)}
+    assert got == patched.h2v
 
 
 def test_tier_mutation_is_zero_jobs(spark):
