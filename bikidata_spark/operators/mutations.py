@@ -141,7 +141,12 @@ def delete_hashes(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
     if no_o:
         rows = [(_hash_to_long(d["s"]), _hash_to_long(d["p"]), g_of(d)) for d in no_o]
         hashed = spark.createDataFrame(rows, "s long, p long, g long")
-        triples = triples.join(hashed, ["s", "p", "g"], "left_anti")
+        # a USING-join moves its keys to the front (s, p, g, o); restore
+        # the canonical order — a later insert unions POSITIONALLY, and
+        # without this its o lands in the g column
+        triples = triples.join(hashed, ["s", "p", "g"], "left_anti").select(
+            "s", "p", "o", "g"
+        )
     new_graph = Graph(triples=triples, terms=graph.terms)
     return new_graph, {"triples_deleted": len(data)}
 
@@ -181,7 +186,12 @@ def delete(graph: Graph, data: list[dict], are_hashes: bool = False) -> tuple[Gr
         n_match = triples.join(hashed, ["s", "p", "g"], "left_semi").count()
         if n_match == 0:
             return graph, {"error": "Triple does not exist, skipping delete"}
-        triples = triples.join(hashed, ["s", "p", "g"], "left_anti")
+        # a USING-join moves its keys to the front (s, p, g, o); restore
+        # the canonical order — a later insert unions POSITIONALLY, and
+        # without this its o lands in the g column
+        triples = triples.join(hashed, ["s", "p", "g"], "left_anti").select(
+            "s", "p", "o", "g"
+        )
 
     new_graph = Graph(triples=triples, terms=graph.terms)
     return new_graph, {"triples_deleted": len(data)}

@@ -313,20 +313,47 @@ class Engine:
                 else:
                     new_graph, result = _op_delete(self.graph, data, are_hashes=are_hashes)
                 if "error" not in result:
-                    self.replace_graph(new_graph)
+                    if action == "delete":
+                        # deletes never shrink the term dictionary, so
+                        # the FTS index survives (_swap_graph_keep_fts)
+                        self._swap_graph_keep_fts(new_graph)
+                    else:
+                        self.replace_graph(new_graph)
                 return result
             if action == "insert":
                 return self._mutate_insert_tier(tier, data)
             return self._mutate_delete_tier(tier, data, are_hashes)
 
-    def _retier(self, tier, ins_rows: list, del_rows, new_terms=()) -> None:
+    def _retier(self, tier, ins_rows: list, del_rows, new_terms=(), keep_fts=False) -> None:
         """Swap the patched mirror in under the post-bump generation;
         an over-cap result demotes to the distributed path (same cap
-        build_local_tier probes)."""
+        build_local_tier probes). ``keep_fts`` carries the tier's lazy
+        FTS mirror over (see _swap_graph_keep_fts for when that's
+        sound)."""
         new_tier = tier.patched(ins_rows, del_rows, new_terms)
+        if keep_fts:
+            new_tier._fts_state = tier._fts_state
         if new_tier.nrows > self.local_tier_rows:
             new_tier = None
         self._local_tier_state = (self._graph_generation, new_tier)
+
+    def _swap_graph_keep_fts(self, graph: Graph) -> None:
+        """replace_graph, preserving the built FTS index.
+
+        The FTS index is a pure function of the literal TERM DICTIONARY
+        (build_fts_index over graph.literals() — operators/fts.py:453),
+        and the dictionary only ever GROWS (the reference never
+        garbage-collects terms, query.py:505-507). So a DELETE never
+        invalidates it, and an insert only does when it mints a NEW
+        literal term; for every other mutation, dropping the index
+        forced the next fts query to pay a full rebuild (~1-2 s at
+        sf0.1) for nothing. Callers must have checked the new-literal
+        condition."""
+        saved, self._fts = self._fts, None
+        try:
+            self.replace_graph(graph)
+        finally:
+            self._fts = saved
 
     def _mutate_insert_tier(self, tier, data: list[dict]) -> dict:
         from ..functions.xxh import term_id
@@ -367,7 +394,11 @@ class Engine:
                     "hash long, value string, is_literal boolean",
                 )
             )
-        self.replace_graph(Graph(triples=triples, terms=terms))
+        keep_fts = not any(v.startswith('"') for v in new_terms)
+        if keep_fts:
+            self._swap_graph_keep_fts(Graph(triples=triples, terms=terms))
+        else:
+            self.replace_graph(Graph(triples=triples, terms=terms))
         # dict adds are append-only and precede the state swap, so the
         # patched tier never sees a missing term (old-tier readers are
         # unaffected: no old row references a new hash)
@@ -381,6 +412,7 @@ class Engine:
             rows,
             np.empty(0, dtype=np.int64),
             [(h, v) for v, h in new_terms.items()],
+            keep_fts=keep_fts,
         )
         return {"triples_inserted": len(data), "terms_inserted": len(new_terms)}
 
@@ -421,13 +453,20 @@ class Engine:
                 probe = spark.createDataFrame(
                     [(s, p, g) for s, p, _, g in no_o], "s long, p long, g long"
                 )
-                triples = triples.join(probe, ["s", "p", "g"], "left_anti")
+                # a USING-join moves its keys to the FRONT of the output —
+                # re-select the canonical order or the next positional
+                # unionAll writes o into g (pinned by
+                # test_wildcard_delete_then_insert_keeps_columns)
+                triples = triples.join(probe, ["s", "p", "g"], "left_anti").select(
+                    "s", "p", "o", "g"
+                )
             del_rows = [tier.pattern_rows(s, p, o, g) for s, p, o, g in with_o + no_o]
-            self.replace_graph(Graph(triples=triples, terms=self.graph.terms))
+            self._swap_graph_keep_fts(Graph(triples=triples, terms=self.graph.terms))
             self._retier(
                 tier,
                 [],
                 np.unique(np.concatenate(del_rows)) if del_rows else np.empty(0, np.int64),
+                keep_fts=True,
             )
             return {"triples_deleted": len(data)}
 
@@ -469,13 +508,18 @@ class Engine:
             probe = spark.createDataFrame(
                 [(s, p, g) for s, p, _, g in pats], "s long, p long, g long"
             )
-            triples = triples.join(probe, ["s", "p", "g"], "left_anti")
+            # USING-join reorders keys to the front — restore canonical
+            # column order (see the are_hashes path above)
+            triples = triples.join(probe, ["s", "p", "g"], "left_anti").select(
+                "s", "p", "o", "g"
+            )
             del_sets.extend(matched)
-        self.replace_graph(Graph(triples=triples, terms=self.graph.terms))
+        self._swap_graph_keep_fts(Graph(triples=triples, terms=self.graph.terms))
         self._retier(
             tier,
             [],
             np.unique(np.concatenate(del_sets)) if del_sets else np.empty(0, np.int64),
+            keep_fts=True,
         )
         return {"triples_deleted": len(data)}
 

@@ -51,21 +51,28 @@ class Serving:
     Spark scheduler multiplexes their jobs over the executor pool; set
     ``spark.scheduler.mode=FAIR`` for round-robin instead of FIFO).
 
-    The default of 16 comes from the r6 sweep (tools/serving_sweep.py,
-    sf0.1, 48 concurrent mixed clients, FAIR, local[32]):
+    The default of 16 comes from the worker sweeps
+    (tools/serving_sweep.py, sf0.1, 48 concurrent mixed clients, FAIR,
+    local[32]). r6, distributed point path:
 
         workers   4     8     16    32
         QPS       1.75  2.42  2.82  2.81
         p95 s     26.1  19.7  16.8  16.9
 
-    Throughput knees at 16 — beyond it the driver, not the executor
-    pool, is the bottleneck: every in-flight query contends on the
-    Python GIL and the py4j gateway for plan construction and
-    job submission, so more threads only add queue wait. (The
-    reference sidesteps this with forked worker PROCESSES,
-    workers.py:23-56; a multiprocess front-end over one shared
-    SparkContext is the equivalent escape hatch if driver-side CPU
-    ever dominates a deployment.)
+    r8 continuation, local tier resident (queries are driver-side
+    numpy — pure GIL work, no Spark jobs):
+
+        workers   4      8      16     32
+        QPS       75.1   73.7   70.5   60.9
+        p50 s     0.29   0.23   0.17   0.20
+
+    With the tier, QPS is flat to 16 and degrades at 32 (GIL
+    contention), while p50 bottoms at 16; on the distributed fallback
+    (over-cap stores) 16 is the throughput knee. 16 is right for both
+    regimes. (The reference sidesteps the GIL with forked worker
+    PROCESSES, workers.py:23-56; a multiprocess front-end over one
+    shared SparkContext is the equivalent escape hatch if driver-side
+    CPU ever dominates a deployment.)
     """
 
     def __init__(self, engine: Engine, num_workers: int = 16):

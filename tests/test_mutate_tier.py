@@ -254,3 +254,78 @@ def test_serving_mutations_keep_tier_warm(spark):
     assert r3["triples_deleted"] == 1
     st = eng._local_tier_state
     assert st is not None and st[0] == eng._graph_generation and st[1] is not None
+
+
+def test_fts_index_survives_nonliteral_mutations(spark):
+    """The FTS index is a function of the literal term dictionary: a
+    delete or an IRI-only insert must NOT drop it (no rebuild on the
+    next fts query), while an insert minting a new literal term must.
+    Scores after preservation must equal a from-scratch engine's."""
+    tiered = _mk_engine(spark, tier=True)
+    r0 = tiered.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 5})
+    fts0 = tiered._fts
+    assert fts0 is not None
+    tier0 = tiered._local_tier()
+    assert tiered.mutate("insert", [{"s": "<k/1>", "p": "<p/peer>", "o": "<m/1>"}]) == {
+        "triples_inserted": 1,
+        "terms_inserted": 1,
+    }
+    assert tiered.mutate("delete", [{"s": "<k/1>", "p": "<p/peer>"}])["triples_deleted"] == 1
+    assert tiered._fts is fts0  # preserved across both swaps
+    # the tier's lazy fts mirror carried over too (no re-collect)
+    assert tiered._local_tier()._fts_state is tier0._fts_state
+    r1 = tiered.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 5, "use_cache": False})
+    fresh = _mk_engine(spark, tier=True)
+    r2 = fresh.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 5})
+    assert r1 == r0 == r2  # BM25 scores identical to a from-scratch build
+    # a NEW literal term invalidates: next fts query must see it
+    tiered.mutate("insert", [{"s": "<k/2>", "p": "<p/desc>", "o": '"alpha kappa item"'}])
+    assert tiered._fts is None
+    r3 = tiered.query({"filters": [{"p": "fts", "o": "kappa"}], "size": 5, "use_cache": False})
+    assert r3["total"] == 1
+    plain = Engine_of(tiered)
+    r4 = plain.query({"filters": [{"p": "fts", "o": "kappa"}], "size": 5, "use_cache": False})
+    assert r3 == r4
+
+
+def Engine_of(eng):
+    """Distributed-only engine over the SAME (post-mutation) graph."""
+    from bikidata_spark import Engine
+
+    return Engine(eng.graph, local_tier_rows=0)
+
+
+def test_wildcard_delete_then_insert_keeps_columns(spark):
+    """A USING-join (wildcard delete's ["s","p","g"] anti-join) moves
+    its keys to the front of the output; without a canonical re-select
+    the NEXT insert's positional unionAll writes o into the g column —
+    on the tier path AND the distributed operators path. Pin both."""
+    from bikidata_spark.functions.xxh import term_id
+
+    for tier in (True, False):
+        eng = _mk_engine(spark, tier=tier)
+        if tier:
+            eng.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})
+        assert eng.mutate("insert", [{"s": "<w/1>", "p": "<p/w>", "o": '"wv"'}])[
+            "triples_inserted"
+        ] == 1
+        assert eng.mutate("delete", [{"s": "<w/1>", "p": "<p/w>"}])["triples_deleted"] == 1
+        assert eng.graph.triples.columns == ["s", "p", "o", "g"]
+        assert eng.mutate("insert", [{"s": "<w/2>", "p": "<p/w>", "o": '"wv2"'}])[
+            "triples_inserted"
+        ] == 1
+        row = [
+            tuple(r)
+            for r in eng.graph.triples.filter(
+                eng.graph.triples.s == term_id("<w/2>")
+            ).collect()
+        ]
+        assert row == [
+            (term_id("<w/2>"), term_id("<p/w>"), term_id('"wv2"'), term_id(""))
+        ], f"tier={tier}: {row}"
+        # hash-addressed wildcard path too
+        assert eng.mutate(
+            "delete", [{"s": str(term_id("<w/2>")), "p": str(term_id("<p/w>"))}],
+            are_hashes=True,
+        )["triples_deleted"] == 1
+        assert eng.graph.triples.columns == ["s", "p", "o", "g"]
