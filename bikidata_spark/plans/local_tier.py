@@ -444,6 +444,46 @@ class LocalTier:
         kept = keep[order]
         return sorted_vals[kept], new_id[order[kept]]
 
+    def properties_rows(self) -> list:
+        """Mirror of Engine.properties (reference query.py:20-27):
+        (property value, distinct-subject count) for IRI properties.
+        Distinct (p, s) pairs via lexsort + adjacent-dedup, memoized
+        per tier (pure function of the quad arrays)."""
+        rows = getattr(self, "_properties_rows", None)
+        if rows is None:
+            order = np.lexsort((self.s, self.p))
+            p, s = self.p[order], self.s[order]
+            first = np.ones(p.size, dtype=bool)
+            first[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+            up = p[first]
+            pvals, counts = np.unique(up, return_counts=True)
+            vals, found = self._values_of(pvals)
+            rows = [
+                (v, int(c))
+                for v, c, h, f in zip(vals, counts, pvals.tolist(), found)
+                if f and h not in self.is_lit  # iris() join keeps IRIs only
+            ]
+            self._properties_rows = rows
+        return rows
+
+    def count_by_property_rows(self, prop: str) -> list:
+        """Mirror of Engine.count_by_property (reference query.py:30-35):
+        (object value, distinct-subject count) for one property."""
+        from ..functions.xxh import term_id
+
+        mask = self.p == term_id(prop)
+        o, s = self.o[mask], self.s[mask]
+        order = np.lexsort((s, o))
+        o, s = o[order], s[order]
+        first = np.ones(o.size, dtype=bool)
+        first[1:] = (o[1:] != o[:-1]) | (s[1:] != s[:-1])
+        uo = o[first]
+        ovals, counts = np.unique(uo, return_counts=True)
+        vals, found = self._values_of(ovals)
+        return [
+            (v, int(c)) for v, c, f in zip(vals, counts, found) if f
+        ]
+
     def patched(self, ins_rows: list, del_rows: np.ndarray, new_terms=()) -> "LocalTier":
         """New tier with ``del_rows`` (row indexes) removed and
         ``ins_rows`` ((s,p,o,g) hash tuples) appended at the end —

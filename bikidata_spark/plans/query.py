@@ -2332,7 +2332,14 @@ class Engine:
 
     def properties(self) -> DataFrame:
         """(val, count) distinct-subject count per property
-        (reference query.py:20-27)."""
+        (reference query.py:20-27). A resident local tier serves the
+        (schema-bounded) result as a LocalRelation — one local-scan
+        task instead of a corpus-wide count_distinct shuffle."""
+        tier = self._local_tier()
+        if tier is not None:
+            return self.graph.spark.createDataFrame(
+                tier.properties_rows(), "val string, count long"
+            )
         t = self.graph.triples
         g = t.groupBy("p").agg(F.count_distinct("s").alias("count"))
         iris = self.graph.iris().select("hash", F.col("value").alias("val"))
@@ -2343,7 +2350,13 @@ class Engine:
 
     def count_by_property(self, prop: str) -> DataFrame:
         """object-value → distinct-subject count for one property
-        (reference query.py:30-35)."""
+        (reference query.py:30-35). Tier-served as a LocalRelation when
+        the mirror is resident (see properties())."""
+        tier = self._local_tier()
+        if tier is not None:
+            return self.graph.spark.createDataFrame(
+                tier.count_by_property_rows(prop), "val string, count long"
+            )
         t = self.graph.triples.filter(F.col("p") == H(prop))
         g = t.groupBy("o").agg(F.count_distinct("s").alias("count"))
         terms = self.graph.terms.select("hash", F.col("value").alias("val"))

@@ -425,3 +425,17 @@ def test_spo_bails_for_oversized_patterns(pair):
     tiered, _ = pair
     t = tiered._local_tier()
     assert t.spo_rows(None, None, None, None, 10, 0, max_rows=5) is None
+
+
+def test_properties_and_count_by_property_match_distributed(pair):
+    """Engine.properties / count_by_property serve from the tier as
+    LocalRelations; row sets must equal the distributed count_distinct
+    aggregations exactly."""
+    tiered, plain = pair
+    a = sorted(tuple(r) for r in tiered.properties().collect())
+    b = sorted(tuple(r) for r in plain.properties().collect())
+    assert a == b and a
+    for prop in ("<p/type>", "<p/cat>", "<p/num>", "<nosuch>"):
+        a = sorted(tuple(r) for r in tiered.count_by_property(prop).collect())
+        b = sorted(tuple(r) for r in plain.count_by_property(prop).collect())
+        assert a == b, prop
