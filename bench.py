@@ -456,6 +456,24 @@ def main() -> None:
         t0 = time.perf_counter()
         serving_stats["fair"] = _serving_workload(feng, qvec)
         times["q_serving_concurrent"] = round(time.perf_counter() - t0, 3)
+
+        # serving mutations (r8 continuation): 8 insert → point-query →
+        # delete cycles through Engine.mutate — zero Spark jobs with the
+        # tier resident (guards are sorted-array probes, the mirror is
+        # patched, not re-collected; plans/query.Engine.mutate)
+        t0 = time.perf_counter()
+        for i in range(8):
+            r1 = feng.mutate(
+                "insert",
+                [{"s": f"<bench/m{i}>", "p": "<bench/p>", "o": f'"bench value {i}"'}],
+            )
+            r2 = feng.query(
+                {"filters": [{"p": "<bench/p>", "o": f'"bench value {i}"'}],
+                 "size": 2, "use_cache": False}
+            )
+            r3 = feng.mutate("delete", [{"s": f"<bench/m{i}>", "p": "<bench/p>"}])
+            assert "error" not in r1 and "error" not in r3 and r2["total"] == 1
+        times["q_serving_mutations"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(sstore, ignore_errors=True)
 
