@@ -138,6 +138,11 @@ def tokens_col(col, strip_accents: bool = False):
 
 
 def tokenize_query(text: str, stem: bool = False, strip_accents: bool = False) -> list[str]:
+    # Python str.lower matches Spark's UTF8String lower on everything
+    # that can reach an [a-z0-9] token — including İ (U+0130), which
+    # BOTH lower to 'i' + combining dot (the mark is a separator).
+    # DuckDB's utf8proc maps İ to a bare 'i' instead; that is an
+    # oracle-side quirk, not an engine one (see the three-way fuzz).
     s = text.lower()
     if strip_accents:
         s = strip_accents_py(s)
@@ -177,6 +182,20 @@ class FtsIndex:
     _heavy_memo: dict | None = None
     # LRU of exact df per already-probed query token (see term_dfs)
     _df_lru: dict | None = None
+    # exact corpus token count (sum of dl over docs) — the integer
+    # numerator of avgdl, carried so with_new_literals can update avgdl
+    # BIT-IDENTICALLY to a rebuild (dl sums are ints, exact in doubles
+    # below 2^53; the single fl(S/N) division then matches Spark's avg).
+    # None on indexes opened from pre-r8 stores — backfilled lazily.
+    total_dl: int | None = None
+    # how many incremental unions deep this index is (with_new_literals
+    # chains a LocalRelation per batch; past a depth cap the caller
+    # should rebuild rather than grow the plan unboundedly)
+    _union_depth: int = 0
+    # the collected (lit, token, tf, dl) rows of the LAST incremental
+    # batch — consumed by LocalTier.carry_fts_mirror to patch the
+    # driver-side postings mirror without re-collecting the corpus
+    _last_increment: list | None = None
 
     def heavy_tokens(self) -> dict:
         if self._heavy_memo is None:
@@ -241,6 +260,123 @@ class FtsIndex:
             # partition-pruned: only these directories are listed/read
             cond = F.col("bucket").isin(buckets) & cond
         return df.filter(cond)
+
+    def with_new_literals(self, lits: list) -> "FtsIndex | None":
+        """Incrementally indexed copy for newly-inserted literal terms
+        — the mutation-path alternative to dropping the index and
+        re-tokenizing the whole corpus on the next fts query.
+
+        ``lits`` is [(hash, value)] of literals NEW to the term
+        dictionary (Engine.mutate knows this set exactly). One
+        request-sized job tokenizes them with the SAME build expressions
+        (tokens_col/token_postings — identical stemming, accents,
+        tf/dl); the collected rows then extend every structure:
+
+        - postings/doc_len: unionAll of a LocalRelation (the persisted
+          corpus scan is untouched; the tiny branch rides along).
+        - token_df: outer-merge with the per-token df increments —
+          exact integer arithmetic, so a no-dfs ``match`` joins the
+          same df a rebuild would produce.
+        - n_docs/avgdl: avgdl = total_dl/n_docs over exact ints — the
+          one float division, bit-identical to the rebuild's avg (dl
+          sums are exact in doubles below 2^53).
+        - heavy memo / df LRU: carried with driver-side increments. (A
+          token crossing BROADCAST_SAFE_DF mid-stream that was never
+          LRU-probed stays out of the heavy memo until the next probe;
+          match_upper_bound's bound is then off by at most the
+          request-sized increment — harmless against the gate margins.)
+
+        Returns None (caller should drop + rebuild) past a union-depth
+        cap: every batch chains one LocalRelation into the plan, and an
+        unbounded chain would bloat planning time. Rebuild equivalence
+        is pinned by tests/test_mutate_tier.py against a from-scratch
+        engine, scores compared exactly."""
+        if self._union_depth >= 64:
+            return None
+        spark = self.postings.sparkSession
+        total_dl = self.total_dl
+        if total_dl is None:  # pre-r8 store: backfill the exact numerator once
+            total_dl = int(
+                self.doc_len.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+            )
+        # tokenize DRIVER-SIDE, zero jobs: tokenize_query is fuzz-pinned
+        # element-identical to the JVM tokens_col (tests/
+        # test_cross_engine_fuzz.py), porter_stem to the JVM stemmer
+        # (three-engine fuzz), and _token_bucket to the bucket column —
+        # so these rows are byte-what the build pipeline would emit,
+        # re-checked end-to-end by the exact-score rebuild-equality test
+        rows: list[dict] = []
+        for lit, value in lits:
+            toks = tokenize_query(value, stem=False, strip_accents=self.strip)
+            if not toks:
+                continue
+            dl = len(toks)  # dl = occurrence count, invariant under stem re-agg
+            counts: dict[str, int] = {}
+            for t in (porter_stem(x) for x in toks) if self.stem else toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, tf in sorted(counts.items()):
+                d = {"lit": int(lit), "token": t, "tf": tf, "dl": dl}
+                if self.num_buckets:
+                    d["bucket"] = _token_bucket(t, self.num_buckets)
+                rows.append(d)
+        if not rows:
+            # every new literal tokenized to nothing: corpus unchanged
+            return self
+        pcols = self.postings.columns
+        postings2 = self.postings.unionAll(
+            spark.createDataFrame([tuple(r[c] for c in pcols) for r in rows],
+                                  self.postings.schema)
+        )
+        doc_rows = sorted({(int(r["lit"]), int(r["dl"])) for r in rows})
+        doc_len2 = self.doc_len.unionAll(
+            spark.createDataFrame(doc_rows, self.doc_len.schema)
+        )
+        inc: dict[str, int] = {}
+        for r in rows:
+            inc[r["token"]] = inc.get(r["token"], 0) + 1
+        delta = spark.createDataFrame(
+            sorted(inc.items()), "token string, _d long"
+        )
+        tcols = self.token_df.columns
+        merged = self.token_df.join(delta, "token", "full").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("_d"), F.lit(0))
+        )
+        if "bucket" in tcols:
+            merged = merged.withColumn(
+                "bucket",
+                F.coalesce(
+                    F.col("bucket"), _token_bucket_col(F.col("token"), self.num_buckets)
+                ),
+            )
+        token_df2 = merged.select(*tcols)
+        n_docs2 = self.n_docs + len({int(r["lit"]) for r in rows})
+        total_dl2 = total_dl + sum(int(r["tf"]) for r in rows)
+        heavy = dict(self._heavy_memo) if self._heavy_memo is not None else None
+        lru = dict(self._df_lru) if self._df_lru else {}
+        for t, c in inc.items():
+            if heavy is not None and t in heavy:
+                heavy[t] += c
+            elif t in lru:
+                lru[t] += c
+                if heavy is not None and lru[t] > BROADCAST_SAFE_DF:
+                    heavy[t] = lru.pop(t)
+            # tokens never probed stay out of both memos — the next
+            # term_dfs probe reads the merged token_df (exact)
+        return FtsIndex(
+            postings=postings2,
+            token_df=token_df2,
+            doc_len=doc_len2,
+            n_docs=n_docs2,
+            avgdl=total_dl2 / n_docs2,
+            num_buckets=self.num_buckets,
+            stem=self.stem,
+            strip=self.strip,
+            _heavy_memo=heavy,
+            _df_lru=lru,
+            total_dl=total_dl2,
+            _union_depth=self._union_depth + 1,
+            _last_increment=rows,
+        )
 
     def match(
         self, text: str, conjunctive: bool = True, dfs: dict | None = None
@@ -481,7 +617,11 @@ def build_fts_index(
     # constant within a lit); only the store write path and old-layout
     # fallbacks read this frame
     doc_len = postings.groupBy("lit").agg(F.max("dl").alias("dl"))
-    stats = doc_len.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = doc_len.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_dl"),
+    ).collect()[0]
     return FtsIndex(
         postings=postings,
         token_df=token_df,
@@ -490,4 +630,5 @@ def build_fts_index(
         avgdl=float(stats["avgdl"] or 1.0),
         stem=stem,
         strip=strip_accents,
+        total_dl=int(stats["total_dl"] or 0),
     )

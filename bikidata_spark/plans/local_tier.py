@@ -626,6 +626,42 @@ class LocalTier:
             tok2rows[toks_s[a]] = (lits[idx], tfs[idx], dls[idx])
         return _LocalFts(tok2rows, index.n_docs, float(index.avgdl), index.stem, index.strip)
 
+    def carry_fts_mirror(self, new_index):
+        """Patched _LocalFts for an incrementally-updated FtsIndex
+        (FtsIndex.with_new_literals): append the batch's collected
+        posting rows to a COPY of the resident mirror's token map and
+        re-stamp n_docs/avgdl. Per-term arrays carry one row per lit,
+        so append order cannot change any BM25 sum. Returns None when
+        no mirror is resident (the lazy rebuild path handles it)."""
+        st = self._fts_state
+        rows = getattr(new_index, "_last_increment", None)
+        if st is None or st[1] is None or rows is None:
+            return None
+        old = st[1]
+        tok2rows = dict(old.tok2rows)
+        by_tok: dict = {}
+        for r in rows:
+            by_tok.setdefault(r["token"], []).append(
+                (int(r["lit"]), float(r["tf"]), float(r["dl"]))
+            )
+        for t, lst in by_tok.items():
+            lits = np.array([x[0] for x in lst], dtype=np.int64)
+            tfs = np.array([x[1] for x in lst], dtype=np.float64)
+            dls = np.array([x[2] for x in lst], dtype=np.float64)
+            if t in tok2rows:
+                ol, ot, od = tok2rows[t]
+                tok2rows[t] = (
+                    np.concatenate([ol, lits]),
+                    np.concatenate([ot, tfs]),
+                    np.concatenate([od, dls]),
+                )
+            else:
+                tok2rows[t] = (lits, tfs, dls)
+        return _LocalFts(
+            tok2rows, new_index.n_docs, float(new_index.avgdl),
+            new_index.stem, new_index.strip,
+        )
+
     # ---- semantic mirror -----------------------------------------------
 
     def _local_semantic(self, engine):

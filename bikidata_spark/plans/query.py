@@ -394,11 +394,31 @@ class Engine:
                     "hash long, value string, is_literal boolean",
                 )
             )
-        keep_fts = not any(v.startswith('"') for v in new_terms)
-        if keep_fts:
-            self._swap_graph_keep_fts(Graph(triples=triples, terms=terms))
+        new_lits = [(h, v) for v, h in new_terms.items() if v.startswith('"')]
+        g2 = Graph(triples=triples, terms=terms)
+        fts_upd = None
+        if not new_lits:
+            # no new literal terms: the FTS corpus is unchanged —
+            # preserve the built index outright
+            self._swap_graph_keep_fts(g2)
         else:
-            self.replace_graph(Graph(triples=triples, terms=terms))
+            # new literal docs: extend the built index incrementally
+            # (one request-sized job) instead of dropping it; falls
+            # back to drop-and-rebuild past the union-depth cap or
+            # when no index was built yet
+            if self._fts is not None:
+                fts_upd = self._fts.with_new_literals(new_lits)
+            if fts_upd is not None:
+                saved, self._fts = fts_upd, None
+                try:
+                    # _fts=None skips replace_graph's unpersist — the
+                    # updated index's union lineage REUSES the old
+                    # postings cache, which must stay alive
+                    self.replace_graph(g2)
+                finally:
+                    self._fts = saved
+            else:
+                self.replace_graph(g2)
         # dict adds are append-only and precede the state swap, so the
         # patched tier never sees a missing term (old-tier readers are
         # unaffected: no old row references a new hash)
@@ -412,8 +432,14 @@ class Engine:
             rows,
             np.empty(0, dtype=np.int64),
             [(h, v) for v, h in new_terms.items()],
-            keep_fts=keep_fts,
+            keep_fts=not new_lits,
         )
+        if fts_upd is not None:
+            st = self._local_tier_state
+            if st is not None and st[1] is not None:
+                lf = tier.carry_fts_mirror(fts_upd)
+                if lf is not None:
+                    st[1]._fts_state = (fts_upd, lf)
         return {"triples_inserted": len(data), "terms_inserted": len(new_terms)}
 
     def _mutate_delete_tier(self, tier, data: list[dict], are_hashes: bool) -> dict:

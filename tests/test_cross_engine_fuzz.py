@@ -82,7 +82,20 @@ def test_tokenizer_three_way(spark):
     texts = [
         "".join(rng.choice(string.printable[:70] + accents) for _ in range(rng.randint(0, 60)))
         for _ in range(200)
-    ] + ["Zürich café ñandú", "ŻABA żaba", "naïve Noël"]
+    ] + [
+        "Zürich café ñandú",
+        "ŻABA żaba",
+        "naïve Noël",
+        # hostile case-mapping inputs: the incremental FTS path
+        # (FtsIndex.with_new_literals) tokenizes INDEX documents with
+        # the Python tokenizer, so lower/translate must agree with the
+        # JVM on these too (Turkish İ, ß/ẞ, ligatures, combining marks)
+        "İstanbul STRASSE ß ẞ ﬁle ﬂow",
+        "i̇ İ İı",
+        "ǅungla ǱǲǳǄǆ",
+        "ﬀoo ﬃx ﬆop",
+        "Σίσυφος ΣΙΣΥΦΟΣ σ ς",
+    ]
     py = [tokenize_query(t, strip_accents=True) for t in texts]
     sdf = spark.createDataFrame([(t,) for t in texts], "t string")
     sp = [r["o"] for r in sdf.select(tokens_col(F.col("t"), strip_accents=True).alias("o")).collect()]
@@ -95,7 +108,14 @@ def test_tokenizer_three_way(spark):
             f"SELECT list_filter(string_split_regex({strip_accents_sql('lower(t)')}, '[^a-z0-9]+'), x -> x != '') FROM txts"
         ).fetchall()
     ]
-    assert py == sp == dk
+    # the ENGINE contract is py == sp on everything (the incremental
+    # FTS path tokenizes index documents in Python, the build in the
+    # JVM); both lower İ (U+0130) to 'i' + combining dot. DuckDB's
+    # utf8proc lowers it to a bare 'i' — an oracle-side quirk, so the
+    # DuckDB leg skips İ-bearing inputs.
+    assert py == sp
+    no_i = [i for i, t in enumerate(texts) if "İ" not in t]
+    assert [py[i] for i in no_i] == [dk[i] for i in no_i]
 
 
 def test_strip_accents_map():

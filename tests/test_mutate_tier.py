@@ -278,9 +278,11 @@ def test_fts_index_survives_nonliteral_mutations(spark):
     fresh = _mk_engine(spark, tier=True)
     r2 = fresh.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 5})
     assert r1 == r0 == r2  # BM25 scores identical to a from-scratch build
-    # a NEW literal term invalidates: next fts query must see it
+    # a NEW literal term extends the index in place (incremental path —
+    # test_incremental_fts_equals_rebuild pins exactness); the next fts
+    # query must see the new doc
     tiered.mutate("insert", [{"s": "<k/2>", "p": "<p/desc>", "o": '"alpha kappa item"'}])
-    assert tiered._fts is None
+    assert tiered._fts is not None and tiered._fts is not fts0
     r3 = tiered.query({"filters": [{"p": "fts", "o": "kappa"}], "size": 5, "use_cache": False})
     assert r3["total"] == 1
     plain = Engine_of(tiered)
@@ -329,3 +331,52 @@ def test_wildcard_delete_then_insert_keeps_columns(spark):
             are_hashes=True,
         )["triples_deleted"] == 1
         assert eng.graph.triples.columns == ["s", "p", "o", "g"]
+
+
+def test_incremental_fts_equals_rebuild(spark):
+    """A literal insert EXTENDS the built FTS index incrementally
+    (FtsIndex.with_new_literals — one request-sized job) instead of
+    dropping it; BM25 results must equal a from-scratch engine over the
+    same mutated graph EXACTLY (df/N/avgdl all shift with new docs).
+    The tier's postings mirror is patched, not re-collected."""
+    tiered = _mk_engine(spark, tier=True)
+    r = tiered.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 5})
+    assert r["total"] > 0
+    fts0 = tiered._fts
+    assert fts0 is not None
+    mirror0 = tiered._local_tier()._fts_state
+    assert mirror0 is not None and mirror0[1] is not None
+    # bumps an existing token's df (alpha), mints new tokens (kappa,
+    # etude via accent strip), tf>1 (kappa kappa), two new docs
+    sc = spark.sparkContext
+    sc.setJobGroup("lit-insert-zero-jobs", "probe")
+    try:
+        res = tiered.mutate(
+            "insert",
+            [
+                {"s": "<f/1>", "p": "<p/desc>", "o": '"Alpha kappa kappa ÉTUDE item"'},
+                {"s": "<f/2>", "p": "<p/desc>", "o": '"kappa beta"'},
+            ],
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("lit-insert-zero-jobs")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []  # tokenization is driver-side — no job even here
+    assert res["triples_inserted"] == 2
+    assert tiered._fts is not None and tiered._fts is not fts0  # updated in place
+    assert tiered._fts._union_depth == 1
+    st = tiered._local_tier()._fts_state
+    assert st is not None and st[0] is tiered._fts and st[1] is not None
+    assert st[1] is not mirror0[1]  # patched copy, not the stale mirror
+    fresh = Engine_of(tiered)  # rebuilds everything from scratch
+    for q in ("alpha", "kappa", "alpha beta", "étude", "beta gamma item", "kappa beta"):
+        a = tiered.query({"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False})
+        b = fresh.query({"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False})
+        assert a == b, f"diverged on fts {q!r}"
+    # a token-free literal leaves the corpus unchanged: same index object
+    f1 = tiered._fts
+    tiered.mutate("insert", [{"s": "<f/3>", "p": "<p/desc>", "o": '"..."'}])
+    assert tiered._fts is f1
+    # stats must still match a rebuild after the no-op
+    fresh2 = Engine_of(tiered)
+    assert (tiered.fts.n_docs, tiered.fts.avgdl) == (fresh2.fts.n_docs, fresh2.fts.avgdl)
