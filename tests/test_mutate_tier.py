@@ -380,3 +380,56 @@ def test_incremental_fts_equals_rebuild(spark):
     # stats must still match a rebuild after the no-op
     fresh2 = Engine_of(tiered)
     assert (tiered.fts.n_docs, tiered.fts.avgdl) == (fresh2.fts.n_docs, fresh2.fts.avgdl)
+
+
+def test_order_caches_carry_across_disjoint_mutations(spark):
+    """The tier's order-key maps / global page orders survive mutations
+    that provably can't affect them (edge on an existing subject,
+    non-footprint property) and are dropped + rebuilt correctly when
+    they could (label change, new subject, vanished subject)."""
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    tiered = _mk_engine(spark, tier=True)
+    plain = _mk_engine(spark, tier=False)
+    opts = {
+        "filters": [{"p": "<p/type>", "o": "<t/1>"}],
+        "size": 400,
+        "order": {"by": "label"},
+        "use_cache": False,
+    }
+
+    def both(action, data):
+        a = tiered.mutate(action, [dict(d) for d in data])
+        b = plain.mutate(action, [dict(d) for d in data])
+        assert a == b and "error" not in a, (a, b)
+
+    def check():
+        assert tiered.query(dict(opts)) == plain.query(dict(opts))
+
+    tiered.query(dict(opts))
+    assert tiered._local_tier()._global_orders
+    # 1. edge insert on an EXISTING subject, non-label property → carried
+    both("insert", [{"s": "<m/1>", "p": "<p/peer>", "o": "<m/2>"}])
+    assert tiered._local_tier()._global_orders, "cache should carry"
+    check()
+    # 2. label insert on an existing UNLABELED subject → dropped, and the
+    # rebuilt order must place it by its new label (staleness detector:
+    # a wrongly-carried cache would leave it in the nulls bucket)
+    both("insert", [{"s": "<m/5>", "p": label, "o": '"AAA comes first"@en'}])
+    assert not tiered._local_tier()._global_orders, "label change must drop"
+    check()
+    # 3. brand-new subject (non-label property) → dropped (it must
+    # appear in the order's nulls bucket)
+    tiered.query(dict(opts))
+    assert tiered._local_tier()._global_orders
+    both("insert", [{"s": "<m/brandnew>", "p": "<p/type>", "o": "<t/1>"}])
+    assert not tiered._local_tier()._global_orders, "new subject must drop"
+    check()
+    # 4. delete non-footprint edge on existing subject → carried
+    tiered.query(dict(opts))
+    both("delete", [{"s": "<m/1>", "p": "<p/peer>", "o": "<m/2>"}])
+    assert tiered._local_tier()._global_orders, "cache should carry"
+    check()
+    # 5. subject vanishes entirely (delete its every row) → dropped
+    both("delete", [{"s": "<m/brandnew>", "p": "<p/type>"}])
+    assert not tiered._local_tier()._global_orders, "vanished subject must drop"
+    check()
