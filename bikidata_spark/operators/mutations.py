@@ -72,12 +72,18 @@ def insert(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
         )
         .join(graph.terms.select("hash"), "hash", "left_anti")
     )
-    n_terms = new_terms.count()
-    new_graph = Graph(
-        triples=graph.triples.unionAll(hashed),
-        terms=graph.terms.unionAll(new_terms),
-    )
-    return new_graph, {"triples_inserted": len(data), "terms_inserted": n_terms}
+    # COLLECT the (request-sized) new terms and union a LocalRelation:
+    # unioning the anti-join expression itself would nest graph.terms
+    # inside the new terms frame, DOUBLING the plan per mutation — at
+    # ~14 chained mutations the 2^N-scan analysis ran for minutes
+    new_rows = new_terms.collect()
+    terms = graph.terms
+    if new_rows:
+        terms = terms.unionAll(
+            graph.spark.createDataFrame(new_rows, graph.terms.schema)
+        )
+    new_graph = Graph(triples=graph.triples.unionAll(hashed), terms=terms)
+    return new_graph, {"triples_inserted": len(data), "terms_inserted": len(new_rows)}
 
 
 def _hash_to_long(h) -> int:

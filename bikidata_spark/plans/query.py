@@ -236,6 +236,30 @@ class Engine:
     # mutations would interleave those (Serving additionally serializes
     # at its layer, but the engine API must be safe on its own)
     _mutate_lock: object = field(default_factory=threading.Lock, repr=False)
+    # CHAINED per-mutation plans are poison: one union/anti-join per
+    # mutation makes every distributed action re-analyze an N-deep tree
+    # (measured: a regex query that takes 1.4 s on a fresh graph fails
+    # to finish in 25 s after 150 chained mutations; a 64-union count
+    # costs ~18 s PER ACTION). The tier path therefore keeps the
+    # mutation delta in DRIVER buffers and rebuilds a CONSTANT-depth
+    # plan per mutation: base → anti-join(all deleted patterns) →
+    # union(one LocalRelation of all surviving inserts). The buffers
+    # fold into a new base via localCheckpoint past this many entries
+    # (the shallow plan checkpoints in ~2 s; amortized sub-ms). The
+    # job-paying no-tier fallback truncates by mutation COUNT at the
+    # same knob. Cluster deployments that cannot tolerate executor-
+    # local checkpoint blocks should route sustained mutation volume
+    # through the durable streaming store (streaming/mutations). 0
+    # disables folding.
+    mutation_fold_rows: int = field(
+        default=int(os.environ.get("BIKIDATA_SPARK_MUTATION_FOLD", "4096"))
+    )
+    # driver-buffered mutation delta: {"base": Graph, "current": Graph,
+    # "ins": [(s,p,o,g)], "del4": [(s,p,o,g)], "del3": [(s,p,g)],
+    # "terms": [(hash, value, is_literal)]} — valid only while
+    # self.graph is st["current"] (an external replace_graph resets)
+    _mut_state: dict | None = field(default=None, repr=False)
+    _mutations_since_ckpt: int = field(default=0, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -319,10 +343,109 @@ class Engine:
                         self._swap_graph_keep_fts(new_graph)
                     else:
                         self.replace_graph(new_graph)
+                    self._maybe_checkpoint_lineage()
                 return result
             if action == "insert":
-                return self._mutate_insert_tier(tier, data)
-            return self._mutate_delete_tier(tier, data, are_hashes)
+                result = self._mutate_insert_tier(tier, data)
+            else:
+                result = self._mutate_delete_tier(tier, data, are_hashes)
+            if "error" not in result:
+                self._maybe_checkpoint_lineage()
+            return result
+
+    def _mut_buffers(self) -> dict:
+        """Get-or-reset the driver-side mutation delta. The buffers are
+        valid only while self.graph is the frame THEY produced; any
+        external replace_graph starts a fresh base."""
+        st = self._mut_state
+        if st is None or st.get("current") is not self.graph:
+            st = self._mut_state = {
+                "base": self.graph,
+                "current": self.graph,
+                "ins": [],
+                "del4": [],
+                "del3": [],
+                "terms": [],
+            }
+        return st
+
+    @staticmethod
+    def _apply_delete_buffers(st: dict, pats4: list, pats3: list) -> None:
+        """Record delete patterns: buffered inserts matching them are
+        removed DRIVER-side (they never reached the base), the patterns
+        themselves anti-join the base in _mutated_graph."""
+        if st["ins"] and (pats4 or pats3):
+            p4 = set(pats4)
+            p3 = set(pats3)
+            st["ins"] = [
+                r
+                for r in st["ins"]
+                if r not in p4 and (r[0], r[1], r[3]) not in p3
+            ]
+        st["del4"].extend(pats4)
+        st["del3"].extend(pats3)
+
+    def _mutated_graph(self, st: dict) -> Graph:
+        """CONSTANT-depth mutated frames from the base + delta buffers:
+        base → anti-join(deleted patterns) → union(surviving inserts).
+        Deletion patterns only ever target BASE rows (a delete hitting
+        a buffered insert removes it from the buffer driver-side), and
+        inserts union in AFTER the anti-joins, so an insert that
+        matches an earlier delete pattern survives — exactly the
+        step-by-step semantics of the chained plan it replaces."""
+        spark = self.graph.spark
+        t = st["base"].triples
+        if st["del4"]:
+            probe = spark.createDataFrame(
+                sorted(set(st["del4"])), "s long, p long, o long, g long"
+            )
+            t = t.join(probe, ["s", "p", "o", "g"], "left_anti")
+        if st["del3"]:
+            probe = spark.createDataFrame(
+                sorted(set(st["del3"])), "s long, p long, g long"
+            )
+            # USING-join reorders keys to the front — restore canonical
+            t = t.join(probe, ["s", "p", "g"], "left_anti").select("s", "p", "o", "g")
+        if st["ins"]:
+            t = t.unionAll(
+                spark.createDataFrame(st["ins"], "s long, p long, o long, g long")
+            )
+        terms = st["base"].terms
+        if st["terms"]:
+            terms = terms.unionAll(
+                spark.createDataFrame(
+                    st["terms"], "hash long, value string, is_literal boolean"
+                )
+            )
+        return Graph(triples=t, terms=terms)
+
+    def _maybe_checkpoint_lineage(self) -> None:
+        """Fold the delta buffers into a new checkpointed base once they
+        grow past mutation_fold_rows (tier path), and truncate the
+        chained no-tier fallback lineage by mutation count. The swap is
+        content-identical — no generation bump, every derived cache
+        stays valid; the two checkpoint jobs are the only Spark work on
+        the mutation path, amortized to noise."""
+        n = self.mutation_fold_rows
+        if not n:
+            return
+        st = self._mut_state
+        buffered = (
+            st is not None
+            and st.get("current") is self.graph
+            and (len(st["ins"]) + len(st["del4"]) + len(st["del3"])) >= n
+        )
+        self._mutations_since_ckpt += 1
+        chained = st is None and self._mutations_since_ckpt >= min(n, 16)
+        if not (buffered or chained):
+            return
+        self._mutations_since_ckpt = 0
+        g2 = Graph(
+            triples=self.graph.triples.localCheckpoint(eager=True),
+            terms=self.graph.terms.localCheckpoint(eager=True),
+        )
+        self.graph = g2
+        self._mut_state = None  # next mutation starts buffers on the new base
 
     def _retier(self, tier, ins_rows: list, del_rows, new_terms=(), keep_fts=False) -> None:
         """Swap the patched mirror in under the post-bump generation;
@@ -383,19 +506,14 @@ class Engine:
                 h = term_id(v)
                 if h not in tier.h2v:
                     new_terms[v] = h
-        spark = self.graph.spark
-        hashed = spark.createDataFrame(rows, "s long, p long, o long, g long")
-        triples = self.graph.triples.unionAll(hashed)
-        terms = self.graph.terms
-        if new_terms:
-            terms = terms.unionAll(
-                spark.createDataFrame(
-                    [(h, v, v.startswith('"')) for v, h in new_terms.items()],
-                    "hash long, value string, is_literal boolean",
-                )
-            )
+        st = self._mut_buffers()
+        st["ins"].extend(rows)
+        st["terms"].extend(
+            (h, v, v.startswith('"')) for v, h in new_terms.items()
+        )
         new_lits = [(h, v) for v, h in new_terms.items() if v.startswith('"')]
-        g2 = Graph(triples=triples, terms=terms)
+        g2 = self._mutated_graph(st)
+        st["current"] = g2
         fts_upd = None
         if not new_lits:
             # no new literal terms: the FTS corpus is unchanged —
@@ -469,25 +587,16 @@ class Engine:
                 ]
             except ValueError as e:
                 return {"error": str(e)}
-            triples = self.graph.triples
-            if with_o:
-                probe = spark.createDataFrame(
-                    [(s, p, o, g) for s, p, o, g in with_o], "s long, p long, o long, g long"
-                )
-                triples = triples.join(probe, ["s", "p", "o", "g"], "left_anti")
-            if no_o:
-                probe = spark.createDataFrame(
-                    [(s, p, g) for s, p, _, g in no_o], "s long, p long, g long"
-                )
-                # a USING-join moves its keys to the FRONT of the output —
-                # re-select the canonical order or the next positional
-                # unionAll writes o into g (pinned by
-                # test_wildcard_delete_then_insert_keeps_columns)
-                triples = triples.join(probe, ["s", "p", "g"], "left_anti").select(
-                    "s", "p", "o", "g"
-                )
             del_rows = [tier.pattern_rows(s, p, o, g) for s, p, o, g in with_o + no_o]
-            self._swap_graph_keep_fts(Graph(triples=triples, terms=self.graph.terms))
+            st = self._mut_buffers()
+            self._apply_delete_buffers(
+                st,
+                [(s, p, o, g) for s, p, o, g in with_o],
+                [(s, p, g) for s, p, _, g in no_o],
+            )
+            g2 = self._mutated_graph(st)
+            st["current"] = g2
+            self._swap_graph_keep_fts(g2)
             self._retier(
                 tier,
                 [],
@@ -499,7 +608,8 @@ class Engine:
         with_o = [d for d in data if d.get("o")]
         no_o = [d for d in data if not d.get("o")]
         del_sets: list = []
-        triples = self.graph.triples
+        pats4: list = []
+        pats3: list = []
         if with_o:
             quads = [
                 (term_id(d["s"]), term_id(d["p"]), term_id(d["o"]), term_id(d.get("g", "") or ""))
@@ -511,8 +621,7 @@ class Engine:
             n_match = int(np.unique(np.concatenate(matched)).size) if matched else 0
             if n_match < len(with_o):
                 return {"error": "Triple does not exist, skipping delete"}
-            probe = spark.createDataFrame(quads, "s long, p long, o long, g long")
-            triples = triples.join(probe, ["s", "p", "o", "g"], "left_anti")
+            pats4 = quads
             del_sets.extend(matched)
         if no_o:
             pats = [
@@ -531,16 +640,13 @@ class Engine:
             )
             if surviving == 0:
                 return {"error": "Triple does not exist, skipping delete"}
-            probe = spark.createDataFrame(
-                [(s, p, g) for s, p, _, g in pats], "s long, p long, g long"
-            )
-            # USING-join reorders keys to the front — restore canonical
-            # column order (see the are_hashes path above)
-            triples = triples.join(probe, ["s", "p", "g"], "left_anti").select(
-                "s", "p", "o", "g"
-            )
+            pats3 = [(s, p, g) for s, p, _, g in pats]
             del_sets.extend(matched)
-        self._swap_graph_keep_fts(Graph(triples=triples, terms=self.graph.terms))
+        st = self._mut_buffers()
+        self._apply_delete_buffers(st, pats4, pats3)
+        g2 = self._mutated_graph(st)
+        st["current"] = g2
+        self._swap_graph_keep_fts(g2)
         self._retier(
             tier,
             [],

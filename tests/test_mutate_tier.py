@@ -433,3 +433,30 @@ def test_order_caches_carry_across_disjoint_mutations(spark):
     both("delete", [{"s": "<m/brandnew>", "p": "<p/type>"}])
     assert not tiered._local_tier()._global_orders, "vanished subject must drop"
     check()
+
+
+def test_mutation_buffers_fold_into_checkpointed_base(spark):
+    """Past mutation_fold_rows buffered entries the delta folds into a
+    localCheckpointed base (constant-depth plans stay constant); store
+    contents and queries must be unaffected."""
+    tiered = _mk_engine(spark, tier=True)
+    tiered.mutation_fold_rows = 6
+    plain = _mk_engine(spark, tier=False)
+    plain.mutation_fold_rows = 0  # distributed control, no folding
+    tiered.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})
+    for i in range(10):
+        a = tiered.mutate("insert", [{"s": f"<fold/{i}>", "p": "<p/fold>", "o": f"<t/{i % 3}>"}])
+        b = plain.mutate("insert", [{"s": f"<fold/{i}>", "p": "<p/fold>", "o": f"<t/{i % 3}>"}])
+        assert a == b
+        if i % 3 == 2:
+            a = tiered.mutate("delete", [{"s": f"<fold/{i}>", "p": "<p/fold>"}])
+            b = plain.mutate("delete", [{"s": f"<fold/{i}>", "p": "<p/fold>"}])
+            assert a == b
+    # the fold fired at least once: buffers were reset mid-script
+    st = tiered._mut_state
+    assert st is None or (len(st["ins"]) + len(st["del4"]) + len(st["del3"])) < 13
+    assert _store_state(tiered) == _store_state(plain)
+    for opts in QUERY_BATTERY[:2] + [{"filters": [{"p": "<p/fold>"}], "size": 50}]:
+        ours = tiered.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"diverged on {opts}"
