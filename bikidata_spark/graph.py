@@ -36,6 +36,47 @@ def term_hash(col):
     return F.xxhash64(col)
 
 
+_VALUES_MAX_ROWS = 2000
+
+
+def local_relation(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Request-sized driver rows as a LocalRelation via a VALUES clause
+    — ONE py4j round-trip. ``createDataFrame`` pickles even tiny data
+    through an RDD parallelize (~130 ms per call); on the zero-job
+    mutation path those calls were most of the per-request latency.
+
+    ``schema`` is "name type, ..." with types long/int/double/string/
+    boolean. String values are backslash-escaped, but callers should
+    only route token-safe strings here (the mutation path's strings
+    are tokenizer output, [a-z0-9]+); arbitrary user text keeps using
+    createDataFrame. Falls back to createDataFrame for empty or
+    over-sized row sets (a giant VALUES string is a parser burden).
+    """
+    fields = [tuple(f.strip().rsplit(None, 1)) for f in schema.split(",")]
+    if not rows or len(rows) > _VALUES_MAX_ROWS:
+        return spark.createDataFrame(rows, schema)
+
+    def lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ.upper()})"
+        if typ == "long":
+            return f"{int(v)}L"
+        if typ == "int":
+            return f"INT('{int(v)}')"
+        if typ == "double":
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+        if typ == "boolean":
+            return "TRUE" if v else "FALSE"
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    body = ",".join(
+        "(" + ",".join(lit(v, t) for v, (_, t) in zip(r, fields)) + ")" for r in rows
+    )
+    names = ",".join(n for n, _ in fields)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({names})")
+
+
 @dataclass
 class Graph:
     """A dictionary-encoded quad store."""

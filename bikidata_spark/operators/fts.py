@@ -188,10 +188,14 @@ class FtsIndex:
     # below 2^53; the single fl(S/N) division then matches Spark's avg).
     # None on indexes opened from pre-r8 stores — backfilled lazily.
     total_dl: int | None = None
-    # how many incremental unions deep this index is (with_new_literals
-    # chains a LocalRelation per batch; past a depth cap the caller
-    # should rebuild rather than grow the plan unboundedly)
-    _union_depth: int = 0
+    # cumulative incremental state across with_new_literals calls:
+    # {"postings"/"token_df"/"doc_len": the PRE-increment base frames,
+    #  "rows": every incremental posting row so far, "doc_rows": every
+    #  (lit, dl), "inc": cumulative per-token df increments} — each
+    # call rebuilds CONSTANT-depth frames from the base + one
+    # LocalRelation (chaining one union/join per batch would re-create
+    # the plan-depth pathology Engine._mut_buffers exists to avoid)
+    _incr_state: dict | None = None
     # the collected (lit, token, tf, dl) rows of the LAST incremental
     # batch — consumed by LocalTier.carry_fts_mirror to patch the
     # driver-side postings mirror without re-collecting the corpus
@@ -286,12 +290,21 @@ class FtsIndex:
           match_upper_bound's bound is then off by at most the
           request-sized increment — harmless against the gate margins.)
 
-        Returns None (caller should drop + rebuild) past a union-depth
-        cap: every batch chains one LocalRelation into the plan, and an
-        unbounded chain would bloat planning time. Rebuild equivalence
-        is pinned by tests/test_mutate_tier.py against a from-scratch
-        engine, scores compared exactly."""
-        if self._union_depth >= 64:
+        Increments ACCUMULATE in ``_incr_state`` and every call rebuilds
+        from the pre-increment base frames plus ONE LocalRelation, so
+        plan depth stays constant no matter how many batches land.
+        Returns None (caller should drop + rebuild) past a buffered-row
+        cap. Rebuild equivalence is pinned by tests/test_mutate_tier.py
+        against a from-scratch engine, scores compared exactly."""
+        st = self._incr_state or {
+            "postings": self.postings,
+            "token_df": self.token_df,
+            "doc_len": self.doc_len,
+            "rows": [],
+            "doc_rows": [],
+            "inc": {},
+        }
+        if len(st["rows"]) >= 100_000:
             return None
         spark = self.postings.sparkSession
         total_dl = self.total_dl
@@ -322,23 +335,34 @@ class FtsIndex:
         if not rows:
             # every new literal tokenized to nothing: corpus unchanged
             return self
-        pcols = self.postings.columns
-        postings2 = self.postings.unionAll(
-            spark.createDataFrame([tuple(r[c] for c in pcols) for r in rows],
-                                  self.postings.schema)
+        from ..graph import local_relation
+
+        all_rows = st["rows"] + rows
+        doc_rows = sorted(
+            set(st["doc_rows"]) | {(int(r["lit"]), int(r["dl"])) for r in rows}
         )
-        doc_rows = sorted({(int(r["lit"]), int(r["dl"])) for r in rows})
-        doc_len2 = self.doc_len.unionAll(
-            spark.createDataFrame(doc_rows, self.doc_len.schema)
-        )
-        inc: dict[str, int] = {}
+        inc: dict[str, int] = dict(st["inc"])
         for r in rows:
             inc[r["token"]] = inc.get(r["token"], 0) + 1
-        delta = spark.createDataFrame(
-            sorted(inc.items()), "token string, _d long"
+        _types = {"lit": "long", "token": "string", "tf": "long", "dl": "long", "bucket": "int"}
+        pcols = st["postings"].columns
+        postings2 = st["postings"].unionAll(
+            local_relation(
+                spark,
+                [tuple(r[c] for c in pcols) for r in all_rows],
+                ", ".join(f"{c} {_types[c]}" for c in pcols),
+            )
         )
-        tcols = self.token_df.columns
-        merged = self.token_df.join(delta, "token", "full").withColumn(
+        doc_len2 = st["doc_len"].unionAll(
+            local_relation(
+                spark,
+                doc_rows,
+                ", ".join(f"{f.name} long" for f in st["doc_len"].schema.fields),
+            )
+        )
+        delta = local_relation(spark, sorted(inc.items()), "token string, _d long")
+        tcols = st["token_df"].columns
+        merged = st["token_df"].join(delta, "token", "full").withColumn(
             "df", F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("_d"), F.lit(0))
         )
         if "bucket" in tcols:
@@ -353,7 +377,10 @@ class FtsIndex:
         total_dl2 = total_dl + sum(int(r["tf"]) for r in rows)
         heavy = dict(self._heavy_memo) if self._heavy_memo is not None else None
         lru = dict(self._df_lru) if self._df_lru else {}
-        for t, c in inc.items():
+        batch_inc: dict[str, int] = {}
+        for r in rows:  # THIS batch only — the memos already carry
+            batch_inc[r["token"]] = batch_inc.get(r["token"], 0) + 1
+        for t, c in batch_inc.items():
             if heavy is not None and t in heavy:
                 heavy[t] += c
             elif t in lru:
@@ -374,7 +401,14 @@ class FtsIndex:
             _heavy_memo=heavy,
             _df_lru=lru,
             total_dl=total_dl2,
-            _union_depth=self._union_depth + 1,
+            _incr_state={
+                "postings": st["postings"],
+                "token_df": st["token_df"],
+                "doc_len": st["doc_len"],
+                "rows": all_rows,
+                "doc_rows": doc_rows,
+                "inc": inc,
+            },
             _last_increment=rows,
         )
 

@@ -34,7 +34,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..graph import Graph
+from ..graph import Graph, local_relation
 from ..operators.fts import FtsIndex, build_fts_index
 
 log = logging.getLogger(__name__)
@@ -260,6 +260,10 @@ class Engine:
     # self.graph is st["current"] (an external replace_graph resets)
     _mut_state: dict | None = field(default=None, repr=False)
     _mutations_since_ckpt: int = field(default=0, repr=False)
+    # observability (surfaced via cache_stats → Serving.status())
+    _mutations_patched: int = field(default=0, repr=False)
+    _fts_incremental_updates: int = field(default=0, repr=False)
+    _lineage_folds: int = field(default=0, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -350,6 +354,7 @@ class Engine:
             else:
                 result = self._mutate_delete_tier(tier, data, are_hashes)
             if "error" not in result:
+                self._mutations_patched += 1
                 self._maybe_checkpoint_lineage()
             return result
 
@@ -396,19 +401,19 @@ class Engine:
         spark = self.graph.spark
         t = st["base"].triples
         if st["del4"]:
-            probe = spark.createDataFrame(
-                sorted(set(st["del4"])), "s long, p long, o long, g long"
+            probe = local_relation(
+                spark, sorted(set(st["del4"])), "s long, p long, o long, g long"
             )
             t = t.join(probe, ["s", "p", "o", "g"], "left_anti")
         if st["del3"]:
-            probe = spark.createDataFrame(
-                sorted(set(st["del3"])), "s long, p long, g long"
+            probe = local_relation(
+                spark, sorted(set(st["del3"])), "s long, p long, g long"
             )
             # USING-join reorders keys to the front — restore canonical
             t = t.join(probe, ["s", "p", "g"], "left_anti").select("s", "p", "o", "g")
         if st["ins"]:
             t = t.unionAll(
-                spark.createDataFrame(st["ins"], "s long, p long, o long, g long")
+                local_relation(spark, st["ins"], "s long, p long, o long, g long")
             )
         terms = st["base"].terms
         if st["terms"]:
@@ -440,6 +445,7 @@ class Engine:
         if not (buffered or chained):
             return
         self._mutations_since_ckpt = 0
+        self._lineage_folds += 1
         g2 = Graph(
             triples=self.graph.triples.localCheckpoint(eager=True),
             terms=self.graph.terms.localCheckpoint(eager=True),
@@ -527,6 +533,7 @@ class Engine:
             if self._fts is not None:
                 fts_upd = self._fts.with_new_literals(new_lits)
             if fts_upd is not None:
+                self._fts_incremental_updates += 1
                 saved, self._fts = fts_upd, None
                 try:
                     # _fts=None skips replace_graph's unpersist — the
@@ -1237,6 +1244,18 @@ class Engine:
             "state": "active",
             "quads": st[1].nrows,
             "queries_served": st[1].queries_served,
+            # zero-job mutation telemetry (Engine.mutate)
+            "mutations_patched": self._mutations_patched,
+            "fts_incremental_updates": self._fts_incremental_updates,
+            "lineage_folds": self._lineage_folds,
+            "buffered_delta_rows": (
+                len(self._mut_state["ins"])
+                + len(self._mut_state["del4"])
+                + len(self._mut_state["del3"])
+                if self._mut_state is not None
+                and self._mut_state.get("current") is self.graph
+                else 0
+            ),
         }
 
     def _subjects_uncached(self, opts: dict) -> tuple[DataFrame | None, DataFrame | None]:

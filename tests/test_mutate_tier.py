@@ -364,7 +364,7 @@ def test_incremental_fts_equals_rebuild(spark):
     assert list(jobs) == []  # tokenization is driver-side — no job even here
     assert res["triples_inserted"] == 2
     assert tiered._fts is not None and tiered._fts is not fts0  # updated in place
-    assert tiered._fts._union_depth == 1
+    assert len(tiered._fts._incr_state["rows"]) > 0  # buffered increment
     st = tiered._local_tier()._fts_state
     assert st is not None and st[0] is tiered._fts and st[1] is not None
     assert st[1] is not mirror0[1]  # patched copy, not the stale mirror
@@ -373,6 +373,16 @@ def test_incremental_fts_equals_rebuild(spark):
         a = tiered.query({"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False})
         b = fresh.query({"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False})
         assert a == b, f"diverged on fts {q!r}"
+    # a SECOND literal batch: increments accumulate against the SAME
+    # pre-increment base frames (constant plan depth, no union chain)
+    base_postings = tiered._fts._incr_state["postings"]
+    tiered.mutate("insert", [{"s": "<f/9>", "p": "<p/desc>", "o": '"kappa rho"'}])
+    assert tiered._fts._incr_state["postings"] is base_postings
+    fresh_b = Engine_of(tiered)
+    for q in ("kappa", "rho", "kappa beta"):
+        a = tiered.query({"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False})
+        b = fresh_b.query({"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False})
+        assert a == b, f"diverged on fts {q!r} after second batch"
     # a token-free literal leaves the corpus unchanged: same index object
     f1 = tiered._fts
     tiered.mutate("insert", [{"s": "<f/3>", "p": "<p/desc>", "o": '"..."'}])
@@ -460,3 +470,17 @@ def test_mutation_buffers_fold_into_checkpointed_base(spark):
         ours = tiered.query(dict(opts))
         theirs = plain.query({**opts, "use_cache": False})
         assert ours == theirs, f"diverged on {opts}"
+
+
+def test_mutation_telemetry_in_stats(spark):
+    eng = _mk_engine(spark, tier=True)
+    eng.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 1})
+    eng.mutate("insert", [{"s": "<tm/1>", "p": "<p/t>", "o": '"teletext"'}])
+    eng.mutate("delete", [{"s": "<tm/1>", "p": "<p/t>"}])
+    st = eng.cache_stats()["local_tier"]
+    assert st["state"] == "active"
+    assert st["mutations_patched"] == 2
+    assert st["fts_incremental_updates"] == 1  # the literal insert
+    # the delete removed the pending insert from the buffer and left
+    # one wildcard delete pattern targeting the base
+    assert st["buffered_delta_rows"] == 1
