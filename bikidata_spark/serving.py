@@ -75,9 +75,25 @@ class Serving:
     CPU ever dominates a deployment.)
     """
 
-    def __init__(self, engine: Engine, num_workers: int = 16):
+    def __init__(
+        self, engine: Engine, num_workers: int = 16, journal_dir: str | None = None
+    ):
         self.engine = engine
         self._num_workers = num_workers
+        # durability: with journal_dir set, every SUCCESSFUL mutation
+        # appends one JSON-lines file in the streaming-store mutation
+        # format ({action, s, p, o, g}; action delete_hashes carries
+        # decimal term hashes), so a restart replays it into a durable
+        # log-structured store via streaming.mutations.start_ingest
+        # (max_files_per_trigger=1 preserves mutation order). The
+        # in-memory engine mutates first; the journal write is inside
+        # the mutation lock, so the file sequence IS the apply order.
+        self._journal_dir = journal_dir
+        self._journal_seq = 0
+        if journal_dir:
+            import os
+
+            os.makedirs(journal_dir, exist_ok=True)
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="bikidata-serve"
         )
@@ -193,6 +209,8 @@ class Serving:
             # is resident — plans/query.Engine.mutate)
             result = self.engine.mutate(action, data, are_hashes=are_hashes)
             if "error" not in result:
+                if self._journal_dir:
+                    self._journal(action, data, are_hashes)
                 with self._cache_lock:
                     self._cache.clear()  # results may be stale now
                     self._generation += 1  # in-flight queries must not cache
@@ -200,6 +218,53 @@ class Serving:
         result["msg_received_time"] = received
         result["msg_processed_time"] = time.time()
         return result
+
+    def _journal(self, action: str, data: list[dict], are_hashes: bool) -> None:
+        """Append this mutation as one JSON-lines file (tmp + rename —
+        the stream source must never read a half-written file). Called
+        under _mutate_lock, so the zero-padded sequence matches apply
+        order; hash-addressed deletes normalize to canonical signed
+        decimal via the same rule the engine applies."""
+        import os
+
+        from .operators.mutations import _hash_to_long
+
+        recs = []
+        for d in data:
+            if action == "insert":
+                recs.append(
+                    {"action": "insert", "s": d["s"], "p": d["p"],
+                     "o": d["o"], "g": d.get("g", "") or ""}
+                )
+            elif not are_hashes:
+                recs.append(
+                    {"action": "delete", "s": d["s"], "p": d["p"],
+                     "o": d.get("o") or "", "g": d.get("g", "") or ""}
+                )
+            else:
+                recs.append(
+                    {
+                        "action": "delete_hashes",
+                        "s": str(_hash_to_long(d["s"])),
+                        "p": str(_hash_to_long(d["p"])),
+                        "o": "" if d.get("o") in (None, "") else str(_hash_to_long(d["o"])),
+                        "g": "" if d.get("g") in (None, "") else str(_hash_to_long(d["g"])),
+                    }
+                )
+        self._journal_seq += 1
+        name = f"{self._journal_seq:012d}.json"
+        tmp = os.path.join(self._journal_dir, f"_tmp.{name}")
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs) + "\n")
+        dest = os.path.join(self._journal_dir, name)
+        os.rename(tmp, dest)
+        # the file stream source orders batches by MODIFICATION time; a
+        # fast mutation burst can tie mtimes within the clock tick, so
+        # stamp a strictly-increasing one (replay order must be apply
+        # order — sequenced tombstones depend on it)
+        t = max(time.time(), getattr(self, "_journal_mtime", 0.0) + 0.002)
+        self._journal_mtime = t
+        os.utime(dest, (t, t))
 
     async def insert_async(
         self, s: str, p: str, o: str, g: str = "", timeout: int = 60

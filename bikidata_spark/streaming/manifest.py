@@ -33,7 +33,7 @@ from pyspark.sql import SparkSession
 from ..graph import Graph
 from .mutations import read_store  # noqa: F401  (compact_store refuses when _manifest exists)
 
-SUBDIRS = ("triples", "terms", "tombstones")
+SUBDIRS = ("triples", "terms", "tombstones", "tombstones_spg")
 # index stores get the same commit protocol: their segment files are
 # pinned per version so time travel and vacuum compose with index
 # maintenance (streaming.fts appends / compact_fts_store folds)
@@ -129,16 +129,27 @@ def read_snapshot(
     version = vs[-1] if version is None else version
     m = read_manifest(store_dir, version)
 
-    def load(sub: str):
-        files = [os.path.join(store_dir, f) for f in m["files"][sub]]
-        return spark.read.parquet(*files) if files else None
+    def load(sub: str, with_batch: bool = False):
+        # older manifests predate tombstones_spg — treat as absent
+        files = [os.path.join(store_dir, f) for f in m["files"].get(sub, [])]
+        if not files:
+            return None
+        if not with_batch:
+            return spark.read.parquet(*files)
+        # keep the batch partition column (tombstone SEQUENCING needs
+        # it): basePath makes partition discovery work on leaf files
+        df = spark.read.option("basePath", os.path.join(store_dir, sub)).parquet(*files)
+        if "batch" in df.columns:
+            return df.withColumn("_b", F.col("batch").cast("long")).drop("batch")
+        return df.withColumn("_b", F.lit(-1).cast("long"))
 
-    triples = load("triples").distinct()
-    tombstones = load("tombstones")
-    if tombstones is not None:
-        triples = triples.join(
-            tombstones.distinct(), ["s", "p", "o", "g"], "left_anti"
-        )
+    from .mutations import resolve_triples
+
+    triples = resolve_triples(
+        load("triples", with_batch=True),
+        load("tombstones", with_batch=True),
+        load("tombstones_spg", with_batch=True),
+    )
     terms = (
         load("terms")
         .groupBy("hash")

@@ -60,6 +60,7 @@ def start_ingest(
     store_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the mutation-ingest stream. Each micro-batch routes
     inserts/deletes to their append-only directories via foreachBatch.
@@ -68,13 +69,58 @@ def start_ingest(
     a batch-id-derived subdirectory (``.../batch=<id>``) with overwrite
     mode, so a micro-batch retried after a partial failure (e.g. crash
     between the triples append and the terms append) REPLACES its own
-    partial output instead of appending duplicates."""
+    partial output instead of appending duplicates.
+
+    Ordering: tombstones are SEQUENCED by batch id (read_store applies
+    a tombstone only to quads from its own or earlier batches, so a
+    later re-insert resurrects the quad — real LSM semantics). Records
+    WITHIN one micro-batch have no order; when replaying a serving
+    journal (one file per mutation, strict order required), pass
+    ``max_files_per_trigger=1`` so each journal file is its own
+    batch."""
     stream = read_mutation_stream(spark, src_dir)
+    if max_files_per_trigger:
+        stream = (
+            spark.readStream.schema(MUTATION_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(src_dir)
+        )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         inserts = batch.filter(F.col("action") == "insert")
-        deletes = batch.filter(F.col("action") == "delete")
+        # delete record forms (Serving's journal writes all three):
+        #   action=delete, o set      → exact (s,p,o,g) tombstone
+        #   action=delete, o missing  → WILDCARD (s,p,g) tombstone
+        #   action=delete_hashes      → columns carry decimal term
+        #     hashes (reference are_hashes, query.py:476-520); empty o
+        #     = wildcard, empty g = the default graph's hash
+        no_o = F.col("o").isNull() | (F.col("o") == "")
+        lex_del = batch.filter(F.col("action") == "delete")
+        hash_del = batch.filter(F.col("action") == "delete_hashes")
+        empty_g_hash = F.xxhash64(F.lit(""))
+        h_g = F.when(
+            F.col("g").isNull() | (F.col("g") == ""), empty_g_hash
+        ).otherwise(F.col("g").cast("long"))
+        exact = _hashed(lex_del.filter(~no_o)).unionAll(
+            hash_del.filter(~no_o).select(
+                F.col("s").cast("long").alias("s"),
+                F.col("p").cast("long").alias("p"),
+                F.col("o").cast("long").alias("o"),
+                h_g.alias("g"),
+            )
+        )
+        wild = lex_del.filter(no_o).select(
+            term_hash("s").alias("s"),
+            term_hash("p").alias("p"),
+            term_hash(F.coalesce("g", F.lit(""))).alias("g"),
+        ).unionAll(
+            hash_del.filter(no_o).select(
+                F.col("s").cast("long").alias("s"),
+                F.col("p").cast("long").alias("p"),
+                h_g.alias("g"),
+            )
+        )
         if inserts.limit(1).count():
             _hashed(inserts).write.mode("overwrite").parquet(
                 f"{store_dir}/triples/batch={batch_id}"
@@ -82,9 +128,13 @@ def start_ingest(
             _terms(inserts).write.mode("overwrite").parquet(
                 f"{store_dir}/terms/batch={batch_id}"
             )
-        if deletes.limit(1).count():
-            _hashed(deletes).write.mode("overwrite").parquet(
+        if exact.limit(1).count():
+            exact.write.mode("overwrite").parquet(
                 f"{store_dir}/tombstones/batch={batch_id}"
+            )
+        if wild.limit(1).count():
+            wild.write.mode("overwrite").parquet(
+                f"{store_dir}/tombstones_spg/batch={batch_id}"
             )
         batch.unpersist()
 
@@ -141,7 +191,7 @@ def compact_store(spark: SparkSession, store_dir: str, force: bool = False) -> d
     n_triples = spark.read.parquet(f"{tmp}/triples").count()
     n_terms = spark.read.parquet(f"{tmp}/terms").count()
 
-    for sub in ("triples", "terms", "tombstones"):
+    for sub in ("triples", "terms", "tombstones", "tombstones_spg"):
         shutil.rmtree(f"{store_dir}/{sub}", ignore_errors=True)
     for sub in ("triples", "terms"):
         os.rename(f"{tmp}/{sub}", f"{store_dir}/{sub}")
@@ -174,15 +224,68 @@ def _read_log_excluding(spark: SparkSession, path: str, batch_id: int) -> DataFr
     return df
 
 
+def _read_log_with_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Read an append-only log keeping the batch id as ``_b`` (missing
+    on pre-partitioned legacy segments → -1, 'oldest')."""
+    df = spark.read.parquet(path)
+    if "batch" in df.columns:
+        return df.withColumn("_b", F.col("batch").cast("long")).drop("batch")
+    return df.withColumn("_b", F.lit(-1).cast("long"))
+
+
+def resolve_triples(
+    triples_b: DataFrame, tomb_b: DataFrame | None, wild_b: DataFrame | None
+) -> DataFrame:
+    """Apply SEQUENCED tombstones to a batch-stamped quad log (every
+    frame carries ``_b``): an exact (s,p,o,g) or wildcard (s,p,g)
+    tombstone from batch B kills only quad rows from batches <= B, so
+    re-inserting a deleted quad in a later batch resurrects it (LSM
+    semantics — without the sequencing, a serving journal replaying
+    insert → delete → insert would lose the final insert). Returns the
+    live (s, p, o, g) set."""
+    triples = triples_b.dropDuplicates(["s", "p", "o", "g", "_b"])
+    if tomb_b is not None:
+        t, tb = triples.alias("t"), tomb_b.alias("tb")
+        triples = t.join(
+            tb,
+            (F.col("t.s") == F.col("tb.s"))
+            & (F.col("t.p") == F.col("tb.p"))
+            & (F.col("t.o") == F.col("tb.o"))
+            & (F.col("t.g") == F.col("tb.g"))
+            & (F.col("tb._b") >= F.col("t._b")),
+            "left_anti",
+        )
+    if wild_b is not None:
+        t, tw = triples.alias("t"), wild_b.alias("tw")
+        triples = t.join(
+            tw,
+            (F.col("t.s") == F.col("tw.s"))
+            & (F.col("t.p") == F.col("tw.p"))
+            & (F.col("t.g") == F.col("tw.g"))
+            & (F.col("tw._b") >= F.col("t._b")),
+            "left_anti",
+        )
+    return triples.select("s", "p", "o", "g").distinct()
+
+
 def read_store(spark: SparkSession, store_dir: str) -> Graph:
     """Load the log-structured store as a Graph: distinct quads minus
-    tombstones, deduplicated terms."""
-    triples = _read_log(spark, f"{store_dir}/triples").distinct()
-    try:
-        tombstones = _read_log(spark, f"{store_dir}/tombstones").distinct()
-        triples = triples.join(tombstones, ["s", "p", "o", "g"], "left_anti")
-    except Exception:
-        pass  # no deletes yet
+    sequenced tombstones (see resolve_triples), deduplicated terms."""
+    triples_b = _read_log_with_batch(spark, f"{store_dir}/triples")
+
+    def opt(path):
+        try:
+            df = _read_log_with_batch(spark, path)
+            df.schema  # force resolution; missing dir raises here
+            return df
+        except Exception:
+            return None
+
+    triples = resolve_triples(
+        triples_b,
+        opt(f"{store_dir}/tombstones"),
+        opt(f"{store_dir}/tombstones_spg"),
+    )
     terms = (
         _read_log(spark, f"{store_dir}/terms")
         .groupBy("hash")

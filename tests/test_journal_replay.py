@@ -1,0 +1,209 @@
+"""Serving journal → streaming-store replay (durability bridge).
+
+With ``journal_dir`` set, every successful serving mutation appends one
+JSON-lines file in the streaming mutation format; replaying it through
+``start_ingest(max_files_per_trigger=1)`` must reproduce the served
+engine's graph EXACTLY — which requires the store's new sequenced
+tombstones (a tombstone kills only earlier batches' rows, so
+insert → delete → re-insert resurrects) plus the new wildcard and
+hash-addressed delete record forms.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+import pytest
+
+
+def _write_ordered(src, batches):
+    """One file per batch with STRICTLY increasing mtimes — the file
+    source orders batches by modification time, and files written in
+    the same tick would replay in undefined order."""
+    import os
+    import time
+
+    base = time.time() - 1000
+    for i, recs in enumerate(batches):
+        p = src / f"{i:04d}.json"
+        p.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+        os.utime(p, (base + i, base + i))
+
+
+def _mk_engine(spark):
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(
+        [
+            ("<j/1>", "<p/t>", "<t/0>", ""),
+            ("<j/2>", "<p/t>", "<t/1>", "<g/1>"),
+            ("<j/3>", "<p/lbl>", '"three"', ""),
+        ],
+        "s string, p string, o string, g string",
+    )
+    g = from_string_quads(quads).cache()
+    g.triples.count()
+    eng = Engine(g)
+    eng.query({"filters": [{"p": "<p/t>"}], "size": 1})  # warm tier
+    return eng
+
+
+def _graph_rows(graph):
+    return (
+        sorted(map(tuple, graph.triples.collect())),
+        sorted(map(tuple, graph.terms.collect())),
+    )
+
+
+def test_store_sequenced_tombstones_and_wildcards(spark, tmp_path):
+    """insert → delete → RE-INSERT must resurrect (sequencing), and
+    wildcard / hash-addressed delete records must apply."""
+    from bikidata_spark.functions.xxh import term_id
+    from bikidata_spark.streaming.mutations import read_store, start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [{"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""},
+         {"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""},
+         {"action": "insert", "s": "<c>", "p": "<q>", "o": '"three"', "g": ""}],
+        [{"action": "delete", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""}],
+        [{"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""}],  # resurrect
+        [{"action": "delete", "s": "<b>", "p": "<p>", "o": "", "g": ""}],  # wildcard
+        [{"action": "delete_hashes", "s": str(term_id("<c>")),
+          "p": str(term_id("<q>")), "o": "", "g": ""}],  # hash wildcard
+    ]
+    _write_ordered(src, batches)
+    q = start_ingest(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    g = read_store(spark, str(tmp_path / "store"))
+    rows = sorted(map(tuple, g.triples.collect()))
+    want = sorted(
+        [(term_id("<a>"), term_id("<p>"), term_id('"one"'), term_id(""))]
+    )
+    assert rows == want  # <a> resurrected; <b>, <c> wildcard-deleted
+
+
+def test_compact_preserves_sequenced_semantics(spark, tmp_path):
+    from bikidata_spark.functions.xxh import term_id
+    from bikidata_spark.streaming.mutations import compact_store, read_store, start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [{"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""}],
+        [{"action": "delete", "s": "<a>", "p": "<p>", "o": "", "g": ""}],
+        [{"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""}],
+    ]
+    _write_ordered(src, batches)
+    q = start_ingest(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    before = sorted(map(tuple, read_store(spark, str(tmp_path / "store")).triples.collect()))
+    stats = compact_store(spark, str(tmp_path / "store"))
+    after = sorted(map(tuple, read_store(spark, str(tmp_path / "store")).triples.collect()))
+    assert before == after == [
+        (term_id("<a>"), term_id("<p>"), term_id('"one"'), term_id(""))
+    ]
+    assert stats["triples"] == 1
+
+
+def test_serving_journal_replays_to_identical_store(spark, tmp_path):
+    """Mixed mutation forms through the Serving facade, journal replayed
+    into a store: the store's graph must equal the served engine's."""
+    from bikidata_spark.functions.xxh import term_id
+    from bikidata_spark.serving import Serving
+    from bikidata_spark.streaming.mutations import read_store, start_ingest
+
+    eng = _mk_engine(spark)
+    base_triples = sorted(map(tuple, eng.graph.triples.collect()))
+    srv = Serving(eng, num_workers=2, journal_dir=str(tmp_path / "journal"))
+
+    async def run():
+        assert (await srv.insert_async("<j/4>", "<p/t>", '"four"'))["triples_inserted"] == 1
+        assert (await srv.insert_async("<j/5>", "<p/t>", "<t/2>", "<g/1>"))["triples_inserted"] == 1
+        assert (await srv.delete_async("<j/4>", "<p/t>", '"four"'))["triples_deleted"] == 1
+        # re-insert after delete: the replay must resurrect it
+        assert (await srv.insert_async("<j/4>", "<p/t>", '"four"'))["triples_inserted"] == 1
+        # wildcard delete
+        assert (await srv.delete_async("<j/1>", "<p/t>", None))["triples_deleted"] == 1
+        # hash-addressed wildcard delete
+        assert (
+            await srv.delete_async(
+                str(term_id("<j/2>")), str(term_id("<p/t>")), None, are_hashes=True
+            )
+        )["triples_deleted"] == 1
+        # a FAILED mutation must not be journaled
+        assert "error" in (await srv.insert_async("<j/4>", "<p/t>", '"four"'))
+
+    asyncio.get_event_loop().run_until_complete(run())
+    srv.close()
+
+    # seed the replay store with the BASE graph (the journal covers the
+    # serving-era mutations; the base corpus arrives like any bulk load)
+    src = tmp_path / "journal"
+    seed = [
+        {"action": "insert", "s": s, "p": p, "o": o, "g": g}
+        for (s, p, o, g) in [
+            ("<j/1>", "<p/t>", "<t/0>", ""),
+            ("<j/2>", "<p/t>", "<t/1>", "<g/1>"),
+            ("<j/3>", "<p/lbl>", '"three"', ""),
+        ]
+    ]
+    seed_path = src / "000000000000.json"
+    seed_path.write_text("\n".join(json.dumps(r) for r in seed) + "\n")
+    # the file source orders batches by MODIFICATION time — backdate the
+    # seed so it replays before the journal files it was written after
+    import os
+
+    first = min(p.stat().st_mtime for p in src.glob("*.json") if p != seed_path)
+    os.utime(seed_path, (first - 10, first - 10))
+    q = start_ingest(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    store_graph = read_store(spark, str(tmp_path / "store"))
+    assert sorted(map(tuple, store_graph.triples.collect())) == sorted(
+        map(tuple, eng.graph.triples.collect())
+    )
+    # terms: the store holds at least every term the engine's graph does
+    eng_terms = {tuple(r) for r in eng.graph.terms.collect()}
+    store_terms = {tuple(r) for r in store_graph.terms.collect()}
+    assert eng_terms <= store_terms
+
+
+def test_snapshot_reads_sequenced_tombstones(spark, tmp_path):
+    """read_snapshot must apply the same sequenced (exact + wildcard)
+    tombstone semantics as read_store — resurrects included."""
+    from bikidata_spark.streaming.manifest import commit_snapshot, read_snapshot
+    from bikidata_spark.streaming.mutations import read_store, start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [{"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""},
+         {"action": "insert", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""}],
+        [{"action": "delete", "s": "<a>", "p": "<p>", "o": "", "g": ""}],  # wildcard
+        [{"action": "insert", "s": "<a>", "p": "<p>", "o": '"one"', "g": ""}],  # resurrect
+        [{"action": "delete", "s": "<b>", "p": "<p>", "o": '"two"', "g": ""}],  # exact
+    ]
+    _write_ordered(src, batches)
+    q = start_ingest(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    store = str(tmp_path / "store")
+    commit_snapshot(store)
+    snap = read_snapshot(spark, store)
+    live = read_store(spark, store)
+    a = sorted(map(tuple, snap.triples.collect()))
+    b = sorted(map(tuple, live.triples.collect()))
+    assert a == b and len(a) == 1  # only the resurrected <a>
