@@ -142,7 +142,7 @@ def test_serving_journal_replays_to_identical_store(spark, tmp_path):
         # a FAILED mutation must not be journaled
         assert "error" in (await srv.insert_async("<j/4>", "<p/t>", '"four"'))
 
-    asyncio.get_event_loop().run_until_complete(run())
+    asyncio.run(run())
     srv.close()
 
     # seed the replay store with the BASE graph (the journal covers the

@@ -247,7 +247,7 @@ def test_serving_mutations_keep_tier_warm(spark):
         r3 = await srv.delete_async("<w/1>", "<p/w>", '"warm"')
         return r1, r2, r3
 
-    r1, r2, r3 = asyncio.get_event_loop().run_until_complete(run())
+    r1, r2, r3 = asyncio.run(run())
     srv.close()
     assert r1["triples_inserted"] == 1
     assert r2["total"] == 1
