@@ -3,7 +3,8 @@
     python -m bikidata_spark build  <store_dir> <file.nt|.nq|.trig|dir> [...]
     python -m bikidata_spark query  <store_dir> '<json opts>'
     python -m bikidata_spark total  <store_dir>
-    python -m bikidata_spark serve  <store_dir> [num_workers]
+    python -m bikidata_spark serve  <store_dir> [num_workers] [journal_dir]
+    python -m bikidata_spark replay <journal_dir> <log_store_dir>
     python -m bikidata_spark compact  <store_dir>   # quad-log, FTS, or IVF — auto-detected
     python -m bikidata_spark compact-fts <fts_store_dir>  # (back-compat alias)
     python -m bikidata_spark snapshot <log_store_dir>
@@ -14,7 +15,11 @@
 store; ``query`` runs a JSON query (reference README's dict shape);
 ``serve`` is the worker loop (reference ``worker`` mode): one JSON
 query or {"action": "insert"|"delete", ...} mutation per stdin line,
-one JSON result per stdout line, concurrent via the Serving pool.
+one JSON result per stdout line, concurrent via the Serving pool;
+with ``journal_dir`` every successful mutation is journaled for
+durable replay. ``replay`` applies a serving journal (or any mutation
+stream) into a log-structured store in strict file order, ready for
+``serve``/``query`` via streaming.mutations.read_store.
 """
 
 from __future__ import annotations
@@ -100,7 +105,12 @@ def main(argv: list[str]) -> int:
         from .serving import Serving
 
         workers = int(argv[2]) if len(argv) > 2 else 16
-        srv = Serving(Engine(read_graph(spark, argv[1]).cache()), num_workers=workers)
+        journal = argv[3] if len(argv) > 3 else None
+        srv = Serving(
+            Engine(read_graph(spark, argv[1]).cache()),
+            num_workers=workers,
+            journal_dir=journal,
+        )
 
         async def loop() -> None:
             aio = asyncio.get_running_loop()
@@ -130,6 +140,16 @@ def main(argv: list[str]) -> int:
                 print(json.dumps(out, default=str), flush=True)
 
         asyncio.run(loop())
+        return 0
+    if cmd == "replay":
+        from .streaming.mutations import read_store, start_ingest
+
+        journal, store = argv[1], argv[2]
+        ckpt = f"{store}/_replay_checkpoint"
+        q = start_ingest(spark, journal, store, ckpt, max_files_per_trigger=1)
+        q.awaitTermination()
+        g = read_store(spark, store)
+        print(json.dumps({"triples": g.triples.count(), "store": store}))
         return 0
     if cmd == "total":
         eng = Engine(read_graph(spark, argv[1]))

@@ -199,6 +199,29 @@ def write_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
 
 
 def read_graph(spark: SparkSession, path: str) -> Graph:
+    """Open a store directory as a Graph. A LOG-STRUCTURED store (the
+    streaming-ingest / journal-replay layout: batch= segment dirs,
+    possibly live tombstone logs) routes through read_store so
+    sequenced tombstones apply — reading its raw triples parquet would
+    resurrect every deleted quad (and double-count re-inserts)."""
+    import os
+
+    def _is_log_store() -> bool:
+        if os.path.isdir(f"{path}/tombstones") or os.path.isdir(
+            f"{path}/tombstones_spg"
+        ):
+            return True
+        try:
+            return any(
+                e.startswith("batch=") for e in os.listdir(f"{path}/triples")
+            )
+        except OSError:
+            return False
+
+    if _is_log_store():
+        from .streaming.mutations import read_store
+
+        return read_store(spark, path)
     return Graph(
         triples=spark.read.parquet(f"{path}/triples"),
         terms=spark.read.parquet(f"{path}/terms"),

@@ -207,3 +207,26 @@ def test_snapshot_reads_sequenced_tombstones(spark, tmp_path):
     a = sorted(map(tuple, snap.triples.collect()))
     b = sorted(map(tuple, live.triples.collect()))
     assert a == b and len(a) == 1  # only the resurrected <a>
+
+
+def test_cli_replay_and_query_honor_tombstones(spark, tmp_path, capsys):
+    """`python -m bikidata_spark replay` then `query`/`total`: the CLI
+    read path must route log-structured stores through read_store
+    (raw triples parquet would resurrect deleted quads)."""
+    from bikidata_spark.__main__ import main
+
+    src = tmp_path / "journal"
+    src.mkdir()
+    batches = [
+        [{"action": "insert", "s": "<r/1>", "p": "<p>", "o": '"one"', "g": ""}],
+        [{"action": "insert", "s": "<r/2>", "p": "<p>", "o": '"two"', "g": ""}],
+        [{"action": "delete", "s": "<r/2>", "p": "<p>", "o": "", "g": ""}],
+    ]
+    _write_ordered(src, batches)
+    store = str(tmp_path / "store")
+    assert main(["replay", str(src), store]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["triples"] == 1
+    assert main(["query", store, json.dumps({"filters": [{"p": "<p>"}], "size": 10})]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["total"] == 1 and list(res["results"]) == ["<r/1>"]
