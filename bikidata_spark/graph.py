@@ -207,6 +207,30 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
     import os
 
     def _is_log_store() -> bool:
+        # Probe through the Hadoop FileSystem API so detection works on
+        # ANY Spark-readable URI (hdfs://, s3a://, file:/) — an os.*
+        # probe only sees the driver's local disk, so a remote
+        # log-structured store would silently fall through to the raw
+        # parquet read and resurrect every deleted quad.
+        try:
+            jvm = spark.sparkContext._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            for sub in ("tombstones", "tombstones_spg"):
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
+                    return True
+            tri = jvm.org.apache.hadoop.fs.Path(f"{path}/triples")
+            if not fs.exists(tri):
+                return False
+            return any(
+                st.getPath().getName().startswith("batch=")
+                for st in fs.listStatus(tri)
+            )
+        except Exception:
+            # Spark Connect has no _jvm — fall back to the local probe
+            pass
         if os.path.isdir(f"{path}/tombstones") or os.path.isdir(
             f"{path}/tombstones_spg"
         ):

@@ -90,10 +90,35 @@ class Serving:
         # the mutation lock, so the file sequence IS the apply order.
         self._journal_dir = journal_dir
         self._journal_seq = 0
+        self._journal_mtime = 0.0
+        # journaling starts healthy; the first failed journal write
+        # permanently degrades to non-durable (see _journal) because a
+        # GAP in the log is worse than a truncated log — replaying
+        # around a missing mutation produces a silently divergent store
+        self._durable = bool(journal_dir)
+        self._journal_error: str | None = None
         if journal_dir:
             import os
+            import re
 
             os.makedirs(journal_dir, exist_ok=True)
+            # restart safety: resume the sequence after the highest
+            # existing journal file — starting from 0 on a non-empty
+            # journal_dir would os.rename ONTO 000000000001.json,
+            # silently destroying the earlier record (and the file
+            # stream source, which tracks seen files by path, would
+            # skip the reused path on incremental replay)
+            existing = [
+                m for m in (re.fullmatch(r"(\d{12})\.json", e)
+                            for e in os.listdir(journal_dir))
+                if m
+            ]
+            if existing:
+                self._journal_seq = max(int(m.group(1)) for m in existing)
+                self._journal_mtime = max(
+                    os.path.getmtime(os.path.join(journal_dir, m.group(0)))
+                    for m in existing
+                )
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="bikidata-serve"
         )
@@ -209,8 +234,17 @@ class Serving:
             # is resident — plans/query.Engine.mutate)
             result = self.engine.mutate(action, data, are_hashes=are_hashes)
             if "error" not in result:
-                if self._journal_dir:
-                    self._journal(action, data, are_hashes)
+                if self._journal_dir and self._durable:
+                    try:
+                        self._journal(action, data, are_hashes)
+                    except Exception as e:  # disk full, permissions, ...
+                        # the served state now has a mutation the log
+                        # never will: stop journaling (a gap would make
+                        # replay silently divergent rather than merely
+                        # truncated) and surface the degradation
+                        self._durable = False
+                        self._journal_error = f"{type(e).__name__}: {e}"
+                        result["journal_error"] = self._journal_error
                 with self._cache_lock:
                     self._cache.clear()  # results may be stale now
                     self._generation += 1  # in-flight queries must not cache
@@ -262,7 +296,7 @@ class Serving:
         # fast mutation burst can tie mtimes within the clock tick, so
         # stamp a strictly-increasing one (replay order must be apply
         # order — sequenced tombstones depend on it)
-        t = max(time.time(), getattr(self, "_journal_mtime", 0.0) + 0.002)
+        t = max(time.time(), self._journal_mtime + 0.002)
         self._journal_mtime = t
         os.utime(dest, (t, t))
 
@@ -319,6 +353,8 @@ class Serving:
                 "mutations_applied": self._mutations_applied,
                 "errors": self._errors,
                 "generation": self._generation,
+                "durable": self._durable,
+                "journal_error": self._journal_error,
                 "result_cache": {
                     "entries": len(self._cache),
                     "live_entries": live,

@@ -25,9 +25,17 @@ from ..graph import Graph, term_hash
 MUTATION_SCHEMA = "action string, s string, p string, o string, g string"
 
 
-def read_mutation_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of JSON mutation records."""
-    return spark.readStream.schema(MUTATION_SCHEMA).json(src_dir)
+def read_mutation_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of JSON mutation records. This is the ONE
+    reader definition every ingest path shares — journal replay passes
+    ``max_files_per_trigger=1`` so each journal file becomes its own
+    micro-batch (strict mutation order)."""
+    reader = spark.readStream.schema(MUTATION_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(src_dir)
 
 
 def _hashed(quads: DataFrame) -> DataFrame:
@@ -78,13 +86,7 @@ def start_ingest(
     journal (one file per mutation, strict order required), pass
     ``max_files_per_trigger=1`` so each journal file is its own
     batch."""
-    stream = read_mutation_stream(spark, src_dir)
-    if max_files_per_trigger:
-        stream = (
-            spark.readStream.schema(MUTATION_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .json(src_dir)
-        )
+    stream = read_mutation_stream(spark, src_dir, max_files_per_trigger)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()

@@ -230,3 +230,91 @@ def test_cli_replay_and_query_honor_tombstones(spark, tmp_path, capsys):
     assert main(["query", store, json.dumps({"filters": [{"p": "<p>"}], "size": 10})]) == 0
     res = json.loads(capsys.readouterr().out)
     assert res["total"] == 1 and list(res["results"]) == ["<r/1>"]
+
+
+def test_journal_restart_resumes_sequence(spark, tmp_path):
+    """A Serving restarted onto an existing journal_dir must CONTINUE
+    the file sequence — starting from 0 would rename onto the earliest
+    existing file, destroying it (and incremental replay, which tracks
+    seen files by path, would skip the reused name entirely)."""
+    from bikidata_spark.serving import Serving
+    from bikidata_spark.streaming.mutations import read_store, start_ingest
+
+    jdir = tmp_path / "journal"
+
+    eng = _mk_engine(spark)
+    srv = Serving(eng, num_workers=2, journal_dir=str(jdir))
+
+    async def first_life():
+        assert (await srv.insert_async("<j/4>", "<p/t>", '"four"'))["triples_inserted"] == 1
+        assert (await srv.insert_async("<j/5>", "<p/t>", '"five"'))["triples_inserted"] == 1
+
+    asyncio.run(first_life())
+    srv.close()
+    files_before = sorted(p.name for p in jdir.glob("*.json"))
+    assert files_before == ["000000000001.json", "000000000002.json"]
+
+    # "crash" and restart a fresh Serving over the SAME journal_dir,
+    # with a fresh engine holding the state the journal left behind
+    eng2 = _mk_engine(spark)
+    eng2.mutate("insert", [{"s": "<j/4>", "p": "<p/t>", "o": '"four"'}])
+    eng2.mutate("insert", [{"s": "<j/5>", "p": "<p/t>", "o": '"five"'}])
+    srv2 = Serving(eng2, num_workers=2, journal_dir=str(jdir))
+    assert srv2._journal_seq == 2  # resumed, not reset
+
+    async def second_life():
+        assert (await srv2.delete_async("<j/4>", "<p/t>", '"four"'))["triples_deleted"] == 1
+
+    asyncio.run(second_life())
+    srv2.close()
+    files_after = sorted(p.name for p in jdir.glob("*.json"))
+    assert files_after == [
+        "000000000001.json", "000000000002.json", "000000000003.json"
+    ]
+    # earlier records intact (nothing clobbered)
+    recs1 = [json.loads(l) for l in (jdir / "000000000001.json").read_text().splitlines()]
+    assert recs1[0]["action"] == "insert" and recs1[0]["o"] == '"four"'
+    # mtimes still strictly increasing across the restart (replay order)
+    mtimes = [(jdir / n).stat().st_mtime for n in files_after]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+    # full replay of the surviving journal reproduces the served state
+    q = start_ingest(
+        spark, str(jdir), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_store(spark, str(tmp_path / "store")).triples.collect()))
+    from bikidata_spark.functions.xxh import term_id
+
+    assert got == sorted([(term_id("<j/5>"), term_id("<p/t>"), term_id('"five"'), term_id(""))])
+
+
+def test_journal_failure_degrades_to_non_durable(spark, tmp_path):
+    """If the journal write fails AFTER the in-memory apply, the serving
+    instance must stop journaling (a gap makes replay silently
+    divergent) and surface the degradation in status()."""
+    from bikidata_spark.serving import Serving
+
+    eng = _mk_engine(spark)
+    srv = Serving(eng, num_workers=2, journal_dir=str(tmp_path / "journal"))
+    assert srv.status()["durable"] is True
+
+    def boom(*a, **k):
+        raise OSError("No space left on device")
+
+    srv._journal = boom
+
+    async def run():
+        res = await srv.insert_async("<j/9>", "<p/t>", '"nine"')
+        # the mutation itself succeeded (served state has it) ...
+        assert res["triples_inserted"] == 1
+        # ... but the degradation is surfaced on the result
+        assert "No space left" in res["journal_error"]
+
+    asyncio.run(run())
+    st = srv.status()
+    assert st["durable"] is False and "No space left" in st["journal_error"]
+    # engine state retained the mutation; queries see it
+    assert eng.query({"filters": [{"p": "<p/t>", "o": '"nine"'}]})["total"] == 1
+    srv.close()
