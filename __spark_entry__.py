@@ -978,7 +978,7 @@ WHERE T0.p = '<p/nation>' AND T0.o = '<e/nation/5>'"""
     o["rdf_facet_nation"] = _with_quads(
         f""", s_results AS (SELECT DISTINCT s FROM quads WHERE p = '<p/mktsegment>' AND o = {SEG})
 SELECT COUNT(T.s) AS count, T.o AS val FROM quads T JOIN s_results S ON T.s = S.s
-WHERE T.p = '<p/nation>' GROUP BY T.o"""
+WHERE T.p = '<p/nation>' GROUP BY T.o ORDER BY count DESC, val ASC LIMIT 1000"""
     )
     # score-weighted facet: full BM25 mirror (tokenize → postings → df/
     # dl/avgdl → idf·tf_part) for the single-token query 'customer',
@@ -1002,14 +1002,15 @@ hit AS (
   WHERE post.t = 'customer'),
 sc AS (SELECT q.s, MAX(h.score) AS score FROM quads q JOIN hit h ON q.o = h.lit GROUP BY q.s)
 SELECT COUNT(*) AS count, CAST(SUM(CAST(round(sc.score, 6) AS DECIMAL(28,10))) AS DOUBLE) AS weight, t.o AS val
-FROM sc JOIN quads t ON t.s = sc.s AND t.p = '<p/mktsegment>' GROUP BY t.o"""
+FROM sc JOIN quads t ON t.s = sc.s AND t.p = '<p/mktsegment>' GROUP BY t.o
+ORDER BY weight DESC, count DESC, val ASC LIMIT 1000"""
     )
 
     o["rdf_agg_properties"] = _with_quads(
-        "SELECT COUNT(*) AS count, p AS val FROM quads GROUP BY p"
+        "SELECT COUNT(*) AS count, p AS val FROM quads GROUP BY p ORDER BY count DESC, val ASC LIMIT 1000"
     )
     o["rdf_agg_graphs"] = _with_quads(
-        "SELECT COUNT(*) AS count, g AS val FROM quads GROUP BY g"
+        "SELECT COUNT(*) AS count, g AS val FROM quads GROUP BY g ORDER BY count DESC, val ASC LIMIT 1000"
     )
 
     # sort-api pages

@@ -142,11 +142,10 @@ def main(argv: list[str]) -> int:
         asyncio.run(loop())
         return 0
     if cmd == "replay":
-        from .streaming.mutations import read_store, start_ingest
+        from .streaming.mutations import read_store, replay_journal
 
         journal, store = argv[1], argv[2]
-        ckpt = f"{store}/_replay_checkpoint"
-        q = start_ingest(spark, journal, store, ckpt, max_files_per_trigger=1)
+        q = replay_journal(spark, journal, store)
         q.awaitTermination()
         g = read_store(spark, store)
         print(json.dumps({"triples": g.triples.count(), "store": store}))

@@ -965,7 +965,18 @@ class LocalTier:
 
     # ---- facets (mirror of _facets_fused) ------------------------------
 
-    def _facets(self, members_arr: np.ndarray | None, aggs: list[str]) -> dict:
+    def _facets(
+        self,
+        members_arr: np.ndarray | None,
+        aggs: list[str],
+        limit: int | None = None,
+    ) -> dict:
+        """``limit`` mirrors the distributed cap (query.FACET_MAX_VALUES
+        by default, 0 = unbounded) so tier and distributed responses
+        stay byte-identical under the differential tests."""
+        from .query import FACET_MAX_VALUES
+
+        limit = FACET_MAX_VALUES if limit is None else (limit or None)
         memmask = self._s_in(members_arr) if members_arr is not None else None
 
         def _counts(keys: np.ndarray):
@@ -976,7 +987,7 @@ class LocalTier:
                 if v is not None:
                     out.append((c, v))
             out.sort(key=lambda cv: (-cv[0], cv[1]))
-            return out
+            return out[:limit] if limit else out
 
         result = {}
         for agg in aggs:
@@ -1255,7 +1266,9 @@ class LocalTier:
             if members is not None or agg in ("properties", "graphs")
         ]
         if fused_aggs:
-            aggregates = self._facets(marr, fused_aggs)
+            aggregates = self._facets(
+                marr, fused_aggs, limit=opts.get("aggregates_limit")
+            )
 
         results: dict = {}
         if members is not None and size > 0:

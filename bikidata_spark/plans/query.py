@@ -64,6 +64,16 @@ _ISIN_PROBE_MAX = 200
 # shuffle computes both — instead of a persist + distinct + separate
 # score groupBy per scored filter.
 _INLINE_SCORES = object()
+# facet value-cardinality cap: a facet on a high-cardinality property
+# (labels, external IDs) would otherwise collect EVERY distinct value to
+# the driver — at 100x corpus scale that is a driver OOM, not a result
+# anyone pages through. Facets return the top N buckets by (count desc,
+# val asc) — deterministic, and expressible as TakeOrderedAndProject /
+# a bounded per-tag window so the driver only ever receives N rows per
+# facet. Callers opt OUT per-request with ``aggregates_limit: 0`` in the
+# query opts (full cardinality, the reference's unbounded behavior,
+# reference query.py:744-753) or pick their own N.
+FACET_MAX_VALUES = int(os.environ.get("BIKIDATA_SPARK_FACET_MAX", "1000"))
 # paths(): hierarchies with at most this many edges are collected once
 # per generation and walked driver-side (hierarchies are dimension
 # tables — regions/categories/taxonomies — so this covers virtually
@@ -264,6 +274,28 @@ class Engine:
     _mutations_patched: int = field(default=0, repr=False)
     _fts_incremental_updates: int = field(default=0, repr=False)
     _lineage_folds: int = field(default=0, repr=False)
+    # dictionary shed (scale-hardening beyond the reference, which never
+    # GCs terms — reference query.py:505-507): the FTS index is a pure
+    # function of the literal dictionary, so sustained literal churn
+    # (insert L, delete L, repeat) grows the dictionary AND the postings
+    # without bound even though the dead literals are unobservable
+    # through every query surface. The tier delete path counts literals
+    # whose LAST quad reference is being deleted; once the dead count
+    # passes both floors, _shed_dead_terms GCs the dictionary down to
+    # referenced terms and drops derived state for rebuild — postings
+    # and terms stay proportional to the LIVE corpus. The counter is a
+    # heuristic upper bound (a re-inserted dead literal decrements it;
+    # the shed itself recomputes truth distributed), and the shed runs
+    # only from the tier-resident mutation path — batch deployments GC
+    # via compact_store / a scratch rebuild instead.
+    shed_min_literals: int = field(
+        default=int(os.environ.get("BIKIDATA_SPARK_SHED_MIN_LITERALS", "256"))
+    )
+    shed_fraction: float = field(
+        default=float(os.environ.get("BIKIDATA_SPARK_SHED_FRACTION", "0.2"))
+    )
+    _dead_literals: int = field(default=0, repr=False)
+    _terms_shed: int = field(default=0, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -356,6 +388,8 @@ class Engine:
             if "error" not in result:
                 self._mutations_patched += 1
                 self._maybe_checkpoint_lineage()
+                if action == "delete":
+                    self._maybe_shed_dead_terms()
             return result
 
     def _mut_buffers(self) -> dict:
@@ -512,6 +546,23 @@ class Engine:
                 h = term_id(v)
                 if h not in tier.h2v:
                     new_terms[v] = h
+        if self._dead_literals:
+            # a re-inserted DEAD literal (in the dictionary, zero quad
+            # references pre-insert) is live again — keep the shed
+            # estimate tight so churn that round-trips the same values
+            # doesn't trigger a pointless GC
+            # (brand-new literals are not yet in tier.is_lit here — the
+            # dict updates happen after the buffer apply below)
+            revived = {
+                h
+                for (_, _, h, _) in rows
+                if h in tier.is_lit
+                and not (
+                    np.searchsorted(tier._o_sorted, h, "right")
+                    - np.searchsorted(tier._o_sorted, h, "left")
+                )
+            }
+            self._dead_literals = max(0, self._dead_literals - len(revived))
         st = self._mut_buffers()
         st["ins"].extend(rows)
         st["terms"].extend(
@@ -604,12 +655,13 @@ class Engine:
             g2 = self._mutated_graph(st)
             st["current"] = g2
             self._swap_graph_keep_fts(g2)
-            self._retier(
-                tier,
-                [],
-                np.unique(np.concatenate(del_rows)) if del_rows else np.empty(0, np.int64),
-                keep_fts=True,
+            dr = (
+                np.unique(np.concatenate(del_rows))
+                if del_rows
+                else np.empty(0, np.int64)
             )
+            self._dead_literals += self._count_dead_literals(tier, dr)
+            self._retier(tier, [], dr, keep_fts=True)
             return {"triples_deleted": len(data)}
 
         with_o = [d for d in data if d.get("o")]
@@ -654,13 +706,94 @@ class Engine:
         g2 = self._mutated_graph(st)
         st["current"] = g2
         self._swap_graph_keep_fts(g2)
-        self._retier(
-            tier,
-            [],
-            np.unique(np.concatenate(del_sets)) if del_sets else np.empty(0, np.int64),
-            keep_fts=True,
+        dr = (
+            np.unique(np.concatenate(del_sets)) if del_sets else np.empty(0, np.int64)
         )
+        self._dead_literals += self._count_dead_literals(tier, dr)
+        self._retier(tier, [], dr, keep_fts=True)
         return {"triples_deleted": len(data)}
+
+    @staticmethod
+    def _count_dead_literals(tier, del_rows: "np.ndarray") -> int:
+        """How many literal dictionary entries lose their LAST quad
+        reference when ``del_rows`` (row indexes into the pre-patch
+        ``tier``) are removed. Sorted-array probes only — O(k log n)
+        for k deleted rows, no Spark jobs. A literal is dead when every
+        one of its object-position occurrences is in the deleted set
+        (literals cannot appear as predicates/graphs; subject position
+        is probed defensively since handle_insert accepts any string)."""
+        if del_rows.size == 0:
+            return 0
+        cand, cnt_del = np.unique(tier.o[del_rows], return_counts=True)
+        lit = np.fromiter(
+            (int(h) in tier.is_lit for h in cand), dtype=bool, count=cand.size
+        )
+        cand, cnt_del = cand[lit], cnt_del[lit]
+        if cand.size == 0:
+            return 0
+        total = np.searchsorted(tier._o_sorted, cand, "right") - np.searchsorted(
+            tier._o_sorted, cand, "left"
+        )
+        dead = cand[total == cnt_del]
+        if dead.size:
+            s_refs = np.searchsorted(tier._s_sorted, dead, "right") - np.searchsorted(
+                tier._s_sorted, dead, "left"
+            )
+            dead = dead[s_refs == 0]
+        return int(dead.size)
+
+    def _maybe_shed_dead_terms(self) -> None:
+        """Shed when the dead-literal estimate passes both floors: an
+        absolute minimum (tiny dictionaries never pay a shed) and a
+        fraction of the literal dictionary (so the cost amortizes over
+        at least ``shed_fraction`` worth of churn)."""
+        st = self._local_tier_state
+        tier = st[1] if st is not None else None
+        if tier is None or self._dead_literals < self.shed_min_literals:
+            return
+        if self._dead_literals < self.shed_fraction * max(len(tier.is_lit), 1):
+            return
+        self._shed_dead_terms()
+
+    def _shed_dead_terms(self) -> None:
+        """GC dictionary terms referenced by no quad position and swap
+        the cleaned graph in. Unreferenced terms are unobservable
+        through the whole query surface (hydration, sp/spo, facets and
+        order keys all resolve hashes FOUND IN QUADS), so this is
+        semantics-preserving; what changes is scale: the terms table,
+        the next FTS build (postings/df/avgdl follow the live corpus,
+        which is also what the DuckDB oracles compute from ``quads``)
+        and the tier mirror all shrink back to live size instead of
+        accumulating every literal ever churned through serving.
+
+        One distributed semi-join against the four hashed quad columns
+        — the same shape compact_store's term dedup takes — then a
+        localCheckpoint so the cleaned dictionary is a flat scan, not a
+        join replayed under every downstream plan. The swap drops the
+        resident tier and FTS for lazy rebuild: the shed mutation pays
+        jobs (the only mutation that does), amortized over the
+        ``shed_fraction`` of churn that triggered it."""
+        t = self.graph.triples
+        refs = (
+            t.select(F.col("s").alias("hash"))
+            .unionAll(t.select(F.col("p").alias("hash")))
+            .unionAll(t.select(F.col("o").alias("hash")))
+            .unionAll(t.select(F.col("g").alias("hash")))
+            .distinct()
+        )
+        terms2 = self.graph.terms.join(refs, "hash", "left_semi").localCheckpoint(
+            eager=True
+        )
+        triples2 = t.localCheckpoint(eager=True)  # flatten mutation lineage too
+        self.replace_graph(Graph(triples=triples2, terms=terms2))
+        self._mut_state = None  # buffers referenced the pre-shed graph
+        self._dead_literals = 0
+        self._terms_shed += 1
+        # rebuild the mirror NOW: the shed runs from the tier-resident
+        # mutation path (serving), and leaving the tier down would drop
+        # every following mutation to the distributed path — no dead
+        # tracking, no zero-job cycles — until some query rebuilds it
+        self._local_tier()
 
     # ---- indexes -------------------------------------------------------
     @property
@@ -1231,6 +1364,8 @@ class Engine:
                 "hits": self._subject_cache_hits,
                 "misses": self._subject_cache_misses,
                 "semantic_fallback_scans": self._semantic_fallback_scans,
+                "dead_literals": self._dead_literals,
+                "terms_shed": self._terms_shed,
                 "local_tier": self._local_tier_stats(),
             }
 
@@ -1724,11 +1859,19 @@ class Engine:
         scores: DataFrame | None = None,
         known_rows: int | None = None,
         ordered: bool = True,
+        limit: int | None = None,
     ) -> DataFrame:
         """Facet counts over the (filtered or whole-corpus) subject set
         (reference query.py:744-753, 824-832) → (count, val), ordered
         count-desc like the reference (val tiebreak for determinism —
         facet outputs are distinct-value-sized, so the sort is tiny).
+
+        ``limit`` caps the value cardinality at the top-N buckets
+        (default :data:`FACET_MAX_VALUES`; pass 0 for the reference's
+        unbounded behavior). With ``ordered`` the orderBy+limit compiles
+        to TakeOrderedAndProject — each partition keeps N rows, the
+        driver merges N, so a facet over a billion-distinct property
+        returns without materializing its cardinality anywhere.
 
         With ``scores`` (the (s, score) frame a scored filter — fts or
         semantic — produced), the facet is WEIGHTED: each subject
@@ -1737,6 +1880,7 @@ class Engine:
         weight-desc. Weights sum per-subject scores rounded to 6dp as
         DECIMAL — exact and partition-order-independent, so the result
         is bit-reproducible (and DuckDB-mirrorable)."""
+        limit = FACET_MAX_VALUES if limit is None else (limit or None)
         t = self.graph.triples
         if s_results is not None:
             # known-small subject sets broadcast into the semi-join so
@@ -1775,10 +1919,11 @@ class Engine:
                 "count", "weight", "val"
             )
             if not ordered:
-                return out
-            return out.orderBy(
+                return out  # unordered = caller caps/sorts (fused path)
+            out = out.orderBy(
                 F.col("weight").desc(), F.col("count").desc(), F.col("val").asc()
             )
+            return out.limit(limit) if limit else out
         if agg == "properties":
             grouped = t.groupBy("p").agg(F.count("*").alias("count"))
             out = _g(grouped).join(terms, grouped.p == terms.hash).select("count", "val")
@@ -1793,14 +1938,16 @@ class Engine:
             )
             out = _g(grouped).join(terms, grouped.o == terms.hash).select("count", "val")
         if not ordered:
-            return out
-        return out.orderBy(F.col("count").desc(), F.col("val").asc())
+            return out  # unordered = caller caps/sorts (fused path)
+        out = out.orderBy(F.col("count").desc(), F.col("val").asc())
+        return out.limit(limit) if limit else out
 
     def _facets_fused(
         self,
         s_results: DataFrame | None,
         aggs: list[str],
         known_rows: int | None = None,
+        limit: int | None = None,
     ) -> dict[str, list[tuple[int, str]]]:
         """Every requested (unweighted) facet in ONE job (reference
         query.py:744-753 loops one SQL statement per aggregate; the r6
@@ -1814,7 +1961,17 @@ class Engine:
         k-1 fewer scheduler round-trips per request; at cluster scale
         k-1 fewer corpus scans + exchanges. Results split driver-side
         (facet outputs are distinct-value-sized) and sort like the
-        per-facet path: count desc, val asc."""
+        per-facet path: count desc, val asc.
+
+        ``limit`` (default :data:`FACET_MAX_VALUES`, 0 = unbounded) caps
+        each facet at its top-N (count desc, val asc) buckets. On the
+        broadcast-scoped small path the collect is already bounded by
+        the subject set and the cap is applied driver-side; on the
+        corpus path a per-tag ``row_number`` window bounds what reaches
+        the driver to N rows per facet — the difference between a facet
+        on a high-cardinality property returning a page and OOMing the
+        driver at scale."""
+        limit = FACET_MAX_VALUES if limit is None else (limit or None)
         t = self.graph.triples
         if s_results is not None:
             t = t.join(
@@ -1847,12 +2004,29 @@ class Engine:
         out = grouped.join(terms, grouped._key == terms.hash).select(
             "_tag", "count", "val"
         )
+        small = known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS
+        if limit and not small:
+            # corpus-scale facet: bound what reaches the driver BEFORE
+            # the collect — top-N per tag via a row_number window (the
+            # k-facet generalization of TakeOrderedAndProject). The
+            # small/broadcast path skips the extra exchange: its collect
+            # is already bounded by the subject set's triples.
+            w = Window.partitionBy("_tag").orderBy(
+                F.col("count").desc(), F.col("val").asc()
+            )
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn")
+            )
         rows = out.collect()
         by_tag: dict[int, list] = {i: [] for i in range(len(aggs))}
         for r in rows:
             by_tag[r["_tag"]].append((r["count"], r["val"]))
         for vals in by_tag.values():
             vals.sort(key=lambda cv: (-cv[0], cv[1]))
+            if limit:
+                del vals[limit:]
         return {agg: by_tag[i] for i, agg in enumerate(aggs)}
 
     # ---- paths ---------------------------------------------------------
@@ -2288,7 +2462,10 @@ class Engine:
         if fused_aggs:
             with self._no_aqe() if small else contextlib.nullcontext():
                 aggregates = self._facets_fused(
-                    s_results, fused_aggs, known_rows=known
+                    s_results,
+                    fused_aggs,
+                    known_rows=known,
+                    limit=opts.get("aggregates_limit"),
                 )
 
         results: dict = {}

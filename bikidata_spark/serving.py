@@ -76,7 +76,11 @@ class Serving:
     """
 
     def __init__(
-        self, engine: Engine, num_workers: int = 16, journal_dir: str | None = None
+        self,
+        engine: Engine,
+        num_workers: int = 16,
+        journal_dir: str | None = None,
+        journal_rotate_files: int = 512,
     ):
         self.engine = engine
         self._num_workers = num_workers
@@ -97,6 +101,16 @@ class Serving:
         # around a missing mutation produces a silently divergent store
         self._durable = bool(journal_dir)
         self._journal_error: str | None = None
+        # rotation: past this many LIVE journal files, fold them into
+        # {journal_dir}/_compacted (a log-structured store) and delete
+        # them — a one-file-per-mutation journal otherwise grows without
+        # bound and replay is O(files). 0 disables. The fold runs inside
+        # the mutation lock (no concurrent journal writes), incremental
+        # via the persistent _ckpt file-source checkpoint, and replay
+        # (streaming.mutations.replay_journal) seeds from _compacted.
+        self._rotate_files = journal_rotate_files
+        self._rotations = 0
+        self._journal_live = 0
         if journal_dir:
             import os
             import re
@@ -119,6 +133,15 @@ class Serving:
                     os.path.getmtime(os.path.join(journal_dir, m.group(0)))
                     for m in existing
                 )
+                self._journal_live = len(existing)
+            # a rotation may have deleted ALL live files: the sequence
+            # high-water mark survives in _seq (reusing a rotated file's
+            # name would be skipped by the rotation checkpoint, which
+            # tracks seen files by path — a silently lost mutation)
+            seq_file = os.path.join(journal_dir, "_seq")
+            if os.path.exists(seq_file):
+                with open(seq_file) as f:
+                    self._journal_seq = max(self._journal_seq, int(f.read().strip()))
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="bikidata-serve"
         )
@@ -299,6 +322,54 @@ class Serving:
         t = max(time.time(), self._journal_mtime + 0.002)
         self._journal_mtime = t
         os.utime(dest, (t, t))
+        self._journal_live += 1
+        if self._rotate_files and self._journal_live >= self._rotate_files:
+            self._rotate_journal()
+
+    def _rotate_journal(self) -> None:
+        """Fold the live journal files into ``{journal_dir}/_compacted``
+        and delete them, bounding the journal at ``journal_rotate_files``
+        live files (+ one compacted store). Runs under _mutate_lock —
+        no journal write can race the fold. The ingest is INCREMENTAL
+        (the _ckpt checkpoint persists across rotations, so each fold
+        only reads files written since the last one); the compaction
+        after it keeps _compacted at one net-state segment instead of
+        one batch directory per journal file. Crash-safe: files are
+        deleted only after the fold commits, and a file that was folded
+        but not deleted double-applies on replay, which sequenced
+        last-writer-wins semantics make a no-op (replay_journal docs)."""
+        import glob
+        import os
+
+        from .streaming.mutations import compact_store, start_ingest
+
+        spark = self.engine.graph.spark
+        live = sorted(glob.glob(os.path.join(self._journal_dir, "*.json")))
+        comp = os.path.join(self._journal_dir, "_compacted")
+        q = start_ingest(
+            spark,
+            self._journal_dir,
+            comp,
+            os.path.join(self._journal_dir, "_ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        # a tombstone-only fold (possible only when the journal's deletes
+        # target quads never journaled — i.e. a journal that is not
+        # self-contained; with rotation the base load should flow through
+        # the journal too) has no triples dir to compact
+        if os.path.isdir(os.path.join(comp, "triples")):
+            compact_store(spark, comp)
+        # the sequence high-water mark must survive even if every live
+        # file is rotated away (see __init__)
+        seq_file = os.path.join(self._journal_dir, "_seq")
+        with open(f"{seq_file}.tmp", "w") as f:
+            f.write(str(self._journal_seq))
+        os.rename(f"{seq_file}.tmp", seq_file)
+        for f in live:
+            os.remove(f)
+        self._journal_live = 0
+        self._rotations += 1
 
     async def insert_async(
         self, s: str, p: str, o: str, g: str = "", timeout: int = 60
@@ -355,6 +426,8 @@ class Serving:
                 "generation": self._generation,
                 "durable": self._durable,
                 "journal_error": self._journal_error,
+                "journal_live_files": self._journal_live,
+                "journal_rotations": self._rotations,
                 "result_cache": {
                     "entries": len(self._cache),
                     "live_entries": live,

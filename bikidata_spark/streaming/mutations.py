@@ -150,6 +150,43 @@ def start_ingest(
     return writer.start()
 
 
+def replay_journal(
+    spark: SparkSession,
+    journal_dir: str,
+    store_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """Rebuild a log-structured store from a serving journal, including
+    its ROTATED prefix: a long-lived ``Serving(journal_dir=...,
+    journal_rotate_files=N)`` periodically folds its oldest journal
+    files into ``{journal_dir}/_compacted`` (a log-structured store) and
+    deletes them, so the raw file list no longer covers history. Replay
+    therefore seeds the target store with the compacted net state as its
+    OLDEST segment (``batch=-1`` — every live journal file replays after
+    it, ids >= 0, so sequenced-tombstone ordering holds), then streams
+    the remaining journal files one-per-batch.
+
+    Safe against a crash mid-rotation (files ingested into _compacted
+    but not yet deleted): the suffix double-applies, and sequenced
+    last-writer-wins semantics make ``apply(S); apply(S)`` converge to
+    ``apply(S)`` — pinned by test_journal_replay. Returns the streaming
+    query (await it, then ``read_store(store_dir)``)."""
+    import os
+
+    comp = f"{journal_dir}/_compacted"
+    if os.path.isdir(f"{comp}/triples"):
+        g = read_store(spark, comp)
+        g.triples.write.mode("overwrite").parquet(f"{store_dir}/triples/batch=-1")
+        g.terms.write.mode("overwrite").parquet(f"{store_dir}/terms/batch=-1")
+    return start_ingest(
+        spark,
+        journal_dir,
+        store_dir,
+        checkpoint_dir or f"{store_dir}/_replay_checkpoint",
+        max_files_per_trigger=1,
+    )
+
+
 def compact_store(spark: SparkSession, store_dir: str, force: bool = False) -> dict:
     """Fold the append-only log down: apply tombstones, drop duplicate
     quads and term rows, rewrite triples sorted by (p, s) (row-group

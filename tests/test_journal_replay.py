@@ -318,3 +318,92 @@ def test_journal_failure_degrades_to_non_durable(spark, tmp_path):
     # engine state retained the mutation; queries see it
     assert eng.query({"filters": [{"p": "<p/t>", "o": '"nine"'}]})["total"] == 1
     srv.close()
+
+
+def test_journal_rotation_bounds_files_and_replays(spark, tmp_path):
+    """Long-lived serving: past journal_rotate_files live files the
+    journal folds into {journal_dir}/_compacted and deletes them — the
+    file count stays bounded, the sequence survives even a full fold
+    (_seq high-water mark), and replay_journal (compacted seed + live
+    tail) reproduces the served engine exactly across two rotations and
+    a restart."""
+    import os
+
+    from bikidata_spark.serving import Serving
+    from bikidata_spark.streaming.mutations import read_store, replay_journal
+
+    jdir = tmp_path / "journal"
+    jdir.mkdir()
+    # with rotation the journal must be SELF-CONTAINED: the base corpus
+    # flows through it too (here: a backdated bulk-load file)
+    seed = [
+        {"action": "insert", "s": s, "p": p, "o": o, "g": g}
+        for (s, p, o, g) in [
+            ("<j/1>", "<p/t>", "<t/0>", ""),
+            ("<j/2>", "<p/t>", "<t/1>", "<g/1>"),
+            ("<j/3>", "<p/lbl>", '"three"', ""),
+        ]
+    ]
+    sp = jdir / "000000000000.json"
+    sp.write_text("\n".join(json.dumps(r) for r in seed) + "\n")
+    import time as _time
+
+    t0 = _time.time() - 1000
+    os.utime(sp, (t0, t0))
+
+    eng = _mk_engine(spark)
+    srv = Serving(eng, num_workers=2, journal_dir=str(jdir), journal_rotate_files=4)
+
+    async def life1():
+        assert (await srv.insert_async("<j/4>", "<p/t>", '"four"'))["triples_inserted"] == 1
+        assert (await srv.insert_async("<j/5>", "<p/t>", '"five"'))["triples_inserted"] == 1
+        # this 3rd write trips the rotation (seed + 3 live files >= 4)
+        assert (await srv.delete_async("<j/4>", "<p/t>", '"four"'))["triples_deleted"] == 1
+        # post-rotation tail: the delete→re-insert pair SPANS the fold,
+        # so replay must sequence the compacted prefix before the tail
+        assert (await srv.insert_async("<j/4>", "<p/t>", '"four"'))["triples_inserted"] == 1
+        assert (await srv.delete_async("<j/1>", "<p/t>", None))["triples_deleted"] == 1
+        assert (await srv.insert_async("<j/6>", "<p/t>", '"six"'))["triples_inserted"] == 1
+
+    asyncio.run(life1())
+    st = srv.status()
+    assert st["journal_rotations"] == 1
+    assert st["journal_live_files"] == 3
+    assert len(list(jdir.glob("*.json"))) == 3  # bounded on disk too
+    assert (jdir / "_compacted" / "triples").is_dir()
+    srv.close()
+
+    # mid-stream replay: compacted seed + live tail == served engine
+    q = replay_journal(spark, str(jdir), str(tmp_path / "store1"))
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_store(spark, str(tmp_path / "store1")).triples.collect()))
+    assert got == sorted(map(tuple, eng.graph.triples.collect()))
+
+    # restart with rotate-every-write: the next mutation folds EVERY
+    # live file away; the sequence must survive via _seq
+    srv2 = Serving(eng, num_workers=2, journal_dir=str(jdir), journal_rotate_files=1)
+    assert srv2._journal_seq == 6  # resumed from the live files
+
+    async def life2():
+        assert (await srv2.delete_async("<j/5>", "<p/t>", '"five"'))["triples_deleted"] == 1
+
+    asyncio.run(life2())
+    assert srv2.status()["journal_rotations"] == 1
+    assert len(list(jdir.glob("*.json"))) == 0  # fully folded
+    srv2.close()
+
+    srv3 = Serving(eng, num_workers=2, journal_dir=str(jdir))
+    assert srv3._journal_seq == 7  # from _seq, not the (empty) file list
+
+    async def life3():
+        assert (await srv3.insert_async("<j/7>", "<p/t>", '"seven"'))["triples_inserted"] == 1
+
+    asyncio.run(life3())
+    assert sorted(p.name for p in jdir.glob("*.json")) == ["000000000008.json"]
+    srv3.close()
+
+    # full replay of the twice-rotated journal == final served state
+    q = replay_journal(spark, str(jdir), str(tmp_path / "store2"))
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_store(spark, str(tmp_path / "store2")).triples.collect()))
+    assert got == sorted(map(tuple, eng.graph.triples.collect()))

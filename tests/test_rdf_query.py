@@ -645,3 +645,43 @@ def test_fts_term_dfs_warm_queries_schedule_no_df_jobs(engine):
         sc.setJobGroup(None, None)
     assert dfs["customer"] > 0 and dfs["000000013"] >= 1
     assert not (tracker.getJobIdsForGroup("dfs-warm-probe") or [])
+
+
+def test_facet_cardinality_cap(engine):
+    """Facets return the top-N buckets by (count desc, val asc) —
+    default N = FACET_MAX_VALUES, per-request override via
+    ``aggregates_limit``, 0 = the reference's unbounded behavior. The
+    cap must hold identically on the tier, the distributed fused path
+    (bounded per-tag window — the collect is capped BEFORE the driver),
+    and the facet() API (TakeOrderedAndProject)."""
+    from bikidata_spark import Engine
+    from bikidata_spark.plans.query import FACET_MAX_VALUES
+
+    opts = {
+        "size": 0,
+        "filters": [{"p": "<p/type>", "o": "<c/customer>"}],
+        "aggregates": ["<p/nation>"],
+    }
+    full = engine.query(dict(opts, aggregates_limit=0))["aggregates"]["<p/nation>"]
+    assert len(full) > 3  # the cap below actually bites
+    capped = engine.query(dict(opts, aggregates_limit=3))["aggregates"]["<p/nation>"]
+    assert capped == full[:3]
+    dflt = engine.query(opts)["aggregates"]["<p/nation>"]
+    assert dflt == full[:FACET_MAX_VALUES]
+
+    s_results, _ = engine.subjects({"filters": opts["filters"]})
+    rows = engine.facet(s_results, "<p/nation>", limit=3).collect()
+    assert [(r["count"], r["val"]) for r in rows] == full[:3]
+
+    # corpus-scale shape: known_rows=None skips the small/broadcast
+    # scope, so the bounded row_number window must cap each tag
+    fused = engine._facets_fused(
+        s_results, ["<p/nation>", "properties"], known_rows=None, limit=3
+    )
+    assert fused["<p/nation>"] == full[:3]
+    assert len(fused["properties"]) == 3
+
+    # distributed path (tier off) pins the same contract byte-for-byte
+    dist = Engine(engine.graph, local_tier_rows=0)
+    assert dist.query(dict(opts, aggregates_limit=3))["aggregates"]["<p/nation>"] == full[:3]
+    assert dist.query(dict(opts, aggregates_limit=0))["aggregates"]["<p/nation>"] == full
