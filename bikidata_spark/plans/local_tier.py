@@ -83,6 +83,13 @@ _VEC_ROWS = int(
 
 _EMPTY = np.empty(0, dtype=np.int64)
 
+# pending-row bound for the mutation overlay (unsorted insert tail +
+# dead-row count): past it, ``patched`` folds — one physical compaction
+# plus a fresh stable argsort, amortized to ~0 per mutation
+_OVERLAY_FOLD = int(
+    __import__("os").environ.get("BIKIDATA_SPARK_TIER_OVERLAY_FOLD", "16384")
+)
+
 # Java's \s (used by the order-key clean step's collapse_space) is the
 # ASCII class [ \t\n\x0B\f\r]; Python's \s would also eat unicode
 # whitespace, silently diverging from the Spark expression it mirrors
@@ -261,6 +268,21 @@ class LocalTier:
         self.v2h = value_to_hash
         self.is_lit = literal_hashes
         self.nrows = int(s.size)
+        # ---- mutation overlay (r9) --------------------------------------
+        # ``patched`` keeps mutations O(delta): deletes flip bits in a
+        # copy-on-write ``_live`` mask (None = all rows live) instead of
+        # compacting every array, and inserts append IN PLACE into
+        # shared capacity buffers (``_buf``) whose tail only the newest
+        # generation owns — older generations view shorter prefixes, so
+        # in-flight readers are untouched. The sorted indexes cover only
+        # the first ``_sorted_n`` rows (the base region); probes scan
+        # the small unsorted tail linearly. Past _OVERLAY_FOLD pending
+        # rows either way, the patch FOLDS: one physical compaction +
+        # fresh argsort, amortized to ~0 per mutation.
+        self._live: np.ndarray | None = None  # bool per physical row
+        self._n_dead = 0
+        self._sorted_n = self.nrows
+        self._buf: dict | None = None
         # sorted row indexes over s and o: membership tests against a
         # key set then cost O(k log n + hits) via searchsorted instead
         # of np.isin's per-call O(n log n) re-sort of the whole column
@@ -324,8 +346,24 @@ class LocalTier:
             vals[found] = self._tv_sorted[idx_c[found]]
         return vals, found
 
-    def _rows_mask(self, sorted_col, order, keys: np.ndarray) -> np.ndarray:
-        """Boolean row mask: column value ∈ keys (sorted-index probe)."""
+    @property
+    def live_rows(self) -> int:
+        """Quad count net of overlay tombstones (= what a re-collect
+        of the mutated graph would return)."""
+        return self.nrows - self._n_dead
+
+    def _lv(self, mask: np.ndarray) -> np.ndarray:
+        """AND out overlay-deleted rows from a full-length row mask."""
+        return mask if self._live is None else (mask & self._live)
+
+    def _col_live(self, col: np.ndarray) -> np.ndarray:
+        """Column restricted to live rows (the identity pre-overlay)."""
+        return col if self._live is None else col[self._live]
+
+    def _rows_mask(self, sorted_col, order, flat_col, keys: np.ndarray) -> np.ndarray:
+        """Boolean row mask: column value ∈ keys (sorted-index probe
+        over the base region + linear scan of the small unsorted
+        overlay tail, overlay-deleted rows off)."""
         mask = np.zeros(self.nrows, dtype=bool)
         if keys.size == 0:
             return mask
@@ -333,10 +371,13 @@ class LocalTier:
         lo = np.searchsorted(sorted_col, keys, "left")
         hi = np.searchsorted(sorted_col, keys, "right")
         mask[order[_range_indices(lo, hi)]] = True
-        return mask
+        t0 = self._sorted_n
+        if t0 < self.nrows:
+            mask[t0:] = np.isin(flat_col[t0:], keys)
+        return self._lv(mask)
 
     def _s_in(self, keys: np.ndarray) -> np.ndarray:
-        return self._rows_mask(self._s_sorted, self._s_order, keys)
+        return self._rows_mask(self._s_sorted, self._s_order, self.s, keys)
 
     def sp(self, s_list: list[str], p: str | None) -> dict:
         """{subject: [object values]} — mirror of Engine.sp (reference
@@ -359,13 +400,16 @@ class LocalTier:
         """Distinct-subject count (Engine.total's contract)."""
         n = getattr(self, "_total_subjects", None)
         if n is None:
-            ss = self._s_sorted
-            n = int((ss[1:] != ss[:-1]).sum()) + 1 if ss.size else 0
+            if self._live is None and self._sorted_n == self.nrows:
+                ss = self._s_sorted
+                n = int((ss[1:] != ss[:-1]).sum()) + 1 if ss.size else 0
+            else:  # overlay active: the sorted index under/over-covers
+                n = int(np.unique(self._col_live(self.s)).size)
             self._total_subjects = n
         return n
 
     def _o_in(self, keys: np.ndarray) -> np.ndarray:
-        return self._rows_mask(self._o_sorted, self._o_order, keys)
+        return self._rows_mask(self._o_sorted, self._o_order, self.o, keys)
 
     # ---- mutation support ----------------------------------------------
     # The mirror answers a mutation's existence probes (insert dup-check,
@@ -380,6 +424,12 @@ class LocalTier:
         lo = np.searchsorted(self._s_sorted, s, "left")
         hi = np.searchsorted(self._s_sorted, s, "right")
         rows = self._s_order[lo:hi]
+        t0 = self._sorted_n
+        if t0 < self.nrows:
+            tail = t0 + np.flatnonzero(self.s[t0:] == s)
+            rows = np.concatenate([rows, tail]) if rows.size else tail
+        if self._live is not None and rows.size:
+            rows = rows[self._live[rows]]
         if rows.size == 0:
             return rows
         keep = self.p[rows] == p
@@ -413,7 +463,12 @@ class LocalTier:
             if term is not None and term != "":
                 m = col == term_id(term)
                 mask = m if mask is None else (mask & m)
-        rows = np.flatnonzero(mask) if mask is not None else np.arange(self.nrows)
+        if mask is not None:
+            rows = np.flatnonzero(self._lv(mask))
+        elif self._live is not None:
+            rows = np.flatnonzero(self._live)
+        else:
+            rows = np.arange(self.nrows)
         if rows.size > max_rows:
             return None
         sv, sf = self._values_of(self.s[rows])
@@ -423,26 +478,46 @@ class LocalTier:
         out = sorted(zip(sv[ok].tolist(), pv[ok].tolist(), ov[ok].tolist()))
         return out[start : start + size] if start else out[:size]
 
-    @staticmethod
-    def _merge_sorted(sorted_vals, order, new_vals, first_new_id):
-        """Insert new (value, row-id) pairs into a stable sorted index
-        in O(n) copies — no re-sort. New row ids are all larger than
-        existing ones, so side='right' insertion keeps the stable
-        (value, row-id) order argsort(kind='stable') would produce."""
-        d_ord = np.argsort(new_vals, kind="stable")
-        vals = new_vals[d_ord]
-        pos = np.searchsorted(sorted_vals, vals, side="right")
-        return (
-            np.insert(sorted_vals, pos, vals),
-            np.insert(order, pos, first_new_id + d_ord),
-        )
+    def _ref_counts(self, sorted_vals, order, flat_col, keys: np.ndarray) -> np.ndarray:
+        """Live occurrence count of each key (SORTED UNIQUE int64) in
+        one column: sorted-index ranges minus overlay-dead rows, plus
+        the unsorted overlay tail. O(k log n + hits)."""
+        lo = np.searchsorted(sorted_vals, keys, "left")
+        hi = np.searchsorted(sorted_vals, keys, "right")
+        if self._live is None:
+            cnt = (hi - lo).astype(np.int64)
+        else:
+            idx = order[_range_indices(lo, hi)]
+            rep = np.repeat(np.arange(keys.size), hi - lo)
+            cnt = np.bincount(
+                rep[self._live[idx]], minlength=keys.size
+            ).astype(np.int64)
+        t0 = self._sorted_n
+        if t0 < self.nrows:
+            tail = flat_col[t0:]
+            if self._live is not None:
+                tail = tail[self._live[t0:]]
+            pos = np.searchsorted(keys, tail)
+            pos_c = np.minimum(pos, keys.size - 1)
+            hit = (pos < keys.size) & (keys[pos_c] == tail)
+            cnt += np.bincount(pos_c[hit], minlength=keys.size)
+        return cnt
 
-    @staticmethod
-    def _compact_sorted(sorted_vals, order, keep, new_id):
-        """Drop deleted rows from a sorted index and renumber the
-        surviving row ids to the compacted array."""
-        kept = keep[order]
-        return sorted_vals[kept], new_id[order[kept]]
+    def o_ref_counts(self, keys: np.ndarray) -> np.ndarray:
+        """Live object-position occurrence counts (keys sorted unique).
+        Mutation-path helper: the dead-literal estimate probes these
+        instead of running the distributed reference-count join."""
+        return self._ref_counts(self._o_sorted, self._o_order, self.o, keys)
+
+    def s_ref_counts(self, keys: np.ndarray) -> np.ndarray:
+        """Live subject-position occurrence counts (keys sorted unique)."""
+        return self._ref_counts(self._s_sorted, self._s_order, self.s, keys)
+
+    def _has_subjects(self, subs: np.ndarray) -> np.ndarray:
+        """Bool per input: does any LIVE row have this subject?"""
+        subs_u, inv = np.unique(subs, return_inverse=True)
+        out = self.s_ref_counts(subs_u) > 0
+        return out[inv]
 
     def properties_rows(self) -> list:
         """Mirror of Engine.properties (reference query.py:20-27):
@@ -451,8 +526,9 @@ class LocalTier:
         per tier (pure function of the quad arrays)."""
         rows = getattr(self, "_properties_rows", None)
         if rows is None:
-            order = np.lexsort((self.s, self.p))
-            p, s = self.p[order], self.s[order]
+            p_all, s_all = self._col_live(self.p), self._col_live(self.s)
+            order = np.lexsort((s_all, p_all))
+            p, s = p_all[order], s_all[order]
             first = np.ones(p.size, dtype=bool)
             first[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
             up = p[first]
@@ -471,7 +547,7 @@ class LocalTier:
         (object value, distinct-subject count) for one property."""
         from ..functions.xxh import term_id
 
-        mask = self.p == term_id(prop)
+        mask = self._lv(self.p == term_id(prop))
         o, s = self.o[mask], self.s[mask]
         order = np.lexsort((s, o))
         o, s = o[order], s[order]
@@ -484,11 +560,29 @@ class LocalTier:
             (v, int(c)) for v, c, f in zip(vals, counts, found) if f
         ]
 
+    # class attr so tests can shrink it; env override for deployments
+    OVERLAY_FOLD = _OVERLAY_FOLD
+
     def patched(self, ins_rows: list, del_rows: np.ndarray, new_terms=()) -> "LocalTier":
         """New tier with ``del_rows`` (row indexes) removed and
         ``ins_rows`` ((s,p,o,g) hash tuples) appended at the end —
         the same row order the distributed lineage produces (delete is
         an order-preserving anti-join, insert a trailing unionAll).
+
+        O(delta), not O(cap): deletes flip bits in a copy-on-write
+        ``_live`` mask (one bool column ≈ nrows/8 bytes — the only
+        full-length touch) instead of compacting ten int64 arrays, and
+        inserts append IN PLACE into shared capacity buffers whose
+        tail only the newest generation owns — older generations view
+        shorter prefixes, so in-flight readers are untouched under the
+        GIL. The sorted row indexes keep covering only the first
+        ``_sorted_n`` rows (the base region); every probe scans the
+        small unsorted tail linearly and masks dead rows (_rows_mask /
+        pattern_rows / _ref_counts). Past ``OVERLAY_FOLD`` pending
+        rows the patch FOLDS — one physical compaction + fresh stable
+        argsort — so the amortized per-mutation cost stays O(delta).
+        At sf1's 11M rows this takes the measured mutation cycle from
+        1.4-1.7 s (r8's O(cap) merge copies) to the delta cost alone.
 
         The term dicts are SHARED with this tier: mutation only ever
         ADDS terms (the reference never garbage-collects them,
@@ -497,36 +591,10 @@ class LocalTier:
         is safe under the GIL. ``new_terms`` [(hash, value)] are the
         dictionary additions, already applied to the shared dicts by
         the caller — passed so the sorted term arrays can be MERGED.
-
-        Every index carries over by O(n) merge/compact copies instead
-        of a re-sort (LocalTier._merge_sorted/_compact_sorted): the
-        whole patch is ~30 ms at sf0.1's 1.14M rows where an
-        argsort-rebuilding __init__ costs ~0.35 s and the re-collect
-        it replaces ~4 s (tools-measured, docs/PLANS.md). The lazy FTS
-        mirror is dropped (literal postings may have changed); the
-        semantic mirror carries over (embeddings are not quad data,
-        keyed by store identity, unchanged by quad mutations).
+        The lazy FTS mirror is dropped (literal postings may have
+        changed); the semantic mirror carries over (embeddings are not
+        quad data, keyed by store identity, unchanged by mutations).
         """
-        s_sorted, s_order = self._s_sorted, self._s_order
-        o_sorted, o_order = self._o_sorted, self._o_order
-        if del_rows.size:
-            keep = np.ones(self.nrows, dtype=bool)
-            keep[del_rows] = False
-            new_id = np.cumsum(keep) - 1  # old row id → compacted id
-            s, p, o, g = self.s[keep], self.p[keep], self.o[keep], self.g[keep]
-            s_sorted, s_order = self._compact_sorted(s_sorted, s_order, keep, new_id)
-            o_sorted, o_order = self._compact_sorted(o_sorted, o_order, keep, new_id)
-        else:
-            s, p, o, g = self.s, self.p, self.o, self.g
-        if ins_rows:
-            base = int(s.size)
-            ins = np.array(ins_rows, dtype=np.int64).reshape(-1, 4)
-            s = np.concatenate([s, ins[:, 0]])
-            p = np.concatenate([p, ins[:, 1]])
-            o = np.concatenate([o, ins[:, 2]])
-            g = np.concatenate([g, ins[:, 3]])
-            s_sorted, s_order = self._merge_sorted(s_sorted, s_order, ins[:, 0], base)
-            o_sorted, o_order = self._merge_sorted(o_sorted, o_order, ins[:, 2], base)
         th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
         if new_terms:
             nt = sorted(new_terms)
@@ -536,9 +604,81 @@ class LocalTier:
             nv = np.empty(len(nt), dtype=object)
             nv[:] = [v for _, v in nt]
             tv_sorted = np.insert(tv_sorted, pos, nv)
+        k_ins = len(ins_rows)
+        pending = (
+            (self.nrows - self._sorted_n)
+            + self._n_dead
+            + k_ins
+            + int(del_rows.size)
+        )
+        if pending > self.OVERLAY_FOLD:
+            return self._fold_patched(ins_rows, del_rows, th_sorted, tv_sorted)
+
+        live, n_dead = self._live, self._n_dead
+        if del_rows.size:
+            live = np.ones(self.nrows, dtype=bool) if live is None else live.copy()
+            n_dead += int(live[del_rows].sum())
+            live[del_rows] = False
+        buf = self._buf
+        if k_ins:
+            ins = np.array(ins_rows, dtype=np.int64).reshape(-1, 4)
+            n0, n1 = self.nrows, self.nrows + k_ins
+            if buf is None or buf["end"] != n0 or n1 > buf["cap"]:
+                # first overlay insert on this lineage (or a discarded
+                # branch / full buffer): seed fresh capacity buffers
+                cap = n1 + max(4 * self.OVERLAY_FOLD, n1 // 8)
+                buf = {"cap": cap, "end": n0}
+                for name, col in (("s", self.s), ("p", self.p), ("o", self.o), ("g", self.g)):
+                    b = np.empty(cap, dtype=np.int64)
+                    b[:n0] = col
+                    buf[name] = b
+            for j, name in enumerate(("s", "p", "o", "g")):
+                buf[name][n0:n1] = ins[:, j]
+            buf["end"] = n1
+            s, p, o, g = (buf[n][:n1] for n in ("s", "p", "o", "g"))
+            if live is not None:
+                lv = np.empty(n1, dtype=bool)
+                lv[:n0], lv[n0:] = live, True
+                live = lv
+        else:
+            s, p, o, g = self.s, self.p, self.o, self.g
         t = LocalTier(
             s, p, o, g, self.h2v, self.v2h, self.is_lit,
-            _indexes=(s_order, s_sorted, o_order, o_sorted, th_sorted, tv_sorted),
+            _indexes=(self._s_order, self._s_sorted, self._o_order,
+                      self._o_sorted, th_sorted, tv_sorted),
+        )
+        t._live, t._n_dead = live, n_dead
+        t._sorted_n = self._sorted_n
+        t._buf = buf
+        t._sem_state = self._sem_state
+        self._carry_order_caches(t, ins_rows, del_rows)
+        return t
+
+    def _fold_patched(self, ins_rows, del_rows, th_sorted, tv_sorted) -> "LocalTier":
+        """Apply the pending overlay + this mutation physically: compact
+        live rows (order-preserving, = the distributed anti-join),
+        append inserts (= the trailing unionAll), fresh stable argsort
+        for both row indexes. Runs once per OVERLAY_FOLD pending rows."""
+        keep = (
+            self._live.copy()
+            if self._live is not None
+            else np.ones(self.nrows, dtype=bool)
+        )
+        if del_rows.size:
+            keep[del_rows] = False
+        s, p, o, g = self.s[keep], self.p[keep], self.o[keep], self.g[keep]
+        if ins_rows:
+            ins = np.array(ins_rows, dtype=np.int64).reshape(-1, 4)
+            s = np.concatenate([s, ins[:, 0]])
+            p = np.concatenate([p, ins[:, 1]])
+            o = np.concatenate([o, ins[:, 2]])
+            g = np.concatenate([g, ins[:, 3]])
+        s_order = np.argsort(s, kind="stable")
+        o_order = np.argsort(o, kind="stable")
+        t = LocalTier(
+            s, p, o, g, self.h2v, self.v2h, self.is_lit,
+            _indexes=(s_order, s[s_order], o_order, o[o_order],
+                      th_sorted, tv_sorted),
         )
         t._sem_state = self._sem_state
         self._carry_order_caches(t, ins_rows, del_rows)
@@ -565,27 +705,15 @@ class LocalTier:
             ins = np.array(ins_rows, dtype=np.int64).reshape(-1, 4)
             touched_p.update(np.unique(ins[:, 1]).tolist())
             # a subject new to the corpus must appear in every order
-            pos = np.searchsorted(self._s_sorted, ins[:, 0])
-            pos_c = np.minimum(pos, max(self._s_sorted.size - 1, 0))
-            existed = (
-                (pos < self._s_sorted.size) & (self._s_sorted[pos_c] == ins[:, 0])
-                if self._s_sorted.size
-                else np.zeros(len(ins), dtype=bool)
-            )
-            if not bool(existed.all()):
+            # (liveness probe on SELF: pre-mutation state, overlay-aware)
+            if not bool(self._has_subjects(ins[:, 0]).all()):
                 return
         if del_rows.size:
             touched_p.update(np.unique(self.p[del_rows]).tolist())
             # a subject losing its LAST row vanishes from every order
+            # (liveness probe on T: post-mutation state, overlay-aware)
             cand = np.unique(self.s[del_rows])
-            pos = np.searchsorted(t._s_sorted, cand)
-            pos_c = np.minimum(pos, max(t._s_sorted.size - 1, 0))
-            remains = (
-                (pos < t._s_sorted.size) & (t._s_sorted[pos_c] == cand)
-                if t._s_sorted.size
-                else np.zeros(cand.size, dtype=bool)
-            )
-            if not bool(remains.all()):
+            if not bool(t._has_subjects(cand).all()):
                 return
         lab_h = self.v2h.get(RDFS_LABEL_IRI)
 
@@ -620,7 +748,7 @@ class LocalTier:
         if not g:
             return None
         hs = self._hashes(g.split(" "))
-        return np.isin(self.g, hs)
+        return self._lv(np.isin(self.g, hs))
 
     def _and(self, mask, gmask):
         return mask if gmask is None else (mask & gmask)
@@ -840,14 +968,16 @@ class LocalTier:
             oh = self.v2h.get(o)
             if oh is None:
                 return _EMPTY, None
-            mask = self._and(self.o == oh, gmask)
+            mask = self._and(self._lv(self.o == oh), gmask)
             return np.unique(self.s[mask]), None
 
         if p == "id":
             if o.startswith(("random", "sample")):
                 parts = o.split(" ")
                 n = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
-                subj = np.unique(self.s if gmask is None else self.s[gmask])
+                subj = np.unique(
+                    self._col_live(self.s) if gmask is None else self.s[gmask]
+                )
                 keyed = []
                 for h in subj.tolist():
                     v = self.h2v.get(h)
@@ -896,7 +1026,7 @@ class LocalTier:
             ph = self.v2h.get(p_head)
             if ph is None:
                 return _EMPTY, None
-            mask = self.p == ph
+            mask = self._lv(self.p == ph)
             if o:
                 terms = o.split(" ") if (o.startswith("<") and " " in o) else [o]
                 mask = mask & self._o_in(self._hashes(terms))
@@ -992,15 +1122,15 @@ class LocalTier:
         result = {}
         for agg in aggs:
             if agg == "properties":
-                keys = self.p if memmask is None else self.p[memmask]
+                keys = self._col_live(self.p) if memmask is None else self.p[memmask]
             elif agg == "graphs":
-                keys = self.g if memmask is None else self.g[memmask]
+                keys = self._col_live(self.g) if memmask is None else self.g[memmask]
             else:
                 ph = self.v2h.get(str(agg))
                 if ph is None:
                     result[agg] = []
                     continue
-                mask = self.p == ph
+                mask = self._lv(self.p == ph)
                 if memmask is not None:
                     mask &= memmask
                 keys = self.o[mask]
@@ -1033,7 +1163,7 @@ class LocalTier:
             ph = self.v2h.get(prop)
             if ph is None:
                 return []
-            mask = self.p == ph
+            mask = self._lv(self.p == ph)
             if memmask is not None:
                 mask &= memmask
             return list(zip(self.s[mask].tolist(), self.o[mask].tolist()))
@@ -1042,7 +1172,7 @@ class LocalTier:
         lab_h = self.v2h.get(RDFS_LABEL_IRI)
         if via_h is None or lab_h is None:
             return []
-        vmask = self.p == via_h
+        vmask = self._lv(self.p == via_h)
         if memmask is not None:
             vmask &= memmask
         s_via, objs = self.s[vmask], self.o[vmask]
@@ -1164,7 +1294,10 @@ class LocalTier:
         keys = self._order_keys_cached(rule)
         desc = direction == "desc"
 
-        subs = np.unique(self._s_sorted)
+        if self._live is None and self._sorted_n == self.nrows:
+            subs = np.unique(self._s_sorted)
+        else:  # overlay active: dead rows out, unsorted tail in
+            subs = np.unique(self._col_live(self.s))
         vals, found = self._values_of(subs)
         subs, svals = subs[found], vals[found]
         rows = []

@@ -496,7 +496,7 @@ class Engine:
         new_tier = tier.patched(ins_rows, del_rows, new_terms)
         if keep_fts:
             new_tier._fts_state = tier._fts_state
-        if new_tier.nrows > self.local_tier_rows:
+        if new_tier.live_rows > self.local_tier_rows:
             new_tier = None
         self._local_tier_state = (self._graph_generation, new_tier)
 
@@ -553,15 +553,11 @@ class Engine:
             # doesn't trigger a pointless GC
             # (brand-new literals are not yet in tier.is_lit here — the
             # dict updates happen after the buffer apply below)
-            revived = {
-                h
-                for (_, _, h, _) in rows
-                if h in tier.is_lit
-                and not (
-                    np.searchsorted(tier._o_sorted, h, "right")
-                    - np.searchsorted(tier._o_sorted, h, "left")
-                )
-            }
+            lits = sorted({h for (_, _, h, _) in rows if h in tier.is_lit})
+            revived = set()
+            if lits:
+                cnts = tier.o_ref_counts(np.array(lits, dtype=np.int64))
+                revived = {h for h, c in zip(lits, cnts.tolist()) if not c}
             self._dead_literals = max(0, self._dead_literals - len(revived))
         st = self._mut_buffers()
         st["ins"].extend(rows)
@@ -731,15 +727,10 @@ class Engine:
         cand, cnt_del = cand[lit], cnt_del[lit]
         if cand.size == 0:
             return 0
-        total = np.searchsorted(tier._o_sorted, cand, "right") - np.searchsorted(
-            tier._o_sorted, cand, "left"
-        )
+        total = tier.o_ref_counts(cand)  # live counts, overlay-aware
         dead = cand[total == cnt_del]
         if dead.size:
-            s_refs = np.searchsorted(tier._s_sorted, dead, "right") - np.searchsorted(
-                tier._s_sorted, dead, "left"
-            )
-            dead = dead[s_refs == 0]
+            dead = dead[tier.s_ref_counts(dead) == 0]
         return int(dead.size)
 
     def _maybe_shed_dead_terms(self) -> None:
@@ -1377,7 +1368,8 @@ class Engine:
             return {"state": "over_cap"}
         return {
             "state": "active",
-            "quads": st[1].nrows,
+            "quads": st[1].live_rows,
+            "overlay_pending": (st[1].nrows - st[1]._sorted_n) + st[1]._n_dead,
             "queries_served": st[1].queries_served,
             # zero-job mutation telemetry (Engine.mutate)
             "mutations_patched": self._mutations_patched,

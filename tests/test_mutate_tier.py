@@ -139,6 +139,13 @@ def test_queries_identical_after_script(mutated_pair):
         assert ours == theirs, f"diverged on {opts}"
 
 
+def _live_cols(t):
+    """Quad columns net of overlay tombstones (tail rows included —
+    they live in the flat prefix views)."""
+    sel = t._live if t._live is not None else slice(None)
+    return t.s[sel], t.p[sel], t.o[sel], t.g[sel]
+
+
 def test_patched_tier_equals_rebuilt_tier(mutated_pair):
     """The patched mirror must equal one re-collected from the mutated
     distributed graph, row-set and dictionary both."""
@@ -147,25 +154,74 @@ def test_patched_tier_equals_rebuilt_tier(mutated_pair):
     from bikidata_spark.plans.local_tier import build_local_tier
 
     rebuilt = build_local_tier(tiered, tiered.local_tier_rows)
-    a = np.lexsort((patched.g, patched.o, patched.p, patched.s))
+    ps, pp, po, pg = _live_cols(patched)
+    a = np.lexsort((pg, po, pp, ps))
     b = np.lexsort((rebuilt.g, rebuilt.o, rebuilt.p, rebuilt.s))
-    for col in ("s", "p", "o", "g"):
-        assert np.array_equal(getattr(patched, col)[a], getattr(rebuilt, col)[b]), col
+    for pc, rc, name in (
+        (ps, rebuilt.s, "s"), (pp, rebuilt.p, "p"),
+        (po, rebuilt.o, "o"), (pg, rebuilt.g, "g"),
+    ):
+        assert np.array_equal(pc[a], rc[b]), name
     # rebuilt dictionaries may lack terms the patch added for since-
     # deleted triples? No: terms are never garbage-collected — the
     # distributed terms frame keeps them, so the dicts must MATCH.
     assert patched.h2v == rebuilt.h2v
     assert patched.is_lit == rebuilt.is_lit
-    # the O(n)-merged indexes must be EXACTLY what a stable argsort
-    # would have produced (ties ordered by row id — the property every
-    # searchsorted probe and the sp() stored-order contract rely on)
-    assert np.array_equal(patched._s_order, np.argsort(patched.s, kind="stable"))
-    assert np.array_equal(patched._s_sorted, patched.s[patched._s_order])
-    assert np.array_equal(patched._o_order, np.argsort(patched.o, kind="stable"))
-    assert np.array_equal(patched._o_sorted, patched.o[patched._o_order])
+    # overlay invariants: the sorted indexes cover EXACTLY the base
+    # region as a stable argsort (ties ordered by row id — the property
+    # every searchsorted probe and the sp() stored-order contract rely
+    # on); the unsorted tail is all overlay inserts, all live
+    base = patched._sorted_n
+    assert np.array_equal(
+        patched._s_order, np.argsort(patched.s[:base], kind="stable")
+    )
+    assert np.array_equal(patched._s_sorted, patched.s[:base][patched._s_order])
+    assert np.array_equal(
+        patched._o_order, np.argsort(patched.o[:base], kind="stable")
+    )
+    assert np.array_equal(patched._o_sorted, patched.o[:base][patched._o_order])
+    if patched._live is not None:
+        assert int((~patched._live).sum()) == patched._n_dead
+    assert patched.live_rows == rebuilt.nrows
     assert np.array_equal(patched._th_sorted, np.sort(patched._th_sorted))
     got = {int(h): v for h, v in zip(patched._th_sorted, patched._tv_sorted)}
     assert got == patched.h2v
+
+
+def test_overlay_folds_and_stays_identical(spark, monkeypatch):
+    """With OVERLAY_FOLD forced tiny, every few mutations trigger a
+    physical fold (compaction + fresh argsort). The folded tier must be
+    indistinguishable: same script differential vs the distributed
+    engine, and post-fold the overlay is clear with full-coverage
+    indexes."""
+    from bikidata_spark.plans.local_tier import LocalTier
+
+    monkeypatch.setattr(LocalTier, "OVERLAY_FOLD", 2)
+    tiered = _mk_engine(spark, tier=True)
+    plain = _mk_engine(spark, tier=False)
+    tiered.query({"filters": [{"p": "<p/type>", "o": "<t/0>"}], "size": 1})
+    for action, data, are_hashes in SCRIPT:
+        a = tiered.mutate(action, [dict(d) for d in data], are_hashes=are_hashes)
+        b = plain.mutate(action, [dict(d) for d in data], are_hashes=are_hashes)
+        assert a == b, f"{action} {data}"
+    assert _store_state(tiered) == _store_state(plain)
+    for opts in QUERY_BATTERY:
+        ours = tiered.query(dict(opts))
+        theirs = plain.query({**opts, "use_cache": False})
+        assert ours == theirs, f"diverged on {opts}"
+    # one more 3-row batch: pending (2 tombstones + 3 inserts) > 2 →
+    # deterministic fold on this very patch
+    batch = [
+        {"s": f"<fold/x{i}>", "p": "<p/foldx>", "o": f"<t/{i}>"} for i in range(3)
+    ]
+    assert tiered.mutate("insert", [dict(d) for d in batch]) == plain.mutate(
+        "insert", [dict(d) for d in batch]
+    )
+    assert _store_state(tiered) == _store_state(plain)
+    t = tiered._local_tier()
+    assert t._live is None and t._n_dead == 0 and t._sorted_n == t.nrows
+    assert np.array_equal(t._s_order, np.argsort(t.s, kind="stable"))
+    assert np.array_equal(t._o_order, np.argsort(t.o, kind="stable"))
 
 
 def test_tier_mutation_is_zero_jobs(spark):
