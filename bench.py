@@ -39,7 +39,10 @@ from bikidata_spark.session import get_spark
 from bikidata_spark.sources.rdfize import string_quads
 
 
-def _serving_workload(engine: Engine, qvec: list[float], n: int = 24, workers: int = 8) -> dict:
+def _serving_workload(
+    engine: Engine, qvec: list[float], n: int = 24, workers: int = 8,
+    proc_workers: int = 0,
+) -> dict:
     """Drive ``Serving`` with ``n`` concurrent mixed queries and return
     latency stats. Caches are off so every query does real work."""
     import asyncio
@@ -77,7 +80,7 @@ def _serving_workload(engine: Engine, qvec: list[float], n: int = 24, workers: i
                     "use_cache": False,
                 }
             )
-    srv = Serving(engine, num_workers=workers)
+    srv = Serving(engine, num_workers=workers, proc_workers=proc_workers)
     lat: list[float] = []
 
     async def one(o):

@@ -781,6 +781,20 @@ class LocalTier:
     def _local_fts(self, engine, max_rows: int):
         """Build (once per FtsIndex) the driver-side postings mirror, or
         None when the index is over-cap / an old normalized store."""
+        if getattr(engine, "_frozen", False):
+            # forked read-only worker (serving_pool): touching engine.fts
+            # could BUILD the index — a Spark job the child process must
+            # never schedule. Serve the mirror only if it is resident and
+            # keyed to the already-built index; otherwise bail to the
+            # parent process (None → _BAIL upstream).
+            st = self._fts_state
+            if (
+                st is not None
+                and engine._fts is not None
+                and st[0] is engine._fts
+            ):
+                return st[1]
+            return None
         index = engine.fts  # builds the in-memory index if absent — the
         # distributed path would equally pay this one-time build
         st = self._fts_state
@@ -829,34 +843,23 @@ class LocalTier:
         rows = getattr(new_index, "_last_increment", None)
         if st is None or st[1] is None or rows is None:
             return None
-        old = st[1]
-        tok2rows = dict(old.tok2rows)
-        by_tok: dict = {}
-        for r in rows:
-            by_tok.setdefault(r["token"], []).append(
-                (int(r["lit"]), float(r["tf"]), float(r["dl"]))
-            )
-        for t, lst in by_tok.items():
-            lits = np.array([x[0] for x in lst], dtype=np.int64)
-            tfs = np.array([x[1] for x in lst], dtype=np.float64)
-            dls = np.array([x[2] for x in lst], dtype=np.float64)
-            if t in tok2rows:
-                ol, ot, od = tok2rows[t]
-                tok2rows[t] = (
-                    np.concatenate([ol, lits]),
-                    np.concatenate([ot, tfs]),
-                    np.concatenate([od, dls]),
-                )
-            else:
-                tok2rows[t] = (lits, tfs, dls)
-        return _LocalFts(
-            tok2rows, new_index.n_docs, float(new_index.avgdl),
-            new_index.stem, new_index.strip,
+        return patch_fts_mirror(
+            st[1], rows, new_index.n_docs, float(new_index.avgdl)
         )
 
     # ---- semantic mirror -----------------------------------------------
 
     def _local_semantic(self, engine):
+        if getattr(engine, "_frozen", False):
+            # forked worker: pre-built mirror or bail (building collects)
+            st = self._sem_state
+            if (
+                st is not None
+                and st[0] is engine._ivf
+                and st[1] is engine.embeddings
+            ):
+                return st[2]
+            return None
         # identity-keyed (DataFrame __eq__ builds a Column, so no ==)
         st = self._sem_state
         if st is not None and st[0] is engine._ivf and st[1] is engine.embeddings:
@@ -1454,13 +1457,28 @@ class LocalTier:
                 # (zero jobs once the hierarchy map is built); larger
                 # hierarchies fall back to the distributed walk exactly
                 # like _query_impl
+                frozen = getattr(engine, "_frozen", False)
                 for pad in opts.get("paths", []):
-                    lmap = engine._paths_edges_map(str(pad))
+                    if frozen:
+                        # forked worker: only a map already collected at
+                        # fork time is usable — a miss would schedule a
+                        # Spark probe, an over-cap (None) map the
+                        # distributed walk. Both bail to the parent.
+                        with engine._cache_lock:
+                            lmap = engine._paths_edge_maps.get(
+                                (engine._graph_generation, str(pad)), _BAIL
+                            )
+                        if lmap is _BAIL or lmap is None:
+                            return None
+                    else:
+                        lmap = engine._paths_edges_map(str(pad))
                     lrows = (
                         engine._paths_local_rows(lmap, page_hashes)
                         if lmap is not None
                         else None
                     )
+                    if lrows is None and frozen:
+                        return None  # DAG blowup → distributed walk → parent
                     if lrows is not None:
                         pcol = [
                             {"src": s_, "pos": p_, "ancestor": a_}
@@ -1500,6 +1518,36 @@ class LocalTier:
         if aggregates:
             back["aggregates"] = aggregates
         return back
+
+
+def patch_fts_mirror(old: "_LocalFts", rows, n_docs: int, avgdl: float) -> "_LocalFts":
+    """Patched _LocalFts: append the increment's posting rows
+    ({token, lit, tf, dl} dicts) to a COPY of the token map and
+    re-stamp n_docs/avgdl. Per-term arrays carry one row per lit, so
+    append order cannot change any BM25 sum. Shared by
+    LocalTier.carry_fts_mirror (parent process) and the forked serving
+    workers, which receive the same rows over the mutation pipe
+    (serving_pool)."""
+    tok2rows = dict(old.tok2rows)
+    by_tok: dict = {}
+    for r in rows:
+        by_tok.setdefault(r["token"], []).append(
+            (int(r["lit"]), float(r["tf"]), float(r["dl"]))
+        )
+    for t, lst in by_tok.items():
+        lits = np.array([x[0] for x in lst], dtype=np.int64)
+        tfs = np.array([x[1] for x in lst], dtype=np.float64)
+        dls = np.array([x[2] for x in lst], dtype=np.float64)
+        if t in tok2rows:
+            ol, ot, od = tok2rows[t]
+            tok2rows[t] = (
+                np.concatenate([ol, lits]),
+                np.concatenate([ot, tfs]),
+                np.concatenate([od, dls]),
+            )
+        else:
+            tok2rows[t] = (lits, tfs, dls)
+    return _LocalFts(tok2rows, n_docs, avgdl, old.stem, old.strip)
 
 
 def build_local_tier(engine, max_rows: int) -> LocalTier | None:

@@ -296,6 +296,18 @@ class Engine:
     )
     _dead_literals: int = field(default=0, repr=False)
     _terms_shed: int = field(default=0, repr=False)
+    # forked read-only serving worker (serving_pool): every path that
+    # would cross into Spark/py4j — the child inherited the JVM gateway
+    # socket but must never use it — bails to the parent process instead
+    # (local_tier checks this before building mirrors / walking paths)
+    _frozen: bool = field(default=False, repr=False)
+    # the last successful tier patch, for serving_pool to replay into
+    # its forked workers: {"ins": [(s,p,o,g)], "del": ndarray,
+    # "terms": [(hash, value)], "fts": "keep"|"drop"|("rows", rows,
+    # n_docs, avgdl), "new_tier": LocalTier}. The delta is exactly the
+    # arguments LocalTier.patched received, so an identically-evolved
+    # fork applying them lands on a byte-identical mirror.
+    _last_tier_delta: dict | None = field(default=None, repr=False)
 
     def replace_graph(self, graph: Graph) -> None:
         """Swap in a new (immutable) graph after a mutation; derived
@@ -499,6 +511,13 @@ class Engine:
         if new_tier.live_rows > self.local_tier_rows:
             new_tier = None
         self._local_tier_state = (self._graph_generation, new_tier)
+        self._last_tier_delta = {
+            "ins": list(ins_rows),
+            "del": del_rows,
+            "terms": list(new_terms),
+            "fts": "keep" if keep_fts else "drop",
+            "new_tier": new_tier,
+        }
 
     def _swap_graph_keep_fts(self, graph: Graph) -> None:
         """replace_graph, preserving the built FTS index.
@@ -612,6 +631,16 @@ class Engine:
                 lf = tier.carry_fts_mirror(fts_upd)
                 if lf is not None:
                     st[1]._fts_state = (fts_upd, lf)
+            if self._last_tier_delta is not None:
+                # forked serving workers patch their own mirror from the
+                # same increment rows (serving_pool mutation broadcast)
+                self._last_tier_delta["fts"] = (
+                    "rows",
+                    [dict(token=r["token"], lit=r["lit"], tf=r["tf"], dl=r["dl"])
+                     for r in (fts_upd._last_increment or [])],
+                    fts_upd.n_docs,
+                    float(fts_upd.avgdl),
+                )
         return {"triples_inserted": len(data), "terms_inserted": len(new_terms)}
 
     def _mutate_delete_tier(self, tier, data: list[dict], are_hashes: bool) -> dict:

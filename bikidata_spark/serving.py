@@ -69,10 +69,21 @@ class Serving:
     With the tier, QPS is flat to 16 and degrades at 32 (GIL
     contention), while p50 bottoms at 16; on the distributed fallback
     (over-cap stores) 16 is the throughput knee. 16 is right for both
-    regimes. (The reference sidesteps the GIL with forked worker
-    PROCESSES, workers.py:23-56; a multiprocess front-end over one
-    shared SparkContext is the equivalent escape hatch if driver-side
-    CPU ever dominates a deployment.)
+    regimes.
+
+    ``proc_workers`` breaks that GIL ceiling the same way the
+    reference does — forked worker PROCESSES (workers.py:23-56) — via
+    serving_pool.TierProcPool: N read-only forks of the resident tier
+    (numpy pages shared copy-on-write), mutations serialized through
+    the parent and replayed into each fork. r9 sweep (sf0.1, 240
+    concurrent mixed clients, caches off):
+
+        threads-only 16        72 QPS   p95 2.93 s
+        proc_workers 8        489 QPS   p95 0.37 s
+        proc_workers 16       670 QPS   p95 0.19 s
+
+    Construct Serving while the engine is warm (tier + fts mirror
+    built) and quiescent — the fork snapshots both.
     """
 
     def __init__(
@@ -81,9 +92,31 @@ class Serving:
         num_workers: int = 16,
         journal_dir: str | None = None,
         journal_rotate_files: int = 512,
+        proc_workers: int = 0,
     ):
         self.engine = engine
         self._num_workers = num_workers
+        # multiprocess tier front-end (serving_pool.TierProcPool): with
+        # the local tier resident, queries are pure Python/numpy and the
+        # thread pool above is GIL-bound (~74 QPS flat over 4→16
+        # threads, tools/serving_sweep.py r8). proc_workers>0 forks that
+        # many read-only workers NOW — construct Serving while the
+        # engine is quiescent and WARM (tier + fts mirror built), since
+        # the fork snapshots both. Queries round-trip a worker first and
+        # fall back to the in-process engine whenever the tier bails;
+        # mutations apply in the parent then broadcast the tier patch.
+        # Requires a resident tier; silently stays thread-only without
+        # one (over-cap store, tier disabled).
+        self._proc_pool = None
+        self._proc_pool_state = "off"
+        if proc_workers:
+            try:
+                from .serving_pool import TierProcPool
+
+                self._proc_pool = TierProcPool(engine, proc_workers)
+                self._proc_pool_state = "active"
+            except ValueError:
+                self._proc_pool_state = "no_tier"
         # durability: with journal_dir set, every SUCCESSFUL mutation
         # appends one JSON-lines file in the streaming-store mutation
         # format ({action, s, p, o, g}; action delete_hashes carries
@@ -210,7 +243,14 @@ class Serving:
         with self._cache_lock:
             self._cache_misses += 1
             generation = self._generation
-        result = self.engine.query(opts)
+        result = None
+        pool = self._proc_pool
+        if pool is not None and pool.alive:
+            # worker round-trip outside the GIL; None = tier bail or a
+            # worker failure — the in-process path below covers both
+            result = pool.query(opts)
+        if result is None:
+            result = self.engine.query(opts)
         # reference workers.py:101-103: timing metadata on fresh results
         # (cache hits return the original timings, as with Redis)
         result["msg_received_time"] = received
@@ -255,8 +295,10 @@ class Serving:
             # Engine.mutate handles the graph swap itself and keeps the
             # point-query tier warm (zero-job mutation when the mirror
             # is resident — plans/query.Engine.mutate)
+            self.engine._last_tier_delta = None
             result = self.engine.mutate(action, data, are_hashes=are_hashes)
             if "error" not in result:
+                self._sync_proc_pool()
                 if self._journal_dir and self._durable:
                     try:
                         self._journal(action, data, are_hashes)
@@ -275,6 +317,33 @@ class Serving:
         result["msg_received_time"] = received
         result["msg_processed_time"] = time.time()
         return result
+
+    def _sync_proc_pool(self) -> None:
+        """Broadcast the just-applied tier patch to the forked workers,
+        or retire the pool when the mutation took a path the workers
+        cannot replay (tier demoted over-cap, dictionary shed rebuilt
+        the graph, or no tier was resident) — a stale fork must never
+        serve again. Runs under _mutate_lock."""
+        pool = self._proc_pool
+        if pool is None or not pool.alive:
+            return
+        delta = self.engine._last_tier_delta
+        st = self.engine._local_tier_state
+        replayable = (
+            delta is not None
+            and delta.get("new_tier") is not None
+            and st is not None
+            and st[1] is delta["new_tier"]
+        )
+        if replayable:
+            try:
+                pool.apply_mutation(delta)
+                return
+            except Exception:
+                pass  # fall through to retirement
+        pool.close()
+        self._proc_pool = None
+        self._proc_pool_state = "retired"
 
     def _journal(self, action: str, data: list[dict], are_hashes: bool) -> None:
         """Append this mutation as one JSON-lines file (tmp + rename —
@@ -428,6 +497,11 @@ class Serving:
                 "journal_error": self._journal_error,
                 "journal_live_files": self._journal_live,
                 "journal_rotations": self._rotations,
+                "proc_pool": (
+                    {"state": self._proc_pool_state, **self._proc_pool.stats()}
+                    if self._proc_pool is not None
+                    else {"state": self._proc_pool_state}
+                ),
                 "result_cache": {
                     "entries": len(self._cache),
                     "live_entries": live,
@@ -439,4 +513,7 @@ class Serving:
             }
 
     def close(self) -> None:
+        if self._proc_pool is not None:
+            self._proc_pool.close()
+            self._proc_pool = None
         self._pool.shutdown(wait=False, cancel_futures=True)

@@ -1,0 +1,236 @@
+"""Forked multiprocess tier serving (serving_pool.TierProcPool): the
+pool must be observably IDENTICAL to the in-process engine across the
+whole query surface, before and after mutation broadcasts — same
+differential bar as the tier itself (tests/test_mutate_tier.py).
+
+Reference parity note: the reference serves queries from N forked
+DuckDB worker processes fed by Redis lists (reference workers.py:23-56)
+— processes, not threads, exactly because its query path is CPU-bound
+in the worker. The pool is the Spark-resident counterpart; mutations
+stay serialized through the parent like the reference's single manager
+process (workers.py:45-56).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.test_mutate_tier import QUERY_BATTERY, SCRIPT, _mk_engine, _store_state
+
+
+def _mk_pool(engine, n=2):
+    from bikidata_spark.serving_pool import TierProcPool
+
+    return TierProcPool(engine, n)
+
+
+@pytest.fixture()
+def warm_engine(spark):
+    eng = _mk_engine(spark, tier=True)
+    # warm everything the fork snapshots: tier, fts mirror
+    eng.query({"filters": [{"p": "fts", "o": "alpha"}], "size": 1})
+    return eng
+
+
+def test_pool_query_differential(spark, warm_engine):
+    eng = warm_engine
+    pool = _mk_pool(eng)
+    try:
+        for opts in QUERY_BATTERY:
+            o = {**opts, "use_cache": False}
+            got = pool.query(dict(o))
+            want = eng.query(dict(o))
+            if got is None:  # bail — allowed only where the tier bails too
+                assert eng._local_tier().try_query(eng, o, eng.local_tier_fts_rows) is None
+            else:
+                assert got == want, f"diverged on {opts}"
+        st = pool.stats()
+        assert st["worker_errors"] == 0
+    finally:
+        pool.close()
+
+
+def test_pool_mutation_broadcast_differential(spark, warm_engine):
+    """Run the full mutation script; after every successful step the
+    pool's answers must equal a distributed control engine's."""
+    eng = warm_engine
+    plain = _mk_engine(spark, tier=False)
+    pool = _mk_pool(eng)
+    try:
+        for action, data, are_hashes in SCRIPT:
+            eng._last_tier_delta = None
+            a = eng.mutate(action, [dict(d) for d in data], are_hashes=are_hashes)
+            b = plain.mutate(action, [dict(d) for d in data], are_hashes=are_hashes)
+            assert a == b
+            if "error" in a:
+                continue
+            delta = eng._last_tier_delta
+            assert delta is not None and delta["new_tier"] is not None
+            pool.apply_mutation(delta)
+        assert _store_state(eng) == _store_state(plain)
+        for opts in QUERY_BATTERY:
+            if opts.get("paths"):
+                continue  # post-mutation paths bail by design (below)
+            o = {**opts, "use_cache": False}
+            got = pool.query(dict(o))
+            want = plain.query(dict(o))
+            if got is None:
+                assert eng._local_tier().try_query(eng, o, eng.local_tier_fts_rows) is None
+            else:
+                assert got == want, f"diverged on {opts}"
+        # the fts battery entries went through the incremental-rows
+        # broadcast (the script inserts new literals): pin one directly
+        got = pool.query({"filters": [{"p": "fts", "o": "zulu"}], "size": 25, "use_cache": False})
+        want = plain.query({"filters": [{"p": "fts", "o": "zulu"}], "size": 25, "use_cache": False})
+        assert got is not None and got == want
+    finally:
+        pool.close()
+
+
+def test_pool_paths_bail_after_mutation(spark, warm_engine):
+    """paths queries serve from the fork before any mutation and bail
+    to the parent after one (fork-time hierarchy maps may be stale)."""
+    eng = warm_engine
+    popts = {
+        "filters": [{"p": "id", "o": "<m/20>"}],
+        "paths": ["<p/peer>"],
+        "size": 1,
+        "use_cache": False,
+    }
+    eng.query(dict(popts))  # cache the hierarchy map pre-fork
+    pool = _mk_pool(eng)
+    try:
+        got = pool.query(dict(popts))
+        assert got is not None and got == eng.query(dict(popts))
+        eng._last_tier_delta = None
+        assert "error" not in eng.mutate(
+            "insert", [{"s": "<pb/1>", "p": "<p/x>", "o": "<t/0>"}]
+        )
+        pool.apply_mutation(eng._last_tier_delta)
+        assert pool.query(dict(popts)) is None  # bails to parent now
+        # non-paths queries still serve
+        assert (
+            pool.query({"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 5, "use_cache": False})
+            is not None
+        )
+    finally:
+        pool.close()
+
+
+def test_pool_overlay_fold_in_children(spark, warm_engine, monkeypatch):
+    """Children replay the same patched() calls, so a forced overlay
+    fold happens at the same mutation in parent and children — results
+    stay identical through it. (OVERLAY_FOLD is a class attribute set
+    BEFORE the fork, so children inherit the test value.)"""
+    from bikidata_spark.plans.local_tier import LocalTier
+
+    eng = warm_engine
+    monkeypatch.setattr(LocalTier, "OVERLAY_FOLD", 2)
+    pool = _mk_pool(eng)
+    try:
+        for i in range(6):
+            eng._last_tier_delta = None
+            assert "error" not in eng.mutate(
+                "insert", [{"s": f"<of/{i}>", "p": "<p/of>", "o": f"<t/{i % 2}>"}]
+            )
+            pool.apply_mutation(eng._last_tier_delta)
+        o = {"filters": [{"p": "<p/of>"}], "size": 20, "use_cache": False}
+        got = pool.query(dict(o))
+        assert got is not None and got == eng.query(dict(o))
+        assert got["total"] == 6
+    finally:
+        pool.close()
+
+
+def test_serving_facade_with_proc_pool(spark, warm_engine):
+    """End-to-end through Serving(proc_workers=2): queries, a mutation
+    cycle, status surface; queries served by the pool must schedule
+    ZERO Spark jobs in the parent."""
+    import asyncio
+
+    from bikidata_spark.serving import Serving
+
+    eng = warm_engine
+    srv = Serving(eng, num_workers=4, proc_workers=2)
+    assert srv._proc_pool_state == "active"
+    sc = spark.sparkContext
+    try:
+        o = {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 5, "use_cache": False}
+        want = eng.query(dict(o))
+
+        async def drive():
+            sc.setJobGroup("pool-serve-zero-jobs", "probe")
+            try:
+                r1 = await srv.query_async(dict(o))
+                jobs = sc.statusTracker().getJobIdsForGroup("pool-serve-zero-jobs")
+            finally:
+                sc.setJobGroup(None, None)
+            r2 = await srv.insert_async("<sv/1>", "<p/sv>", '"served lit"')
+            r3 = await srv.query_async(
+                {"filters": [{"p": "<p/sv>", "o": '"served lit"'}], "size": 5, "use_cache": False}
+            )
+            r4 = await srv.delete_async("<sv/1>", "<p/sv>", None)
+            return r1, jobs, r2, r3, r4
+
+        r1, jobs, r2, r3, r4 = asyncio.run(drive())
+        assert {k: r1[k] for k in want} == want
+        assert list(jobs) == []
+        assert r2["triples_inserted"] == 1
+        assert r3["total"] == 1
+        assert r4["triples_deleted"] == 1
+        st = srv.status()
+        assert st["proc_pool"]["state"] == "active"
+        assert st["proc_pool"]["procs"] == 2
+        assert st["proc_pool"]["worker_errors"] == 0
+    finally:
+        srv.close()
+
+
+def test_serving_pool_retires_on_tier_demotion(spark):
+    """A mutation that demotes the tier over-cap must retire the pool
+    (a stale fork must never serve again); serving continues on the
+    in-process path."""
+    import asyncio
+
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.serving import Serving
+
+    quads = spark.createDataFrame(
+        [(f"<c/{i}>", "<p>", f'"v{i}"', "") for i in range(10)],
+        "s string, p string, o string, g string",
+    )
+    eng = Engine(from_string_quads(quads).cache(), local_tier_rows=11)
+    assert eng._local_tier() is not None
+    srv = Serving(eng, num_workers=2, proc_workers=2)
+    assert srv._proc_pool_state == "active"
+    try:
+        async def drive():
+            r1 = await srv.insert_async("<c/a>", "<p>", '"va"')  # 11: at cap
+            r2 = await srv.insert_async("<c/b>", "<p>", '"vb"')  # 12: demotes
+            r3 = await srv.query_async(
+                {"filters": [{"p": "<p>", "o": '"vb"'}], "use_cache": False}
+            )
+            return r1, r2, r3
+
+        r1, r2, r3 = asyncio.run(drive())
+        assert r1["triples_inserted"] == 1 and r2["triples_inserted"] == 1
+        assert r3["total"] == 1
+        assert srv._proc_pool is None
+        assert srv.status()["proc_pool"]["state"] == "retired"
+    finally:
+        srv.close()
+
+
+def test_pool_requires_resident_tier(spark):
+    from bikidata_spark.serving import Serving
+    from bikidata_spark.serving_pool import TierProcPool
+
+    eng = _mk_engine(spark, tier=False)
+    with pytest.raises(ValueError):
+        TierProcPool(eng, 1)
+    srv = Serving(eng, num_workers=2, proc_workers=2)
+    try:
+        assert srv._proc_pool is None and srv._proc_pool_state == "no_tier"
+    finally:
+        srv.close()

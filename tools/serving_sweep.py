@@ -62,6 +62,17 @@ def main() -> None:
         results[w] = stats
         print(json.dumps({"workers": w, **stats}), flush=True)
     best = max(results, key=lambda w: results[w]["qps"])
+    # multiprocess tier front-end sweep (serving_pool.TierProcPool):
+    # each point forks N read-only workers over the resident mirror —
+    # the GIL-escape the thread sweep above cannot reach. 0 disables.
+    proc_list = [
+        int(p) for p in os.environ.get("SWEEP_PROCS", "2,4,8,16").split(",") if int(p)
+    ]
+    proc_results = {}
+    for p in proc_list:
+        stats = _serving_workload(eng, qvec, n=clients, workers=32, proc_workers=p)
+        proc_results[p] = stats
+        print(json.dumps({"proc_workers": p, **stats}), flush=True)
     print(
         json.dumps(
             {
@@ -70,6 +81,7 @@ def main() -> None:
                 "scheduler": os.environ.get("BIKIDATA_SPARK_SCHEDULER"),
                 "sweep": results,
                 "best_workers_by_qps": best,
+                "proc_sweep": proc_results,
             }
         )
     )
