@@ -482,6 +482,8 @@ class LocalTier:
         """Live occurrence count of each key (SORTED UNIQUE int64) in
         one column: sorted-index ranges minus overlay-dead rows, plus
         the unsorted overlay tail. O(k log n + hits)."""
+        if keys.size == 0:
+            return np.empty(0, dtype=np.int64)
         lo = np.searchsorted(sorted_vals, keys, "left")
         hi = np.searchsorted(sorted_vals, keys, "right")
         if self._live is None:

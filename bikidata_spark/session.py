@@ -67,6 +67,15 @@ def get_spark(app_name: str = "bikidata-spark", shuffle_partitions: int | None =
         .config("spark.scheduler.mode", os.environ.get("BIKIDATA_SPARK_SCHEDULER", "FIFO"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BIKIDATA_SPARK_DRIVER_MEM", "8g"))
+        # the tier build is the engine's one cap-bounded collect
+        # (build_local_tier: limit-probe then toPandas); deployments
+        # raising BIKIDATA_SPARK_LOCAL_TIER_ROWS past ~30M quads push
+        # that collect over Spark's 1g default result-size fence, so
+        # size the fence with the cap (4g covers a 64M-quad mirror)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("BIKIDATA_SPARK_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
