@@ -477,6 +477,17 @@ def main() -> None:
             r3 = feng.mutate("delete", [{"s": f"<bench/m{i}>", "p": "<bench/p>"}])
             assert "error" not in r1 and "error" not in r3 and r2["total"] == 1
         times["q_serving_mutations"] = round(time.perf_counter() - t0, 3)
+
+        # multiprocess serving front-end (r9, additive): the same mixed
+        # workload through Serving(proc_workers=8) — forked read-only
+        # tier workers, mutations broadcast as patched() deltas
+        # (serving_pool.TierProcPool). Breaks the thread pool's driver
+        # GIL ceiling: sweep showed 72 → 489 QPS at this point.
+        t0 = time.perf_counter()
+        serving_stats["procpool"] = _serving_workload(
+            feng, qvec, n=48, workers=32, proc_workers=8
+        )
+        times["q_serving_procpool"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(sstore, ignore_errors=True)
 
