@@ -283,6 +283,13 @@ class LocalTier:
         self._n_dead = 0
         self._sorted_n = self.nrows
         self._buf: dict | None = None
+        # terms minted since the sorted term arrays were last merged:
+        # np.insert on a corpus-sized dictionary is O(#terms) per
+        # mutation (87 ms/insert at sf1's 5.6M terms), so ``patched``
+        # defers the merge — ``_values_of`` resolves misses through the
+        # always-current h2v dict — and folds the tail in with the row
+        # overlay past OVERLAY_FOLD pending entries
+        self._t_tail: tuple = ()
         # sorted row indexes over s and o: membership tests against a
         # key set then cost O(k log n + hits) via searchsorted instead
         # of np.isin's per-call O(n log n) re-sort of the whole column
@@ -344,6 +351,14 @@ class LocalTier:
         vals = np.empty(keys.size, dtype=object)
         if self._th_sorted.size:
             vals[found] = self._tv_sorted[idx_c[found]]
+        if self._t_tail and not found.all():
+            # unmerged term tail: resolve misses through the dict (the
+            # dict is always current; only the ARRAYS lag the merge)
+            for i in np.flatnonzero(~found).tolist():
+                v = self.h2v.get(int(keys[i]))
+                if v is not None:
+                    vals[i] = v
+                    found[i] = True
         return vals, found
 
     @property
@@ -592,29 +607,26 @@ class LocalTier:
         up a hash that only new rows reference, so append-only sharing
         is safe under the GIL. ``new_terms`` [(hash, value)] are the
         dictionary additions, already applied to the shared dicts by
-        the caller — passed so the sorted term arrays can be MERGED.
+        the caller; their O(#terms) np.insert merge into the sorted
+        term arrays is deferred to the fold too — until then they ride
+        in ``_t_tail`` and ``_values_of`` resolves them via the dict.
         The lazy FTS mirror is dropped (literal postings may have
         changed); the semantic mirror carries over (embeddings are not
         quad data, keyed by store identity, unchanged by mutations).
         """
-        th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
-        if new_terms:
-            nt = sorted(new_terms)
-            nh = np.array([h for h, _ in nt], dtype=np.int64)
-            pos = np.searchsorted(th_sorted, nh, side="right")
-            th_sorted = np.insert(th_sorted, pos, nh)
-            nv = np.empty(len(nt), dtype=object)
-            nv[:] = [v for _, v in nt]
-            tv_sorted = np.insert(tv_sorted, pos, nv)
         k_ins = len(ins_rows)
+        t_tail = self._t_tail + tuple(new_terms)
         pending = (
             (self.nrows - self._sorted_n)
             + self._n_dead
             + k_ins
             + int(del_rows.size)
         )
-        if pending > self.OVERLAY_FOLD:
-            return self._fold_patched(ins_rows, del_rows, th_sorted, tv_sorted)
+        if pending > self.OVERLAY_FOLD or len(t_tail) > self.OVERLAY_FOLD:
+            return self._fold_patched(ins_rows, del_rows, t_tail)
+        # term-array merge DEFERRED (np.insert is O(#terms)): the tail
+        # rides as a tuple, _values_of falls back to the dict for it
+        th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
 
         live, n_dead = self._live, self._n_dead
         if del_rows.size:
@@ -652,15 +664,26 @@ class LocalTier:
         t._live, t._n_dead = live, n_dead
         t._sorted_n = self._sorted_n
         t._buf = buf
+        t._t_tail = t_tail
         t._sem_state = self._sem_state
         self._carry_order_caches(t, ins_rows, del_rows)
         return t
 
-    def _fold_patched(self, ins_rows, del_rows, th_sorted, tv_sorted) -> "LocalTier":
+    def _fold_patched(self, ins_rows, del_rows, t_tail) -> "LocalTier":
         """Apply the pending overlay + this mutation physically: compact
         live rows (order-preserving, = the distributed anti-join),
         append inserts (= the trailing unionAll), fresh stable argsort
-        for both row indexes. Runs once per OVERLAY_FOLD pending rows."""
+        for both row indexes, the term tail merged into the sorted term
+        arrays in one np.insert. Runs once per OVERLAY_FOLD pending."""
+        th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
+        if t_tail:
+            nt = sorted(t_tail)
+            nh = np.array([h for h, _ in nt], dtype=np.int64)
+            pos = np.searchsorted(th_sorted, nh, side="right")
+            th_sorted = np.insert(th_sorted, pos, nh)
+            nv = np.empty(len(nt), dtype=object)
+            nv[:] = [v for _, v in nt]
+            tv_sorted = np.insert(tv_sorted, pos, nv)
         keep = (
             self._live.copy()
             if self._live is not None

@@ -463,9 +463,20 @@ class Engine:
             )
         terms = st["base"].terms
         if st["terms"]:
+            # Arrow ingestion: term values are ARBITRARY text (IRIs,
+            # literals), so the token-safe local_relation VALUES path
+            # is off-limits — but list-of-tuples createDataFrame pickles
+            # through an RDD parallelize (~40 ms per mutation). A
+            # pandas frame takes the Arrow batch path: one py4j
+            # round-trip, any text, same LogicalRDD plan shape.
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                st["terms"], columns=["hash", "value", "is_literal"]
+            )
             terms = terms.unionAll(
                 spark.createDataFrame(
-                    st["terms"], "hash long, value string, is_literal boolean"
+                    pdf, "hash long, value string, is_literal boolean"
                 )
             )
         return Graph(triples=t, terms=terms)

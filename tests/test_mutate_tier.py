@@ -184,8 +184,13 @@ def test_patched_tier_equals_rebuilt_tier(mutated_pair):
         assert int((~patched._live).sum()) == patched._n_dead
     assert patched.live_rows == rebuilt.nrows
     assert np.array_equal(patched._th_sorted, np.sort(patched._th_sorted))
+    # sorted term arrays + the unmerged tail together cover the dict
+    # exactly (the tail merges at the next fold; _values_of resolves
+    # tail hashes through the dict meanwhile)
     got = {int(h): v for h, v in zip(patched._th_sorted, patched._tv_sorted)}
-    assert got == patched.h2v
+    tail = dict(patched._t_tail)
+    assert not (set(got) & set(tail))
+    assert {**got, **tail} == patched.h2v
 
 
 def test_overlay_folds_and_stays_identical(spark, monkeypatch):
@@ -220,6 +225,8 @@ def test_overlay_folds_and_stays_identical(spark, monkeypatch):
     assert _store_state(tiered) == _store_state(plain)
     t = tiered._local_tier()
     assert t._live is None and t._n_dead == 0 and t._sorted_n == t.nrows
+    assert not t._t_tail  # term tail merged by the fold
+    assert {int(h): v for h, v in zip(t._th_sorted, t._tv_sorted)} == t.h2v
     assert np.array_equal(t._s_order, np.argsort(t.s, kind="stable"))
     assert np.array_equal(t._o_order, np.argsort(t.o, kind="stable"))
 
