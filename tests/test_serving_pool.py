@@ -234,3 +234,70 @@ def test_pool_requires_resident_tier(spark):
         assert srv._proc_pool is None and srv._proc_pool_state == "no_tier"
     finally:
         srv.close()
+
+
+def test_pool_concurrent_queries_and_mutations_stress(spark, warm_engine):
+    """Hammer Serving(proc_workers=2) with concurrent queries while
+    mutations interleave. Every response must be internally valid (no
+    errors, no worker deaths), queries dispatched after a mutation's
+    ack must see its effect (per-worker pipe FIFO + checkout
+    exclusivity), and the final state must match a control engine."""
+    import asyncio
+
+    from bikidata_spark.serving import Serving
+
+    eng = warm_engine
+    plain = _mk_engine(spark, tier=False)
+    srv = Serving(eng, num_workers=8, proc_workers=2)
+    assert srv._proc_pool_state == "active"
+    q_static = {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 3, "use_cache": False}
+    errors: list = []
+
+    async def reader(stop):
+        while not stop.is_set():
+            try:
+                r = await srv.query_async(dict(q_static))
+                if "results" not in r:
+                    errors.append(r)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+            await asyncio.sleep(0)
+
+    async def writer():
+        for i in range(12):
+            r = await srv.insert_async(f"<st/{i}>", "<p/stress>", f'"stress lit {i}"')
+            assert r.get("triples_inserted") == 1, r
+            # a query submitted AFTER the mutation ack must see it
+            seen = await srv.query_async(
+                {"filters": [{"p": "<p/stress>", "o": f'"stress lit {i}"'}],
+                 "size": 2, "use_cache": False}
+            )
+            assert seen["total"] == 1, (i, seen)
+            if i % 3 == 2:
+                r = await srv.delete_async(f"<st/{i}>", "<p/stress>", None)
+                assert r.get("triples_deleted") == 1, r
+
+    async def main():
+        stop = asyncio.Event()
+        readers = [asyncio.create_task(reader(stop)) for _ in range(6)]
+        await writer()
+        stop.set()
+        await asyncio.gather(*readers)
+
+    try:
+        asyncio.run(main())
+        assert not errors, errors[:3]
+        st = srv.status()
+        assert st["proc_pool"]["state"] == "active"
+        assert st["proc_pool"]["procs"] == 2
+        assert st["proc_pool"]["worker_errors"] == 0
+        # final-state differential vs a control engine
+        for i in range(12):
+            plain.mutate("insert", [{"s": f"<st/{i}>", "p": "<p/stress>", "o": f'"stress lit {i}"'}])
+            if i % 3 == 2:
+                plain.mutate("delete", [{"s": f"<st/{i}>", "p": "<p/stress>"}])
+        o = {"filters": [{"p": "<p/stress>"}], "size": 50, "use_cache": False}
+        got = srv._proc_pool.query(dict(o))
+        assert got is not None and got == plain.query(dict(o))
+    finally:
+        srv.close()
