@@ -345,6 +345,35 @@ class Serving:
         self._proc_pool = None
         self._proc_pool_state = "retired"
 
+    def refork(self, proc_workers: int) -> bool:
+        """Operator-initiated pool (re)construction — e.g. after a
+        retirement (tier demotion, dictionary shed) once the tier is
+        resident again, or to resize the pool. MUST be called during a
+        quiescent window (no in-flight queries): the fork snapshots
+        engine state, and a lock held by a query thread at fork time
+        would deadlock the child. Returns True when the pool is active.
+        Holds the mutation lock so no mutation lands mid-fork."""
+        from .serving_pool import TierProcPool
+
+        with self._mutate_lock:
+            if self._proc_pool is not None:
+                self._proc_pool.close()
+                self._proc_pool = None
+            # ensure the tier is resident (may collect — one bounded
+            # job); a demoted (gen, None) memo is sticky by design, so
+            # clear it — the operator raised the cap or compacted
+            st = self.engine._local_tier_state
+            if st is not None and st[1] is None:
+                self.engine._local_tier_state = None
+            self.engine._local_tier()
+            try:
+                self._proc_pool = TierProcPool(self.engine, proc_workers)
+                self._proc_pool_state = "active"
+                return True
+            except ValueError:
+                self._proc_pool_state = "no_tier"
+                return False
+
     def _journal(self, action: str, data: list[dict], are_hashes: bool) -> None:
         """Append this mutation as one JSON-lines file (tmp + rename —
         the stream source must never read a half-written file). Called

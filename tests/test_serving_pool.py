@@ -301,3 +301,37 @@ def test_pool_concurrent_queries_and_mutations_stress(spark, warm_engine):
         assert got is not None and got == plain.query(dict(o))
     finally:
         srv.close()
+
+
+def test_serving_refork_after_retirement(spark):
+    """After the pool retires (tier demotion), refork() rebuilds it
+    once the tier is resident again and serving resumes on forks."""
+    import asyncio
+
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.serving import Serving
+
+    quads = spark.createDataFrame(
+        [(f"<c/{i}>", "<p>", f'"v{i}"', "") for i in range(10)],
+        "s string, p string, o string, g string",
+    )
+    eng = Engine(from_string_quads(quads).cache(), local_tier_rows=11)
+    assert eng._local_tier() is not None
+    srv = Serving(eng, num_workers=2, proc_workers=2)
+    try:
+        async def drive():
+            await srv.insert_async("<c/a>", "<p>", '"va"')
+            return await srv.insert_async("<c/b>", "<p>", '"vb"')  # 12 > cap: retires
+
+        asyncio.run(drive())
+        assert srv._proc_pool_state == "retired"
+        # raise the cap and refork during this quiescent window
+        eng.local_tier_rows = 1000
+        assert srv.refork(2) is True
+        assert srv._proc_pool_state == "active"
+        got = srv._proc_pool.query(
+            {"filters": [{"p": "<p>", "o": '"vb"'}], "use_cache": False}
+        )
+        assert got is not None and got["total"] == 1
+    finally:
+        srv.close()
