@@ -106,10 +106,24 @@ def main(argv: list[str]) -> int:
 
         workers = int(argv[2]) if len(argv) > 2 else 16
         journal = argv[3] if len(argv) > 3 else None
+        eng = Engine(read_graph(spark, argv[1]).cache())
+        # forked read-only workers past the driver-GIL QPS ceiling
+        # (serving_pool; 0 = thread pool only). Warm the tier + FTS
+        # mirror first — the fork snapshots them, and startup is the
+        # quiescent window the fork requires.
+        procs = int(os.environ.get("BIKIDATA_SPARK_SERVE_PROCS", "0"))
+        if procs:
+            try:
+                eng.query({"filters": [{"p": "fts", "o": "warm"}], "size": 1})
+            except Exception:
+                # IRI-only store (no literals to index) — the tier is
+                # still resident from the sizing probe; fork anyway
+                eng.total()
         srv = Serving(
-            Engine(read_graph(spark, argv[1]).cache()),
+            eng,
             num_workers=workers,
             journal_dir=journal,
+            proc_workers=procs,
         )
 
         async def loop() -> None:

@@ -168,6 +168,24 @@ def build_from_iterator(spark: SparkSession, rows, graph: str = "", batch_size: 
 TERM_BUCKETS = 64
 
 
+def align_terms(base_terms: DataFrame, new_terms: DataFrame) -> DataFrame:
+    """Shape a canonical (hash, value, is_literal) new-terms frame to
+    ``base_terms``' schema so a positional unionAll is sound. A graph
+    read back from a bucketed store (write_graph) carries the derived
+    ``bucket`` partition column; new terms get it from the same
+    ``pmod(hash, TERM_BUCKETS)`` rule so partition pruning keeps
+    covering them. Any other schema drift fails loudly here instead of
+    silently writing values into the wrong column."""
+    extra = [c for c in base_terms.columns if c not in new_terms.columns]
+    for c in extra:
+        if c != "bucket":
+            raise ValueError(f"unknown terms column {c!r} in base schema")
+        new_terms = new_terms.withColumn(
+            "bucket", F.pmod(F.col("hash"), F.lit(TERM_BUCKETS))
+        )
+    return new_terms.select(*base_terms.columns)
+
+
 def write_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
     """Persist a graph as parquet, triples sorted within files by (p, s)
     so Catalyst's parquet filter pushdown prunes row groups on property

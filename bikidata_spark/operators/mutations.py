@@ -79,8 +79,18 @@ def insert(graph: Graph, data: list[dict]) -> tuple[Graph, dict]:
     new_rows = new_terms.collect()
     terms = graph.terms
     if new_rows:
+        from ..graph import align_terms
+
+        # align_terms: a store-read dictionary carries the derived
+        # bucket partition column — derive it for the new rows too
+        # (a raw positional union against the 4-column schema fails)
         terms = terms.unionAll(
-            graph.spark.createDataFrame(new_rows, graph.terms.schema)
+            align_terms(
+                terms,
+                graph.spark.createDataFrame(
+                    new_rows, "hash long, value string, is_literal boolean"
+                ),
+            )
         )
     new_graph = Graph(triples=graph.triples.unionAll(hashed), terms=terms)
     return new_graph, {"triples_inserted": len(data), "terms_inserted": len(new_rows)}

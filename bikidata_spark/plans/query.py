@@ -474,9 +474,16 @@ class Engine:
             pdf = pd.DataFrame(
                 st["terms"], columns=["hash", "value", "is_literal"]
             )
+            from ..graph import align_terms
+
+            # a store-read base carries the derived bucket partition
+            # column — align_terms derives it for the delta rows
             terms = terms.unionAll(
-                spark.createDataFrame(
-                    pdf, "hash long, value string, is_literal boolean"
+                align_terms(
+                    terms,
+                    spark.createDataFrame(
+                        pdf, "hash long, value string, is_literal boolean"
+                    ),
                 )
             )
         return Graph(triples=t, terms=terms)

@@ -547,3 +547,64 @@ def test_mutation_telemetry_in_stats(spark):
     # the delete removed the pending insert from the buffer and left
     # one wildcard delete pattern targeting the base
     assert st["buffered_delta_rows"] == 1
+
+
+def test_insert_on_bucketed_store_graph_aligns_terms(spark, tmp_path):
+    """A graph read back from a persisted store carries the derived
+    ``bucket`` partition column on its terms dictionary; the distributed
+    insert path must derive it for new terms (align_terms) instead of
+    positionally unioning a 4-column frame into a 5-column schema.
+    Pins: schema preserved, bucket value follows the pmod rule, and the
+    new literal resolves end-to-end through an Engine over the store."""
+    from bikidata_spark import Engine, from_string_quads, read_graph, write_graph
+    from bikidata_spark.functions.xxh import term_id
+    from bikidata_spark.graph import TERM_BUCKETS, align_terms
+    from bikidata_spark.operators import mutations as M
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<p/a>", f'"v{i}"', "") for i in range(5)],
+        "s string, p string, o string, g string",
+    )
+    write_graph(from_string_quads(quads), str(tmp_path / "g"))
+    g = read_graph(spark, str(tmp_path / "g"))
+    assert "bucket" in g.terms.columns
+    g2, stats = M.insert(g, [{"s": "<e/new>", "p": "<p/a>", "o": '"fresh"'}])
+    assert stats["triples_inserted"] == 1 and stats["terms_inserted"] == 2
+    assert g2.terms.columns == g.terms.columns
+    h = term_id('"fresh"')
+    row = g2.terms.filter(g2.terms.hash == h).collect()
+    assert len(row) == 1 and row[0]["bucket"] == h % TERM_BUCKETS
+    out = Engine(g2, local_tier_rows=0).query(
+        {"filters": [{"p": "<p/a>", "o": '"fresh"'}], "size": 5}
+    )
+    assert out["total"] == 1 and "<e/new>" in out["results"]
+    # any OTHER schema drift fails loudly instead of silently misaligning
+    import pytest as _pytest
+
+    bad = g.terms.withColumnRenamed("bucket", "mystery")
+    with _pytest.raises(ValueError, match="mystery"):
+        align_terms(bad, g.terms.select("hash", "value", "is_literal"))
+
+
+def test_engine_mutate_on_bucketed_store_graph(spark, tmp_path):
+    """Engine.mutate's driver-buffered delta fold must also align new
+    terms to a store-read base's bucketed schema (plans/query.py fold),
+    on both the tier and distributed paths."""
+    from bikidata_spark import Engine, from_string_quads, read_graph, write_graph
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<p/a>", f'"v{i}"', "") for i in range(5)],
+        "s string, p string, o string, g string",
+    )
+    write_graph(from_string_quads(quads), str(tmp_path / "g"))
+    for tier in (True, False):
+        g = read_graph(spark, str(tmp_path / "g"))
+        eng = Engine(g) if tier else Engine(g, local_tier_rows=0)
+        if tier:
+            eng.query({"filters": [{"p": "<p/a>", "o": '"v1"'}], "size": 1})
+        assert eng.mutate("insert", [{"s": "<e/m>", "p": "<p/a>", "o": '"minted"'}])[
+            "triples_inserted"
+        ] == 1
+        out = eng.query({"filters": [{"p": "<p/a>", "o": '"minted"'}], "size": 5})
+        assert out["total"] == 1 and "<e/m>" in out["results"], f"tier={tier}"
+        assert eng.graph.terms.count() >= 12
