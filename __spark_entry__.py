@@ -130,7 +130,10 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
                 write_graph(from_string_quads(string_quads(spark, sf_dir)), gdir)
             graph = read_graph(spark, gdir)
         else:
-            graph = from_string_quads(string_quads(spark, sf_dir)).cache()
+            # serving build recipe: cluster (p,s)/hash before caching so
+            # point filters batch-prune (a store read via read_graph
+            # inherits the same order from write_graph's file sort)
+            graph = from_string_quads(string_quads(spark, sf_dir)).clustered().cache()
         emb = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .select(

@@ -608,3 +608,87 @@ def test_engine_mutate_on_bucketed_store_graph(spark, tmp_path):
         out = eng.query({"filters": [{"p": "<p/a>", "o": '"minted"'}], "size": 5})
         assert out["total"] == 1 and "<e/m>" in out["results"], f"tier={tier}"
         assert eng.graph.terms.count() >= 12
+
+
+def test_point_probe_projection_differential(spark, monkeypatch):
+    """The s-clustered point-probe projection (_point_probe_triples)
+    must be row-identical to the direct corpus scan on every surface it
+    backs — page hydration and sp() — across builds, the deferred
+    first-sighting path, chained distributed mutations, and the
+    buffered-delta overlay. Forced on via the module toggle (auto mode
+    only engages over the tier cap, which no test graph reaches)."""
+    import bikidata_spark.plans.query as Q
+
+    monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "1")
+    eng = _mk_engine(spark, tier=False)
+    ref = _mk_engine(spark, tier=False)
+    monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "0", raising=True)
+    # ...but eng reads the module global at call time, so flip per call
+    batt = [
+        {"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 30, "use_cache": False},
+        {"filters": [{"p": "<p/desc>", "o": "regex", "regex": "item 1[0-5]"}],
+         "size": 10, "use_cache": False},
+    ]
+
+    def both(opts):
+        monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "1")
+        a = eng.query(dict(opts))
+        monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "0")
+        b = ref.query(dict(opts))
+        assert a == b, opts
+        return a
+
+    for opts in batt:
+        both(opts)  # first sighting: deferred build
+        both(opts)  # second: builds the projection
+    assert eng._hyd_state is not None  # the forced build actually ran
+    # chained distributed mutations invalidate the base per step — the
+    # projection must defer (never rebuild per mutation) yet stay exact
+    for e in (eng, ref):
+        assert e.mutate("insert", [{"s": "<m/3>", "p": "<p/projnew>", "o": '"pp"'}])[
+            "triples_inserted"
+        ] == 1
+        assert e.mutate("delete", [{"s": "<m/3>", "p": "<p/peer>"}])["triples_deleted"] == 1
+    both({"filters": [{"p": "<p/projnew>", "o": '"pp"'}], "size": 10, "use_cache": False})
+    sp_keys = ["<m/3>", "<m/4>", "<m/5>"]
+    monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "1")
+    a = eng.sp(sp_keys, "<p/type>")
+    monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "0")
+    assert a == ref.sp(sp_keys, "<p/type>")
+    # buffered-delta overlay: a tiered engine whose regex queries bail
+    # to the distributed path reads base-projection + delta
+    tiered = _mk_engine(spark, tier=True)
+    tref = _mk_engine(spark, tier=False)
+    for e in (tiered, tref):
+        assert e.mutate("insert", [{"s": "<m/7>", "p": "<p/desc>", "o": '"item 12 overlay"'}])[
+            "triples_inserted"
+        ] == 1
+    monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "1")
+    ropts = {"filters": [{"p": "<p/desc>", "o": "regex", "regex": "item 1[0-5]"}],
+             "size": 20, "use_cache": False}
+    ra = tiered.query(dict(ropts))
+    ra2 = tiered.query(dict(ropts))  # second pass builds over the base
+    monkeypatch.setattr(Q, "_POINT_PROBE_FRAME", "0")
+    rb = tref.query(dict(ropts))
+    assert ra == rb == ra2
+
+
+def test_clustered_graph_equals_unclustered(spark):
+    """Graph.clustered() is a physical re-layout only: every query
+    surface must return identical results, and the clustered triples/
+    terms must be the same row bags."""
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(_mk_quads(), "s string, p string, o string, g string")
+    plain = from_string_quads(quads).cache()
+    clus = from_string_quads(quads).clustered().cache()
+    assert sorted(map(tuple, plain.triples.collect())) == sorted(
+        map(tuple, clus.triples.collect())
+    )
+    assert sorted(map(tuple, plain.terms.collect())) == sorted(
+        map(tuple, clus.terms.collect())
+    )
+    a, b = Engine(plain, local_tier_rows=0), Engine(clus, local_tier_rows=0)
+    for opts in QUERY_BATTERY:
+        o = {**opts, "use_cache": False}
+        assert a.query(dict(o)) == b.query(dict(o)), opts

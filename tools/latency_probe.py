@@ -67,7 +67,7 @@ def main() -> None:
     reps = int(os.environ.get("PROBE_REPS", "5"))
     spark = get_spark("latency-probe")
     sc = spark.sparkContext
-    graph = from_string_quads(string_quads(spark, sf_dir)).cache()
+    graph = from_string_quads(string_quads(spark, sf_dir)).clustered().cache()
     graph.triples.count()
     graph.terms.count()
     eng = Engine(graph)

@@ -306,7 +306,10 @@ def run_ours(parts: list[str], reps: int) -> dict:
     graph_holder: list = []
     t0 = time.perf_counter()
     parsed = read_nt(spark, [str(p) for p in parts]).persist()
-    graph = from_string_quads(parsed).cache()
+    # serving build recipe: cluster for point-query batch pruning
+    # (Graph.clustered — counted inside build_s, like the reference's
+    # own physical layout work inside ITS build)
+    graph = from_string_quads(parsed).clustered().cache()
     graph.triples.count()
     graph.terms.count()
     parsed.unpersist()
