@@ -98,6 +98,24 @@ _LOCAL_TIER_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_ROWS", "4000000
 # "auto" builds it for over-tier-cap engines on their second probe
 # against a stable base; "1" forces, "0" disables.
 _POINT_PROBE_FRAME = os.environ.get("BIKIDATA_SPARK_POINT_PROBE_FRAME", "auto")
+
+# driver-side helper pool for intra-request job concurrency (facets
+# overlapping page hydration). Created lazily PER PROCESS: a forked
+# serving worker must not inherit the parent's executor threads/locks
+# (they do not survive fork), so the pid guard rebuilds it on first use
+# in any new process.
+_FACET_POOL_STATE: list = [None, None]  # [executor, pid]
+
+
+def _facet_pool():
+    import concurrent.futures
+
+    if _FACET_POOL_STATE[0] is None or _FACET_POOL_STATE[1] != os.getpid():
+        _FACET_POOL_STATE[0] = concurrent.futures.ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="bikidata-facet"
+        )
+        _FACET_POOL_STATE[1] = os.getpid()
+    return _FACET_POOL_STATE[0]
 # postings-row cap for the tier's driver-side FTS mirror (lazily built
 # per FtsIndex; over-cap indexes leave fts filters on the distributed
 # term-at-a-time path)
@@ -2601,14 +2619,36 @@ class Engine:
             for agg in opts.get("aggregates", [])
             if s_results is not None or agg in ("properties", "graphs")
         ]
+        facet_future = None
         if fused_aggs:
-            with self._no_aqe() if small else contextlib.nullcontext():
-                aggregates = self._facets_fused(
-                    s_results,
-                    fused_aggs,
-                    known_rows=known,
-                    limit=opts.get("aggregates_limit"),
-                )
+            _sc = self.graph.spark.sparkContext
+            _sched_pool = _sc.getLocalProperty("spark.scheduler.pool")
+
+            def _facet_job():
+                # scheduler pool is thread-local: carry the request's
+                # FAIR pool into the worker thread (and clear a stale
+                # one on a reused thread)
+                _sc.setLocalProperty("spark.scheduler.pool", _sched_pool)
+                with self._no_aqe() if small else contextlib.nullcontext():
+                    return self._facets_fused(
+                        s_results,
+                        fused_aggs,
+                        known_rows=known,
+                        limit=opts.get("aggregates_limit"),
+                    )
+
+            if s_results is not None and size > 0:
+                # page work follows: the facet job and the page/
+                # hydration jobs share only the already-materialized
+                # subject set, so run them CONCURRENTLY — Spark's
+                # scheduler interleaves the two driver round-trip
+                # chains and the request pays max() not sum() (the
+                # same FAIR-pool concurrency serving already relies
+                # on; _no_aqe is session-ref-counted, so the scopes
+                # nest safely across threads)
+                facet_future = _facet_pool().submit(_facet_job)
+            else:
+                aggregates = _facet_job()
 
         results: dict = {}
         if s_results is not None and size > 0:
@@ -2717,6 +2757,8 @@ class Engine:
                             "_paths", {}
                         )[pad] = ordered
 
+        if facet_future is not None:
+            aggregates = facet_future.result()
         back = {"results": results, "total": total, "size": size, "start": start}
         if aggregates:
             back["aggregates"] = aggregates

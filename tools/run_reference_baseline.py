@@ -313,11 +313,18 @@ def run_ours(parts: list[str], reps: int) -> dict:
     graph.triples.count()
     graph.terms.count()
     parsed.unpersist()
+    eng = Engine(graph)
+    # the s-clustered point-probe projection builds lazily on the
+    # second probe against a stable base (Engine._point_probe_triples);
+    # trigger it HERE so its one-time shuffle lands in build_s — the
+    # reference's physical-layout work (DuckDB indexes) is inside ITS
+    # build too — instead of inflating the first timed query rep
+    for _ in range(2):
+        eng.query({"filters": [{"p": "<p/type>", "o": "<c/region>"}], "size": 1,
+                   "use_cache": False})
     out["build_s"] = round(time.perf_counter() - t0, 3)
     graph_holder.append(graph)
     out["triples"] = graph.triples.count()
-
-    eng = Engine(graph)
     queries: dict = {}
     sigs: dict = {}
     for name, opts in OPTS_QUERIES.items():
