@@ -1794,3 +1794,36 @@ def test_gif_validation_and_canvas():
     assert out.shape == (h + 1, w + 2, 3)
     assert np.array_equal(out[1 : 1 + h, 1 : 1 + w], img)
     assert not out[0].any() and not out[:, 0].any()  # black background
+
+
+def test_cli_serve_forked_pool(spark, tmp_path, capsys, monkeypatch):
+    """`serve` with BIKIDATA_SPARK_SERVE_PROCS forks the read-only
+    worker pool after warming the tier: queries serve from the forks,
+    mutations apply through the parent and are visible to the next
+    query. Drives the real CLI loop over a scripted stdin."""
+    import io
+
+    from bikidata_spark.__main__ import main as cli
+
+    src = tmp_path / "d.nt"
+    src.write_text(
+        '<http://ex/a> <http://p/name> "Alice" .\n'
+        '<http://ex/b> <http://p/desc> "graphs and spark" .\n'
+    )
+    store = str(tmp_path / "servestore")
+    assert cli(["build", store, str(src)]) == 0
+    capsys.readouterr()
+
+    monkeypatch.setenv("BIKIDATA_SPARK_SERVE_PROCS", "2")
+    lines = [
+        json.dumps({"filters": [{"p": "fts", "o": "spark"}], "size": 5}),
+        json.dumps({"action": "insert",
+                    "data": [{"s": "<http://ex/z>", "p": "<http://p/name>", "o": '"Zed"'}]}),
+        json.dumps({"filters": [{"p": "<http://p/name>", "o": '"Zed"'}], "size": 5}),
+    ]
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    assert cli(["serve", store, "4"]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["total"] == 1 and "<http://ex/b>" in out[0]["results"]
+    assert out[1]["triples_inserted"] == 1
+    assert out[2]["total"] == 1 and "<http://ex/z>" in out[2]["results"]
