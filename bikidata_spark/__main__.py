@@ -90,7 +90,15 @@ def main(argv: list[str]) -> int:
             parts.append(read_trig(spark, trig))
         quads = functools.reduce(lambda a, b: a.unionAll(b), parts)
         graph = from_string_quads(quads)
-        write_graph(graph, store)
+        # BIKIDATA_SPARK_STORE_PROJECTIONS=s writes the s-clustered
+        # secondary sort order (2x triples footprint; point probes on
+        # the cold store then prune row groups — graph.py write_graph)
+        projs = tuple(
+            p
+            for p in os.environ.get("BIKIDATA_SPARK_STORE_PROJECTIONS", "").split(",")
+            if p
+        )
+        write_graph(graph, store, projections=projs)
         n = read_graph(spark, store).triples.count()
         print(json.dumps({"triples": n, "store": store}))
         return 0

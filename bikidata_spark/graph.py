@@ -83,6 +83,14 @@ class Graph:
 
     triples: DataFrame  # s, p, o, g: long
     terms: DataFrame  # hash: long, value: string, is_literal: boolean
+    # optional store-side projection of triples clustered by s (the
+    # on-disk twin of Engine._point_probe_triples): same row bag as
+    # triples, different physical order, so subject-point probes prune
+    # parquet row groups instead of scanning the corpus. Carried only
+    # by graphs read from a store written with projections=("s",);
+    # derived graphs (mutations, clustered()) drop it unless they
+    # preserve the row bag.
+    s_projection: DataFrame | None = None
 
     @property
     def spark(self) -> SparkSession:
@@ -97,6 +105,11 @@ class Graph:
     def cache(self) -> "Graph":
         self.triples.persist()
         self.terms.persist()
+        if self.s_projection is not None:
+            # persisting preserves the on-disk s order per partition,
+            # so the cached copy batch-prunes like the files row-group
+            # prune
+            self.s_projection.persist()
         return self
 
     def clustered(self) -> "Graph":
@@ -119,11 +132,14 @@ class Graph:
                 "p", "s"
             ),
             terms=self.terms.repartitionByRange("hash").sortWithinPartitions("hash"),
+            s_projection=self.s_projection,  # same row bag, kept
         )
 
     def unpersist(self) -> None:
         self.triples.unpersist()
         self.terms.unpersist()
+        if self.s_projection is not None:
+            self.s_projection.unpersist()
 
 
 def from_string_quads(quads: DataFrame) -> Graph:
@@ -208,7 +224,9 @@ def align_terms(base_terms: DataFrame, new_terms: DataFrame) -> DataFrame:
     return new_terms.select(*base_terms.columns)
 
 
-def write_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
+def write_graph(
+    graph: Graph, path: str, mode: str = "overwrite", projections: tuple = ()
+) -> None:
     """Persist a graph as parquet, triples sorted within files by (p, s)
     so Catalyst's parquet filter pushdown prunes row groups on property
     lookups (the dominant access path, reference query.py:212-218).
@@ -236,6 +254,19 @@ def write_graph(graph: Graph, path: str, mode: str = "overwrite") -> None:
         .partitionBy("bucket")
         .parquet(f"{path}/terms")
     )
+    if "s" in projections:
+        # optional second sort order: the SAME quads clustered by
+        # subject, so cold-store point probes (page hydration, sp,
+        # spo) push an s filter that prunes row groups instead of
+        # scanning the corpus — one projection per probe axis, the
+        # storage trade every columnar warehouse makes. Doubles the
+        # store's triples footprint; opt-in.
+        (
+            graph.triples.repartitionByRange("s")
+            .sortWithinPartitions("s", "p")
+            .write.mode(mode)
+            .parquet(f"{path}/triples_by_s")
+        )
 
 
 def read_graph(spark: SparkSession, path: str) -> Graph:
@@ -286,7 +317,23 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
         from .streaming.mutations import read_store
 
         return read_store(spark, path)
+
+    def _exists(sub: str) -> bool:
+        try:
+            jvm = spark.sparkContext._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+            fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            return bool(fs.exists(jpath))
+        except Exception:
+            return os.path.isdir(f"{path}/{sub}")
+
+    sproj = (
+        spark.read.parquet(f"{path}/triples_by_s")
+        if _exists("triples_by_s")
+        else None
+    )
     return Graph(
         triples=spark.read.parquet(f"{path}/triples"),
         terms=spark.read.parquet(f"{path}/terms"),
+        s_projection=sproj,
     )

@@ -527,16 +527,24 @@ class Engine:
         mode = _POINT_PROBE_FRAME
         if mode == "0":
             return self.graph.triples
-        if mode != "1":
-            st = self._local_tier_state
-            if st is None or st[1] is not None:
-                # tier disabled/unsized, or resident — no projection
-                return self.graph.triples
         mst = self._mut_state
         if mst is not None and mst.get("current") is self.graph:
             base, delta = mst["base"], mst
         else:
             base, delta = self.graph, None
+        sproj = getattr(base, "s_projection", None)
+        if sproj is not None:
+            # the store ships an s-clustered projection (write_graph
+            # projections=("s",)): use it directly — row-group/batch
+            # pruning with zero build cost, so it applies regardless of
+            # tier sizing (even a tier-resident engine's regex bails
+            # hydrate distributed)
+            return self._delta_triples(sproj, delta) if delta else sproj
+        if mode != "1":
+            st = self._local_tier_state
+            if st is None or st[1] is not None:
+                # tier disabled/unsized, or resident — don't BUILD one
+                return self.graph.triples
         hs = self._hyd_state
         if hs is None or hs[0] is not base:
             if self._hyd_last_base is not base:

@@ -692,3 +692,48 @@ def test_clustered_graph_equals_unclustered(spark):
     for opts in QUERY_BATTERY:
         o = {**opts, "use_cache": False}
         assert a.query(dict(o)) == b.query(dict(o)), opts
+
+
+def test_store_s_projection_roundtrip(spark, tmp_path):
+    """write_graph(projections=("s",)) writes a second s-clustered sort
+    order; read_graph attaches it and the engine's point probes use it
+    with a PUSHED s filter (row-group pruning on the cold store).
+    Results must equal a projection-less store byte-for-byte, including
+    after a mutation (which drops to the delta/fallback path)."""
+    from pyspark.sql import functions as F
+
+    from bikidata_spark import Engine, from_string_quads, read_graph, write_graph
+
+    quads = spark.createDataFrame(_mk_quads(), "s string, p string, o string, g string")
+    write_graph(from_string_quads(quads), str(tmp_path / "plain"))
+    write_graph(
+        from_string_quads(quads), str(tmp_path / "proj"), projections=("s",)
+    )
+    g_plain = read_graph(spark, str(tmp_path / "plain"))
+    g_proj = read_graph(spark, str(tmp_path / "proj"))
+    assert g_plain.s_projection is None and g_proj.s_projection is not None
+    assert sorted(map(tuple, g_proj.s_projection.collect())) == sorted(
+        map(tuple, g_proj.triples.collect())
+    )
+    a = Engine(g_plain, local_tier_rows=0)
+    b = Engine(g_proj, local_tier_rows=0)
+    # the engine's probe frame IS the projection, and an s probe on it
+    # reaches the parquet scan as a pushed filter
+    pf = b._point_probe_triples()
+    assert pf is g_proj.s_projection  # zero-build: the store frame itself
+    some = [r["s"] for r in g_proj.triples.limit(3).collect()]
+    plan = pf.filter(F.col("s").isin(some))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(s" in plan, plan
+    for opts in QUERY_BATTERY:
+        o = {**opts, "use_cache": False}
+        assert a.query(dict(o)) == b.query(dict(o)), opts
+    # sp() rides the projection too
+    assert a.sp(["<m/1>", "<m/2>"], "<p/type>") == b.sp(["<m/1>", "<m/2>"], "<p/type>")
+    # mutations produce derived graphs without the projection: results
+    # must stay equal through the fallback
+    for e in (a, b):
+        assert e.mutate("insert", [{"s": "<m/1>", "p": "<p/projd>", "o": '"sv"'}])[
+            "triples_inserted"
+        ] == 1
+    qo = {"filters": [{"p": "<p/projd>", "o": '"sv"'}], "size": 5, "use_cache": False}
+    assert a.query(dict(qo)) == b.query(dict(qo))
