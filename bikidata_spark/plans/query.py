@@ -2579,36 +2579,56 @@ class Engine:
         if fast:
             terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
             scored_src = getattr(s_results, "_inline_scored_frame", None)
-            if s_by_score is not None and scored_src is not None:
-                # the member set CARRIES its scores (inline tagged
-                # aggregation): one capped broadcast + one terms join
-                # serve both the page values and the ranking — no
-                # second broadcast future, no separate score join
-                capped = F.broadcast(scored_src.limit(_FAST_PAGE_ROWS + 1))
-                sel = capped.join(terms, capped.s == terms.hash).select(
-                    "s", "s_value", "score"
-                )
-            else:
+            if s_by_score is not None and scored_src is None:
+                # scores from an independent lineage (e.g. several
+                # score-bearing filters): the rare shape keeps the
+                # joined plan — when the frame is a known subset of the
+                # member set, cap + broadcast it with the member-side
+                # cap proof (a fast page that is accepted never
+                # truncated the subset either); otherwise the left join
+                # stays a small sorted-shuffle join.
                 capped = F.broadcast(s_results.limit(_FAST_PAGE_ROWS + 1))
                 sel = capped.join(terms, capped.s == terms.hash).select(
                     "s", "s_value"
                 )
-                if s_by_score is not None:
-                    # scores from an independent lineage (e.g. several
-                    # score-bearing filters): when the frame is a known
-                    # subset of the member set, cap + broadcast it with
-                    # the member-side cap proof — a fast page that is
-                    # accepted (≤ _FAST_PAGE_ROWS members) never
-                    # truncated the subset either. Otherwise the left
-                    # join stays a small sorted-shuffle join.
-                    sbs = s_by_score
-                    if getattr(sbs, "_subset_of_members", False):
-                        sbs = F.broadcast(sbs.limit(_FAST_PAGE_ROWS + 1))
-                    sel = sel.join(sbs, "s", "left")
-            with self._no_aqe():
-                rows = sel.collect()
-            if len(rows) <= _FAST_PAGE_ROWS:
-                sv_rows = rows
+                sbs = s_by_score
+                if getattr(sbs, "_subset_of_members", False):
+                    sbs = F.broadcast(sbs.limit(_FAST_PAGE_ROWS + 1))
+                sel = sel.join(sbs, "s", "left")
+                with self._no_aqe():
+                    rows = sel.collect()
+                if len(rows) <= _FAST_PAGE_ROWS:
+                    sv_rows = rows
+            else:
+                # SPLIT probe: collect the capped member hashes first
+                # (pruned filter scan + limit — no dictionary join, so
+                # an over-cap REJECT never scans the terms table), then
+                # resolve values via _term_values — small sets probe the
+                # dictionary as a pushed IN (batch/row-group pruned on a
+                # clustered cache or bucketed store), larger accepted
+                # sets pay the one broadcast-join scan the old fused
+                # plan always paid. The inline-scored frame carries its
+                # scores through the same collect.
+                src = scored_src if scored_src is not None else s_results
+                with self._no_aqe():
+                    cand = src.limit(_FAST_PAGE_ROWS + 1).collect()
+                if len(cand) <= _FAST_PAGE_ROWS:
+                    hv = self._term_values(r["s"] for r in cand)
+                    # `in hv` mirrors the old inner join exactly: a
+                    # subject missing from the dictionary (contract
+                    # violation) drops here like it dropped there
+                    if scored_src is not None:
+                        sv_rows = [
+                            {"s": r["s"], "s_value": hv[r["s"]], "score": r["score"]}
+                            for r in cand
+                            if r["s"] in hv
+                        ]
+                    else:
+                        sv_rows = [
+                            {"s": r["s"], "s_value": hv[r["s"]]}
+                            for r in cand
+                            if r["s"] in hv
+                        ]
         if sv_rows is not None:
             total = len(sv_rows)
         elif s_results is not None:
@@ -2801,7 +2821,14 @@ class Engine:
                     .collect()
                 )
             else:
-                need = self.graph.spark.createDataFrame([(h,) for h in hs], "hash long")
+                import pandas as pd
+
+                # Arrow batch, not list-of-tuples (which pickles through
+                # an RDD parallelize — ~0.3 s of driver time for a
+                # 30k-hash page)
+                need = self.graph.spark.createDataFrame(
+                    pd.DataFrame({"hash": pd.array(hs, dtype="int64")})
+                )
                 rows = (
                     terms.join(F.broadcast(need), "hash")
                     .select("hash", "value")
