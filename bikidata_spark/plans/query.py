@@ -78,7 +78,13 @@ FACET_MAX_VALUES = int(os.environ.get("BIKIDATA_SPARK_FACET_MAX", "1000"))
 # per generation and walked driver-side (hierarchies are dimension
 # tables — regions/categories/taxonomies — so this covers virtually
 # all of them); bigger ones take the distributed walk
-_LOCAL_PATHS_EDGES = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_EDGES", "200000"))
+# driver-local paths walk: parent hierarchies are dimension-shaped
+# (taxonomies, org trees — even Wikidata's P279 is single-digit
+# millions), so the default budgets ~200 MB of driver dict for a
+# zero-job walk; the bounded limit(cap+1) probe keeps an over-cap
+# hierarchy on the distributed BFS. r9: 200k → 2M (sf3's 450k-edge
+# hierarchy was paying a 19-job BFS per request just past the old cap).
+_LOCAL_PATHS_EDGES = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_EDGES", "2000000"))
 _LOCAL_PATHS_SUBJECTS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_SUBJECTS", "20000"))
 # local walk row budget: multi-parent DAGs multiply path rows per level
 # (a diamond ladder doubles them) — past this the local walk bails and
