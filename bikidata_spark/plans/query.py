@@ -412,6 +412,13 @@ class Engine:
                 else None
             )
             if tier is None:
+                # (generation, None) = this graph was SIZED and measured
+                # over the tier cap — remember across the swap below
+                was_over_cap = (
+                    self._local_tier_state is not None
+                    and self._local_tier_state[0] == self._graph_generation
+                    and self._local_tier_state[1] is None
+                )
                 if action == "insert":
                     new_graph, result = _op_insert(self.graph, data)
                 else:
@@ -423,6 +430,12 @@ class Engine:
                         self._swap_graph_keep_fts(new_graph)
                     else:
                         self.replace_graph(new_graph)
+                    if was_over_cap and action == "insert":
+                        # an insert cannot bring an over-cap graph under
+                        # the cap: carry the sizing verdict so the next
+                        # query skips the bounded limit-count probe
+                        # (deletes re-probe — they CAN shrink under it)
+                        self._local_tier_state = (self._graph_generation, None)
                     self._maybe_checkpoint_lineage()
                 return result
             if action == "insert":

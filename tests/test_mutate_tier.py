@@ -737,3 +737,30 @@ def test_store_s_projection_roundtrip(spark, tmp_path):
         ] == 1
     qo = {"filters": [{"p": "<p/projd>", "o": '"sv"'}], "size": 5, "use_cache": False}
     assert a.query(dict(qo)) == b.query(dict(qo))
+
+
+def test_over_cap_verdict_carries_across_inserts(spark):
+    """An over-cap engine must not re-run the tier sizing probe after
+    every insert (an insert can only grow the graph); a delete must
+    re-probe, since it can shrink the graph under the cap."""
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(_mk_quads(), "s string, p string, o string, g string")
+    eng = Engine(from_string_quads(quads).cache(), local_tier_rows=10)
+    assert eng._local_tier() is None  # sized: over the (tiny) cap
+    gen0 = eng._graph_generation
+    assert eng._local_tier_state == (gen0, None)
+    assert eng.mutate("insert", [{"s": "<m/oc>", "p": "<p/oc>", "o": '"v"'}])[
+        "triples_inserted"
+    ] == 1
+    # verdict carried to the new generation without a probe
+    assert eng._local_tier_state == (eng._graph_generation, None)
+    assert eng._graph_generation != gen0
+    # a delete invalidates the verdict (the next query re-probes)
+    assert eng.mutate("delete", [{"s": "<m/oc>", "p": "<p/oc>", "o": '"v"'}])[
+        "triples_deleted"
+    ] == 1
+    st = eng._local_tier_state
+    assert st is None or st[0] != eng._graph_generation
+    out = eng.query({"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 5})
+    assert out["total"] == 30
