@@ -2630,23 +2630,38 @@ class Engine:
                 # scores through the same collect.
                 src = scored_src if scored_src is not None else s_results
                 with self._no_aqe():
-                    cand = src.limit(_FAST_PAGE_ROWS + 1).collect()
-                if len(cand) <= _FAST_PAGE_ROWS:
-                    hv = self._term_values(r["s"] for r in cand)
+                    # toPandas (Arrow) — Row-object deserialization of a
+                    # near-cap candidate set costs ~0.1 s that an Arrow
+                    # batch doesn't
+                    pdf = src.limit(_FAST_PAGE_ROWS + 1).toPandas()
+                if len(pdf) <= _FAST_PAGE_ROWS:
+                    ss = pdf["s"].tolist()  # int64 -> Python ints
+                    hv = self._term_values(ss)
                     # `in hv` mirrors the old inner join exactly: a
                     # subject missing from the dictionary (contract
                     # violation) drops here like it dropped there
                     if scored_src is not None:
+                        import math
+
+                        # Arrow turns a null score into NaN; the sort
+                        # and the response contract expect None
                         sv_rows = [
-                            {"s": r["s"], "s_value": hv[r["s"]], "score": r["score"]}
-                            for r in cand
-                            if r["s"] in hv
+                            {
+                                "s": s,
+                                "s_value": hv[s],
+                                "score": (
+                                    None
+                                    if c is None
+                                    or (isinstance(c, float) and math.isnan(c))
+                                    else float(c)
+                                ),
+                            }
+                            for s, c in zip(ss, pdf["score"].tolist())
+                            if s in hv
                         ]
                     else:
                         sv_rows = [
-                            {"s": r["s"], "s_value": hv[r["s"]]}
-                            for r in cand
-                            if r["s"] in hv
+                            {"s": s, "s_value": hv[s]} for s in ss if s in hv
                         ]
         if sv_rows is not None:
             total = len(sv_rows)
