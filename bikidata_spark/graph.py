@@ -283,12 +283,25 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
         # probe only sees the driver's local disk, so a remote
         # log-structured store would silently fall through to the raw
         # parquet read and resurrect every deleted quad.
+        #
+        # Fall back to the driver-local probe ONLY when the JVM handle
+        # is genuinely absent (Spark Connect: no sparkContext/_jvm). A
+        # REAL filesystem error (transient s3a/hdfs failure, auth)
+        # must propagate: degrading it to the local probe would
+        # misdetect a remote log-structured store as plain parquet and
+        # silently resurrect every deleted quad.
         try:
-            jvm = spark.sparkContext._jvm
+            # the guard covers ONLY handle acquisition — a Connect
+            # session raises here (no sparkContext / no gateway); every
+            # actual filesystem call happens outside it and propagates
+            sc = spark.sparkContext
+            jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
+            jvm_ok = jvm is not None
+        except Exception:
+            jvm_ok = False
+        if jvm_ok:
             jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(
-                spark.sparkContext._jsc.hadoopConfiguration()
-            )
+            fs = jpath.getFileSystem(hconf)
             for sub in ("tombstones", "tombstones_spg"):
                 if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
                     return True
@@ -299,9 +312,6 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
                 st.getPath().getName().startswith("batch=")
                 for st in fs.listStatus(tri)
             )
-        except Exception:
-            # Spark Connect has no _jvm — fall back to the local probe
-            pass
         if os.path.isdir(f"{path}/tombstones") or os.path.isdir(
             f"{path}/tombstones_spg"
         ):

@@ -1131,7 +1131,9 @@ class LocalTier:
     ) -> dict:
         """``limit`` mirrors the distributed cap (query.FACET_MAX_VALUES
         by default, 0 = unbounded) so tier and distributed responses
-        stay byte-identical under the differential tests."""
+        stay byte-identical under the differential tests. Returns
+        (facets dict, [truncated facet names]) like _facets_fused —
+        the cap bit must travel identically on both paths."""
         from .query import FACET_MAX_VALUES
 
         limit = FACET_MAX_VALUES if limit is None else (limit or None)
@@ -1145,9 +1147,11 @@ class LocalTier:
                 if v is not None:
                     out.append((c, v))
             out.sort(key=lambda cv: (-cv[0], cv[1]))
-            return out[:limit] if limit else out
+            if limit and len(out) > limit:
+                return out[:limit], True
+            return out, False
 
-        result = {}
+        result, truncated = {}, []
         for agg in aggs:
             if agg == "properties":
                 keys = self._col_live(self.p) if memmask is None else self.p[memmask]
@@ -1162,8 +1166,10 @@ class LocalTier:
                 if memmask is not None:
                     mask &= memmask
                 keys = self.o[mask]
-            result[agg] = _counts(keys)
-        return result
+            result[agg], trunc = _counts(keys)
+            if trunc:
+                truncated.append(str(agg))
+        return result, truncated
 
     # ---- ordered paging (mirror of _order_key_frame + page) ------------
 
@@ -1420,14 +1426,14 @@ class LocalTier:
             marr = mvals = None
             total = 0
 
-        aggregates = {}
+        aggregates, aggs_truncated = {}, []
         fused_aggs = [
             agg
             for agg in opts.get("aggregates", [])
             if members is not None or agg in ("properties", "graphs")
         ]
         if fused_aggs:
-            aggregates = self._facets(
+            aggregates, aggs_truncated = self._facets(
                 marr, fused_aggs, limit=opts.get("aggregates_limit")
             )
 
@@ -1542,6 +1548,8 @@ class LocalTier:
         back = {"results": results, "total": total, "size": size, "start": start}
         if aggregates:
             back["aggregates"] = aggregates
+            if aggs_truncated:
+                back["aggregates_truncated"] = aggs_truncated
         return back
 
 

@@ -105,6 +105,47 @@ _LOCAL_TIER_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_ROWS", "4000000
 # against a stable base; "1" forces, "0" disables.
 _POINT_PROBE_FRAME = os.environ.get("BIKIDATA_SPARK_POINT_PROBE_FRAME", "auto")
 
+def patch_paths_edges(edges_map, prop_hash, ins_rows, del_idx, s_col, p_col, o_col):
+    """Apply one mutation's edge delta to a driver-resident
+    {child: [parents]} hierarchy map (the paths() walk input —
+    reference query.py:802-822), COPY-ON-WRITE: the input map is never
+    mutated, so in-flight readers of the pre-mutation generation keep
+    a consistent view; untouched parent lists are shared between the
+    copies (one O(#children) dict copy + O(delta) list copies).
+
+    ``ins_rows`` are (s, p, o, g) hash tuples; ``del_idx`` are row
+    indexes into the PRE-patch tier columns (``s_col``/``p_col``/
+    ``o_col``). Edge multiplicity mirrors quad multiplicity (the map
+    is collected straight off the triples filter), so an insert
+    appends one occurrence and a delete removes one.
+
+    Returns (patched map, net edge delta)."""
+    m2 = edges_map.copy()
+    delta = 0
+    for s, p, o, _g in ins_rows:
+        if p == prop_hash:
+            lst = list(m2.get(s, ()))
+            lst.append(o)
+            m2[s] = lst
+            delta += 1
+    if del_idx is not None and del_idx.size:
+        hit = del_idx[p_col[del_idx] == prop_hash]
+        for i in hit.tolist():
+            s, o = int(s_col[i]), int(o_col[i])
+            lst = m2.get(s)
+            if lst is None:
+                continue
+            lst = list(lst)
+            try:
+                lst.remove(o)
+                delta -= 1
+            except ValueError:
+                pass  # map predates the edge (defensive; cannot happen
+                # for a complete under-cap collect)
+            m2[s] = lst
+    return m2, delta
+
+
 # driver-side helper pool for intra-request job concurrency (facets
 # overlapping page hydration). Created lazily PER PROCESS: a forked
 # serving worker must not inherit the parent's executor threads/locks
@@ -255,6 +296,9 @@ class Engine:
     # driver-collected {child: [parents]} maps for hierarchies under
     # _LOCAL_PATHS_EDGES (None = measured too big, stay distributed)
     _paths_edge_maps: dict = field(default_factory=dict, repr=False)
+    # edge counts for the maps above (same keys), so the mutation-path
+    # carry (_carry_paths_maps) can enforce the cap in O(delta)
+    _paths_edge_map_sizes: dict = field(default_factory=dict, repr=False)
     # bumped by replace_graph: a query thread that computed its subject
     # set against the OLD graph must not repopulate the cache after the
     # swap (the key is only the filter spec, so a stale insert would be
@@ -377,6 +421,7 @@ class Engine:
                     pass
             self._paths_edge_cache = {}
             self._paths_edge_maps = {}
+            self._paths_edge_map_sizes = {}
             self._local_tier_state = None
 
     # ---- mutations -------------------------------------------------------
@@ -676,6 +721,41 @@ class Engine:
             "new_tier": new_tier,
         }
 
+    def _carry_paths_maps(self, old_maps, old_sizes, tier, ins_rows, del_rows) -> None:
+        """Re-key the driver-resident hierarchy maps across a tier
+        mutation's generation bump, patched with the mutation's edge
+        delta (patch_paths_edges) — otherwise every mutation forces a
+        fresh _LOCAL_PATHS_EDGES-bounded collect on the next paths
+        request (reference query.py:802-822 is the consumer). An
+        over-cap (None) verdict carries across inserts (the hierarchy
+        only grew) and drops on deletes so shrinkage re-probes; a
+        patched map that outgrows the cap demotes to None. Call AFTER
+        the swap (+_retier) with the PRE-patch tier: del_rows index
+        its arrays."""
+        if not old_maps:
+            return
+        from ..functions.xxh import term_id
+
+        gen = self._graph_generation
+        deleting = del_rows is not None and del_rows.size > 0
+        with self._cache_lock:
+            for (_g0, prop), m in old_maps.items():
+                if m is None:
+                    if not deleting:
+                        self._paths_edge_maps[(gen, prop)] = None
+                    continue
+                size = old_sizes.get((_g0, prop))
+                if size is None:
+                    size = sum(len(v) for v in m.values())
+                m2, d = patch_paths_edges(
+                    m, term_id(prop), ins_rows, del_rows, tier.s, tier.p, tier.o
+                )
+                if size + d > _LOCAL_PATHS_EDGES:
+                    self._paths_edge_maps[(gen, prop)] = None
+                else:
+                    self._paths_edge_maps[(gen, prop)] = m2
+                    self._paths_edge_map_sizes[(gen, prop)] = size + d
+
     def _swap_graph_keep_fts(self, graph: Graph) -> None:
         """replace_graph, preserving the built FTS index.
 
@@ -735,6 +815,7 @@ class Engine:
                 cnts = tier.o_ref_counts(np.array(lits, dtype=np.int64))
                 revived = {h for h, c in zip(lits, cnts.tolist()) if not c}
             self._dead_literals = max(0, self._dead_literals - len(revived))
+        old_maps, old_sizes = self._paths_edge_maps, self._paths_edge_map_sizes
         st = self._mut_buffers()
         st["ins"].extend(rows)
         st["terms"].extend(
@@ -782,6 +863,9 @@ class Engine:
             [(h, v) for v, h in new_terms.items()],
             keep_fts=not new_lits,
         )
+        self._carry_paths_maps(
+            old_maps, old_sizes, tier, rows, np.empty(0, dtype=np.int64)
+        )
         if fts_upd is not None:
             st = self._local_tier_state
             if st is not None and st[1] is not None:
@@ -828,6 +912,7 @@ class Engine:
             except ValueError as e:
                 return {"error": str(e)}
             del_rows = [tier.pattern_rows(s, p, o, g) for s, p, o, g in with_o + no_o]
+            old_maps, old_sizes = self._paths_edge_maps, self._paths_edge_map_sizes
             st = self._mut_buffers()
             self._apply_delete_buffers(
                 st,
@@ -844,6 +929,7 @@ class Engine:
             )
             self._dead_literals += self._count_dead_literals(tier, dr)
             self._retier(tier, [], dr, keep_fts=True)
+            self._carry_paths_maps(old_maps, old_sizes, tier, [], dr)
             return {"triples_deleted": len(data)}
 
         with_o = [d for d in data if d.get("o")]
@@ -883,6 +969,7 @@ class Engine:
                 return {"error": "Triple does not exist, skipping delete"}
             pats3 = [(s, p, g) for s, p, _, g in pats]
             del_sets.extend(matched)
+        old_maps, old_sizes = self._paths_edge_maps, self._paths_edge_map_sizes
         st = self._mut_buffers()
         self._apply_delete_buffers(st, pats4, pats3)
         g2 = self._mutated_graph(st)
@@ -893,6 +980,7 @@ class Engine:
         )
         self._dead_literals += self._count_dead_literals(tier, dr)
         self._retier(tier, [], dr, keep_fts=True)
+        self._carry_paths_maps(old_maps, old_sizes, tier, [], dr)
         return {"triples_deleted": len(data)}
 
     @staticmethod
@@ -2146,9 +2234,13 @@ class Engine:
         broadcast-scoped small path the collect is already bounded by
         the subject set and the cap is applied driver-side; on the
         corpus path a per-tag ``row_number`` window bounds what reaches
-        the driver to N rows per facet — the difference between a facet
-        on a high-cardinality property returning a page and OOMing the
-        driver at scale."""
+        the driver to N+1 rows per facet — the difference between a
+        facet on a high-cardinality property returning a page and
+        OOMing the driver at scale. The +1 sentinel row is how the
+        caller learns the cap BIT (the reference's facets are
+        unbounded, so a capped facet must be distinguishable from a
+        complete one): returns (facets dict, [names of truncated
+        facets])."""
         limit = FACET_MAX_VALUES if limit is None else (limit or None)
         t = self.graph.triples
         prop_aggs = [a for a in aggs if a not in ("properties", "graphs")]
@@ -2203,18 +2295,21 @@ class Engine:
             )
             out = (
                 out.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= limit)
+                .filter(F.col("_rn") <= limit + 1)
                 .drop("_rn")
             )
         rows = out.collect()
         by_tag: dict[int, list] = {i: [] for i in range(len(aggs))}
         for r in rows:
             by_tag[r["_tag"]].append((r["count"], r["val"]))
-        for vals in by_tag.values():
+        truncated = []
+        for i, agg in enumerate(aggs):
+            vals = by_tag[i]
             vals.sort(key=lambda cv: (-cv[0], cv[1]))
-            if limit:
+            if limit and len(vals) > limit:
+                truncated.append(str(agg))
                 del vals[limit:]
-        return {agg: by_tag[i] for i, agg in enumerate(aggs)}
+        return {agg: by_tag[i] for i, agg in enumerate(aggs)}, truncated
 
     # ---- paths ---------------------------------------------------------
     def paths(self, subjects: DataFrame, prop: str) -> DataFrame:
@@ -2405,6 +2500,8 @@ class Engine:
         with self._cache_lock:
             if key[0] == self._graph_generation:
                 self._paths_edge_maps[key] = result
+                if result is not None:
+                    self._paths_edge_map_sizes[key] = len(rows)
         return result
 
     def _paths_local_rows(self, edges_map: dict, subject_hashes) -> list | None:
@@ -2670,7 +2767,7 @@ class Engine:
                 total = s_results.count()
         else:
             total = 0
-        aggregates = {}
+        aggregates, aggs_truncated = {}, []
         known = total if s_results is not None else None
         small = known is not None and known <= _HOP_BROADCAST_ROWS
         # every requested facet in ONE fused job (see _facets_fused);
@@ -2710,7 +2807,7 @@ class Engine:
                 # nest safely across threads)
                 facet_future = _facet_pool().submit(_facet_job)
             else:
-                aggregates = _facet_job()
+                aggregates, aggs_truncated = _facet_job()
 
         results: dict = {}
         if s_results is not None and size > 0:
@@ -2820,10 +2917,16 @@ class Engine:
                         )[pad] = ordered
 
         if facet_future is not None:
-            aggregates = facet_future.result()
+            aggregates, aggs_truncated = facet_future.result()
         back = {"results": results, "total": total, "size": size, "start": start}
         if aggregates:
             back["aggregates"] = aggregates
+            if aggs_truncated:
+                # the cap bit (see FACET_MAX_VALUES): callers can tell a
+                # capped facet from a complete one — the reference's
+                # facets are unbounded, so a silent cap would be an
+                # undetectable divergence
+                back["aggregates_truncated"] = aggs_truncated
         return back
 
     def _term_values(self, hashes) -> dict:

@@ -92,6 +92,7 @@ class Serving:
         num_workers: int = 16,
         journal_dir: str | None = None,
         journal_rotate_files: int = 512,
+        journal_rotate_async: bool = True,
         proc_workers: int = 0,
     ):
         self.engine = engine
@@ -137,11 +138,25 @@ class Serving:
         # rotation: past this many LIVE journal files, fold them into
         # {journal_dir}/_compacted (a log-structured store) and delete
         # them — a one-file-per-mutation journal otherwise grows without
-        # bound and replay is O(files). 0 disables. The fold runs inside
-        # the mutation lock (no concurrent journal writes), incremental
-        # via the persistent _ckpt file-source checkpoint, and replay
+        # bound and replay is O(files). 0 disables. Incremental via the
+        # persistent _ckpt file-source checkpoint; replay
         # (streaming.mutations.replay_journal) seeds from _compacted.
+        # By default the fold runs on a BACKGROUND thread over a
+        # snapshot of the live files taken under the mutation lock —
+        # a synchronous fold would make every journal_rotate_files-th
+        # mutation pay multi-second latency and block every concurrent
+        # mutation for the duration. Safe concurrently: mutations keep
+        # appending new files (the fold only deletes its snapshot; a
+        # file the fold ingested but did not delete double-applies on
+        # replay, which sequenced last-writer-wins makes a no-op), and
+        # the _seq high-water mark is the snapshot's. Set
+        # journal_rotate_async=False for the old inline behavior
+        # (deterministic tests, single-shot batch jobs).
         self._rotate_files = journal_rotate_files
+        self._rotate_async = journal_rotate_async
+        self._rotating = False
+        self._rotation_thread: threading.Thread | None = None
+        self._rotation_error: str | None = None
         self._rotations = 0
         self._journal_live = 0
         if journal_dir:
@@ -421,28 +436,58 @@ class Serving:
         self._journal_mtime = t
         os.utime(dest, (t, t))
         self._journal_live += 1
-        if self._rotate_files and self._journal_live >= self._rotate_files:
-            self._rotate_journal()
+        if (
+            self._rotate_files
+            and self._journal_live >= self._rotate_files
+            and not self._rotating
+        ):
+            # snapshot under _mutate_lock (we are inside it): no writer
+            # races the glob, and the _seq high-water mark is exact for
+            # these files
+            import glob as _glob
 
-    def _rotate_journal(self) -> None:
-        """Fold the live journal files into ``{journal_dir}/_compacted``
-        and delete them, bounding the journal at ``journal_rotate_files``
-        live files (+ one compacted store). Runs under _mutate_lock —
-        no journal write can race the fold. The ingest is INCREMENTAL
-        (the _ckpt checkpoint persists across rotations, so each fold
-        only reads files written since the last one); the compaction
-        after it keeps _compacted at one net-state segment instead of
-        one batch directory per journal file. Crash-safe: files are
-        deleted only after the fold commits, and a file that was folded
-        but not deleted double-applies on replay, which sequenced
-        last-writer-wins semantics make a no-op (replay_journal docs)."""
-        import glob
+            live = sorted(_glob.glob(os.path.join(self._journal_dir, "*.json")))
+            seq = self._journal_seq
+            if self._rotate_async:
+                self._rotating = True
+                t = threading.Thread(
+                    target=self._rotate_bg,
+                    args=(live, seq),
+                    daemon=True,
+                    name="bikidata-journal-rotate",
+                )
+                self._rotation_thread = t
+                t.start()
+            else:
+                self._rotate_journal(live, seq)
+
+    def _rotate_bg(self, live: list, seq: int) -> None:
+        try:
+            self._rotate_journal(live, seq)
+        except Exception as e:  # surfaced via status(); next write retries
+            self._rotation_error = f"{type(e).__name__}: {e}"
+        finally:
+            self._rotating = False
+
+    def _rotate_journal(self, live: list, seq: int) -> None:
+        """Fold the snapshot of live journal files into
+        ``{journal_dir}/_compacted`` and delete them, bounding the
+        journal at ``journal_rotate_files`` live files (+ one compacted
+        store). The ingest is INCREMENTAL (the _ckpt checkpoint
+        persists across rotations, so each fold only reads files not
+        yet folded); the compaction after it keeps _compacted at one
+        net-state segment instead of one batch directory per journal
+        file. Crash-safe AND concurrency-safe: files are deleted only
+        after the fold commits and only the snapshot's files are
+        deleted — a file the fold ingested but did not delete (written
+        concurrently by a mutation, or left by a crash) double-applies
+        on replay, which sequenced last-writer-wins semantics make a
+        no-op (replay_journal docs)."""
         import os
 
         from .streaming.mutations import compact_store, start_ingest
 
         spark = self.engine.graph.spark
-        live = sorted(glob.glob(os.path.join(self._journal_dir, "*.json")))
         comp = os.path.join(self._journal_dir, "_compacted")
         q = start_ingest(
             spark,
@@ -462,12 +507,15 @@ class Serving:
         # file is rotated away (see __init__)
         seq_file = os.path.join(self._journal_dir, "_seq")
         with open(f"{seq_file}.tmp", "w") as f:
-            f.write(str(self._journal_seq))
+            f.write(str(seq))
         os.rename(f"{seq_file}.tmp", seq_file)
         for f in live:
             os.remove(f)
-        self._journal_live = 0
-        self._rotations += 1
+        with self._cache_lock:
+            # journal writes may have landed during a background fold:
+            # subtract the snapshot, don't zero the counter
+            self._journal_live -= len(live)
+            self._rotations += 1
 
     async def insert_async(
         self, s: str, p: str, o: str, g: str = "", timeout: int = 60
@@ -526,6 +574,8 @@ class Serving:
                 "journal_error": self._journal_error,
                 "journal_live_files": self._journal_live,
                 "journal_rotations": self._rotations,
+                "journal_rotating": self._rotating,
+                "journal_rotation_error": self._rotation_error,
                 "proc_pool": (
                     {"state": self._proc_pool_state, **self._proc_pool.stats()}
                     if self._proc_pool is not None
@@ -545,4 +595,10 @@ class Serving:
         if self._proc_pool is not None:
             self._proc_pool.close()
             self._proc_pool = None
+        t = self._rotation_thread
+        if t is not None and t.is_alive():
+            # let an in-flight background fold commit (it deletes files
+            # only after the fold is durable, so even a hard exit here
+            # is safe — this join just keeps shutdown tidy)
+            t.join(timeout=120)
         self._pool.shutdown(wait=False, cancel_futures=True)

@@ -22,16 +22,24 @@ Protocol (one duplex pipe per worker, strictly request/response):
   the parent applied (plans/query.Engine._retier records it), so an
   identically-evolved fork lands on a byte-identical mirror: same
   physical row ids, same overlay fold points, same BM25 increments
-  (``patch_fts_mirror`` with the same posting rows).
+  (``patch_fts_mirror`` with the same posting rows). Fork-resident
+  hierarchy maps are patched from the same delta (patch_paths_edges),
+  so ``paths`` queries keep serving in-fork across mutations.
 - ``("x", None)``  → ``("bye", None)`` and the worker exits.
 
 The forked child inherits the py4j gateway socket but MUST NOT use it:
 ``engine._frozen = True`` makes every Spark-needing path inside
 ``try_query`` bail to the parent instead (plans/local_tier.py guards
-on ``_local_fts`` / ``_local_semantic`` / the paths walk). ``paths``
-queries additionally bail after the first mutation broadcast — the
-forked hierarchy maps are fork-time snapshots and a mutation may have
-edited the hierarchy.
+on ``_local_fts`` / ``_local_semantic`` / the paths walk).
+
+Mutation consistency: every broadcast bumps the pool EPOCH; a worker
+re-enters the idle rotation only after acking the current epoch's
+patch. A worker that is checked out (serving a query) while the
+broadcast runs — or that fails to ack within ``mutation_timeout_s`` —
+is behind the served state and is DROPPED instead of returned to
+rotation: a stale fork must never serve again. The ack wait polls with
+a timeout, so a wedged (non-crashed) child can delay the mutation path
+by at most the timeout instead of hanging it.
 
 Fork-safety contract: construct the pool while the engine is QUIESCENT
 (no in-flight queries — e.g. at Serving construction), so no engine or
@@ -50,8 +58,42 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 import numpy as np
+
+
+def _patch_child_paths(engine, tier, payload) -> None:
+    """Patch the fork-resident {child: [parents]} hierarchy maps with
+    this mutation's edge delta so ``paths`` queries keep serving
+    in-fork. Must run BEFORE ``tier.patched``: the delta's delete
+    entries are row indexes into the PRE-patch tier arrays. The child's
+    engine generation never bumps (the engine object is a fork-time
+    snapshot), so the maps are updated in place under their fork-time
+    keys — safe, the worker loop is single-threaded."""
+    maps = engine._paths_edge_maps
+    if not maps:
+        return
+    from .functions.xxh import term_id
+    from .plans.query import _LOCAL_PATHS_EDGES, patch_paths_edges
+
+    sizes = engine._paths_edge_map_sizes
+    dels = np.asarray(payload["del"], dtype=np.int64)
+    for key, m in list(maps.items()):
+        if m is None:
+            continue  # over-cap verdict: keep bailing to the parent
+        size = sizes.get(key)
+        if size is None:
+            size = sum(len(v) for v in m.values())
+        m2, d = patch_paths_edges(
+            m, term_id(key[1]), payload["ins"], dels, tier.s, tier.p, tier.o
+        )
+        if size + d > _LOCAL_PATHS_EDGES:
+            maps[key] = None
+            sizes.pop(key, None)
+        else:
+            maps[key] = m2
+            sizes[key] = size + d
 
 
 def _child_main(conn, engine, fts_max_rows: int) -> None:
@@ -63,7 +105,6 @@ def _child_main(conn, engine, fts_max_rows: int) -> None:
     engine._frozen = True
     st = engine._local_tier_state
     tier = st[1] if st is not None else None
-    paths_ok = True  # until the first mutation (see module docstring)
     while True:
         try:
             msg = conn.recv()
@@ -72,11 +113,14 @@ def _child_main(conn, engine, fts_max_rows: int) -> None:
         kind, payload = msg
         try:
             if kind == "q":
-                if tier is None or (not paths_ok and payload.get("paths")):
+                if tier is None:
                     conn.send(("r", None))
                     continue
                 conn.send(("r", tier.try_query(engine, payload, fts_max_rows)))
             elif kind == "m":
+                # hierarchy maps first: delete indexes address the
+                # pre-patch tier arrays
+                _patch_child_paths(engine, tier, payload)
                 for h, v in payload["terms"]:
                     tier.h2v[h] = v
                     tier.v2h[v] = h
@@ -101,7 +145,6 @@ def _child_main(conn, engine, fts_max_rows: int) -> None:
                         )
                 # "drop": mirror stays unbuilt; fts queries bail to parent
                 tier = new_tier
-                paths_ok = False
                 conn.send(("ok", None))
             elif kind == "x":
                 conn.send(("bye", None))
@@ -116,10 +159,28 @@ def _child_main(conn, engine, fts_max_rows: int) -> None:
                 os._exit(1)
 
 
+class _Worker:
+    """One forked worker: its process, its pipe, and the mutation epoch
+    it has acked (a worker behind the pool epoch must never serve)."""
+
+    __slots__ = ("proc", "conn", "epoch")
+
+    def __init__(self, proc, conn, epoch: int):
+        self.proc = proc
+        self.conn = conn
+        self.epoch = epoch
+
+
 class TierProcPool:
     """N forked read-only tier workers + a mutation broadcast channel."""
 
-    def __init__(self, engine, n_procs: int = 8, query_timeout_s: float = 600.0):
+    def __init__(
+        self,
+        engine,
+        n_procs: int = 8,
+        query_timeout_s: float = 600.0,
+        mutation_timeout_s: float = 60.0,
+    ):
         import multiprocessing as mp
 
         st = engine._local_tier_state
@@ -129,13 +190,17 @@ class TierProcPool:
                 "with one query before constructing the pool)"
             )
         self._timeout = query_timeout_s
+        self._mut_timeout = mutation_timeout_s
         self._lock = threading.Lock()
-        self._workers: list = []  # (process, parent_conn) tuples
+        self._workers: list[_Worker] = []
         self._idle: queue.Queue = queue.Queue()
         self._n_live = 0
+        self._epoch = 0  # bumped per mutation broadcast
+        self._broadcasting = False  # a broadcast is draining the idle queue
         self._bails = 0
         self._served = 0
         self._worker_errors = 0
+        self._stale_drops = 0
         ctx = mp.get_context("fork")
         fts_rows = engine.local_tier_fts_rows
         for _ in range(n_procs):
@@ -145,7 +210,7 @@ class TierProcPool:
             )
             proc.start()
             child_conn.close()
-            w = (proc, parent_conn)
+            w = _Worker(proc, parent_conn, 0)
             self._workers.append(w)
             self._idle.put(w)
             self._n_live += 1
@@ -158,39 +223,75 @@ class TierProcPool:
     def n_procs(self) -> int:
         return self._n_live
 
-    def _drop(self, w) -> None:
+    def _drop(self, w: _Worker) -> None:
         with self._lock:
             if w in self._workers:
                 self._workers.remove(w)
                 self._n_live -= 1
         try:
-            w[1].close()
+            w.conn.close()
         except OSError:
             pass
-        if w[0].is_alive():
-            w[0].terminate()
+        if w.proc.is_alive():
+            w.proc.terminate()
+
+    def _checkin(self, w: _Worker) -> None:
+        """Return a worker to rotation — unless a mutation broadcast ran
+        while it was checked out (stale epoch): it never received the
+        patch and would serve pre-mutation results indefinitely. While
+        the broadcast is still draining the idle queue, the stale
+        worker goes back to idle FOR the broadcast to sync; once the
+        broadcast is over, missing it is permanent and the worker is
+        dropped."""
+        with self._lock:
+            stale = w.epoch != self._epoch
+            rescue = stale and self._broadcasting
+            if stale and not rescue:
+                self._stale_drops += 1
+        if not stale or rescue:
+            self._idle.put(w)
+        else:
+            self._drop(w)
 
     def query(self, opts: dict) -> dict | None:
         """Round-trip one query through an idle worker. Returns the
         reference-shaped result dict, or None when the tier bailed /
         the worker failed (caller runs the distributed path)."""
-        try:
-            w = self._idle.get(timeout=self._timeout)
-        except queue.Empty:
-            return None
+        deadline = time.monotonic() + self._timeout
+        while True:
+            try:
+                w = self._idle.get(timeout=max(0.0, deadline - time.monotonic()))
+            except queue.Empty:
+                return None
+            with self._lock:
+                stale = w.epoch != self._epoch
+                rescue = stale and self._broadcasting
+            if not stale:
+                break
+            if rescue:
+                # a broadcast is mid-drain: give the worker back for it
+                # to sync, then retry (brief yield so the drain wins)
+                self._idle.put(w)
+                time.sleep(0.002)
+            else:
+                with self._lock:
+                    self._stale_drops += 1
+                self._drop(w)
+            if not self.alive:
+                return None
         healthy = True
         try:
-            w[1].send(("q", opts))
-            if not w[1].poll(self._timeout):
+            w.conn.send(("q", opts))
+            if not w.conn.poll(self._timeout):
                 healthy = False
                 return None
-            kind, payload = w[1].recv()
+            kind, payload = w.conn.recv()
         except (EOFError, OSError, BrokenPipeError):
             healthy = False
             return None
         finally:
             if healthy:
-                self._idle.put(w)
+                self._checkin(w)
             else:
                 self._drop(w)
         if kind == "r":
@@ -206,31 +307,52 @@ class TierProcPool:
 
     def apply_mutation(self, delta: dict) -> None:
         """Broadcast one tier patch to every worker and await the acks.
-        Checks out ALL workers first, so no query can interleave with
-        the patch on any worker's pipe."""
+        Checks out ALL workers first (so no query can interleave with
+        the patch on any worker's pipe), bounded by
+        ``mutation_timeout_s``: a worker that cannot be checked out or
+        does not ack in time is left behind the pool epoch and is
+        dropped — either here or when its in-flight query checks it
+        back in — instead of re-entering rotation unsynced."""
         payload = {
             "ins": list(delta["ins"]),
             "del": np.asarray(delta["del"], dtype=np.int64),
             "terms": list(delta["terms"]),
             "fts": delta["fts"],
         }
-        held = []
-        n = self._n_live
-        while len(held) < n:
-            try:
-                held.append(self._idle.get(timeout=self._timeout))
-            except queue.Empty:
-                break  # dropped workers shrink the pool under us
-            n = self._n_live
+        with self._lock:
+            self._epoch += 1
+            epoch = self._epoch
+            self._broadcasting = True
+        deadline = time.monotonic() + self._mut_timeout
+        held: list[_Worker] = []
+        try:
+            while len(held) < self._n_live:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break  # checked-out stragglers drop at check-in (stale epoch)
+                try:
+                    held.append(self._idle.get(timeout=min(remaining, 0.1)))
+                except queue.Empty:
+                    continue
+        finally:
+            with self._lock:
+                self._broadcasting = False
         for w in held:
             ok = True
             try:
-                w[1].send(("m", payload))
-                kind, _ = w[1].recv()
-                ok = kind == "ok"
+                w.conn.send(("m", payload))
+                # poll before recv: a wedged (non-crashed) child must not
+                # hang the mutation path — queries have a timeout, and so
+                # must the broadcast ack
+                if not w.conn.poll(max(0.1, deadline - time.monotonic())):
+                    ok = False
+                else:
+                    kind, _ = w.conn.recv()
+                    ok = kind == "ok"
             except (EOFError, OSError, BrokenPipeError):
                 ok = False
             if ok:
+                w.epoch = epoch
                 self._idle.put(w)
             else:
                 self._drop(w)
@@ -242,6 +364,7 @@ class TierProcPool:
                 "served": self._served,
                 "bails": self._bails,
                 "worker_errors": self._worker_errors,
+                "stale_drops": self._stale_drops,
             }
 
     def close(self) -> None:
@@ -250,14 +373,14 @@ class TierProcPool:
             self._n_live = 0
         for w in workers:
             try:
-                w[1].send(("x", None))
+                w.conn.send(("x", None))
             except (OSError, BrokenPipeError):
                 pass
         for w in workers:
-            w[0].join(timeout=2.0)
-            if w[0].is_alive():
-                w[0].terminate()
+            w.proc.join(timeout=2.0)
+            if w.proc.is_alive():
+                w.proc.terminate()
             try:
-                w[1].close()
+                w.conn.close()
             except OSError:
                 pass

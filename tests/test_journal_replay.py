@@ -365,7 +365,23 @@ def test_journal_rotation_bounds_files_and_replays(spark, tmp_path):
         assert (await srv.delete_async("<j/1>", "<p/t>", None))["triples_deleted"] == 1
         assert (await srv.insert_async("<j/6>", "<p/t>", '"six"'))["triples_inserted"] == 1
 
+    def _wait_rotated(s, n=1, timeout=180):
+        import time as _t
+
+        t0 = _t.time()
+        while _t.time() - t0 < timeout:
+            stt = s.status()
+            if stt["journal_rotations"] >= n and not stt["journal_rotating"]:
+                assert stt["journal_rotation_error"] is None
+                return
+            _t.sleep(0.1)
+        raise AssertionError(f"rotation did not complete: {s.status()}")
+
     asyncio.run(life1())
+    # rotation runs on a BACKGROUND thread (the fold must not stall the
+    # mutation path): the mutations above returned immediately; wait for
+    # the fold to commit before checking the folded state
+    _wait_rotated(srv)
     st = srv.status()
     assert st["journal_rotations"] == 1
     assert st["journal_live_files"] == 3
@@ -388,6 +404,7 @@ def test_journal_rotation_bounds_files_and_replays(spark, tmp_path):
         assert (await srv2.delete_async("<j/5>", "<p/t>", '"five"'))["triples_deleted"] == 1
 
     asyncio.run(life2())
+    _wait_rotated(srv2)
     assert srv2.status()["journal_rotations"] == 1
     assert len(list(jdir.glob("*.json"))) == 0  # fully folded
     srv2.close()

@@ -675,13 +675,24 @@ def test_facet_cardinality_cap(engine):
 
     # corpus-scale shape: known_rows=None skips the small/broadcast
     # scope, so the bounded row_number window must cap each tag
-    fused = engine._facets_fused(
+    fused, truncated = engine._facets_fused(
         s_results, ["<p/nation>", "properties"], known_rows=None, limit=3
     )
     assert fused["<p/nation>"] == full[:3]
     assert len(fused["properties"]) == 3
+    assert "<p/nation>" in truncated  # the cap bit travels with the cap
+
+    # truncation marker on the response: present exactly when the cap
+    # bites, absent on complete facets (tier and distributed identically)
+    capped_resp = engine.query(dict(opts, aggregates_limit=3))
+    assert capped_resp["aggregates_truncated"] == ["<p/nation>"]
+    assert "aggregates_truncated" not in engine.query(dict(opts, aggregates_limit=0))
 
     # distributed path (tier off) pins the same contract byte-for-byte
     dist = Engine(engine.graph, local_tier_rows=0)
-    assert dist.query(dict(opts, aggregates_limit=3))["aggregates"]["<p/nation>"] == full[:3]
-    assert dist.query(dict(opts, aggregates_limit=0))["aggregates"]["<p/nation>"] == full
+    d3 = dist.query(dict(opts, aggregates_limit=3))
+    assert d3["aggregates"]["<p/nation>"] == full[:3]
+    assert d3["aggregates_truncated"] == ["<p/nation>"]
+    d0 = dist.query(dict(opts, aggregates_limit=0))
+    assert d0["aggregates"]["<p/nation>"] == full
+    assert "aggregates_truncated" not in d0

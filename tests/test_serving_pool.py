@@ -88,10 +88,14 @@ def test_pool_mutation_broadcast_differential(spark, warm_engine):
         pool.close()
 
 
-def test_pool_paths_bail_after_mutation(spark, warm_engine):
-    """paths queries serve from the fork before any mutation and bail
-    to the parent after one (fork-time hierarchy maps may be stale)."""
+def test_pool_paths_served_after_mutation(spark, warm_engine):
+    """paths queries keep serving FROM THE FORK across mutations: the
+    mutation broadcast patches the fork-resident hierarchy maps
+    (serving_pool._patch_child_paths ← plans/query.patch_paths_edges),
+    including mutations that edit the walked hierarchy itself. Results
+    must match a distributed control engine after every step."""
     eng = warm_engine
+    plain = _mk_engine(spark, tier=False)
     popts = {
         "filters": [{"p": "id", "o": "<m/20>"}],
         "paths": ["<p/peer>"],
@@ -100,21 +104,65 @@ def test_pool_paths_bail_after_mutation(spark, warm_engine):
     }
     eng.query(dict(popts))  # cache the hierarchy map pre-fork
     pool = _mk_pool(eng)
+    script = [
+        # off-hierarchy mutation: chains unchanged
+        ("insert", [{"s": "<pb/1>", "p": "<p/x>", "o": "<t/0>"}]),
+        # edits ON the walked hierarchy: new parent edge for a chain
+        # node, then an edge delete (m/20's chain runs 27 → 34 → …)
+        ("insert", [{"s": "<m/27>", "p": "<p/peer>", "o": "<pb/root>"}]),
+        ("delete", [{"s": "<m/34>", "p": "<p/peer>", "o": "<m/41>", "g": "<g/1>"}]),
+    ]
     try:
         got = pool.query(dict(popts))
-        assert got is not None and got == eng.query(dict(popts))
+        assert got is not None and got == plain.query(dict(popts))
+        for action, data in script:
+            eng._last_tier_delta = None
+            a = eng.mutate(action, [dict(d) for d in data])
+            b = plain.mutate(action, [dict(d) for d in data])
+            assert a == b and "error" not in a
+            pool.apply_mutation(eng._last_tier_delta)
+            got = pool.query(dict(popts))
+            assert got is not None, "paths must serve in-fork post-mutation"
+            assert got == plain.query(dict(popts))
+        assert pool.stats()["worker_errors"] == 0
+    finally:
+        pool.close()
+
+
+def test_pool_mutation_survives_wedged_child(spark, warm_engine):
+    """A SIGSTOPped (wedged, non-crashed) child must not hang the
+    mutation broadcast: the ack wait polls with mutation_timeout_s and
+    drops the non-acking worker, the mutation completes, and the
+    remaining worker serves the post-mutation state."""
+    import os
+    import signal
+    import time as _time
+
+    from bikidata_spark.serving_pool import TierProcPool
+
+    eng = warm_engine
+    pool = TierProcPool(eng, 2, mutation_timeout_s=1.5)
+    stopped = pool._workers[0].proc
+    try:
+        os.kill(stopped.pid, signal.SIGSTOP)
         eng._last_tier_delta = None
         assert "error" not in eng.mutate(
-            "insert", [{"s": "<pb/1>", "p": "<p/x>", "o": "<t/0>"}]
+            "insert", [{"s": "<wg/1>", "p": "<p/wg>", "o": '"wedged lit"'}]
         )
+        t0 = _time.monotonic()
         pool.apply_mutation(eng._last_tier_delta)
-        assert pool.query(dict(popts)) is None  # bails to parent now
-        # non-paths queries still serve
-        assert (
-            pool.query({"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 5, "use_cache": False})
-            is not None
+        assert _time.monotonic() - t0 < 10.0  # bounded, not hung
+        assert pool.n_procs == 1  # the wedged worker was dropped
+        got = pool.query(
+            {"filters": [{"p": "<p/wg>"}], "size": 5, "use_cache": False}
         )
+        assert got is not None and got["total"] == 1
+        assert pool.stats()["worker_errors"] == 0
     finally:
+        try:
+            os.kill(stopped.pid, signal.SIGCONT)
+        except ProcessLookupError:
+            pass
         pool.close()
 
 
