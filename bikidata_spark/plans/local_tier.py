@@ -255,18 +255,439 @@ def _range_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return np.arange(counts.sum(), dtype=np.int64) - offs + np.repeat(lo, counts)
 
 
+class TermDict:
+    """Array-backed term dictionary for the tier (r10).
+
+    The r8/r9 tier kept the dictionary as two Python dicts plus an
+    object-array twin — ~200 B of PyObject overhead per term, which was
+    the real memory wall that kept the tier cap at 4M quads (sf1's
+    5.6M-term dictionary alone would have cost multiple GiB). This
+    class stores the same mapping in flat arrays:
+
+    - ``th``            sorted int64 term hashes;
+    - ``start``/``end`` int64 byte offsets into ``blob`` per hash;
+    - ``blob``          one UTF-8 buffer with every value — taken
+      ZERO-COPY from the Arrow collect (the Arrow string layout IS
+      offsets + data buffer), so building the dictionary never
+      materializes per-term Python strings;
+    - ``lit``           bool mask (is_literal) parallel to ``th``.
+
+    Lookups by hash are a searchsorted + slice decode; lookups by VALUE
+    need no storage at all — the dictionary is hash-addressed
+    (hash = XXH64(value, seed 42), functions/xxh.py, bit-identical to
+    the JVM ``xxhash64`` the build uses), so ``v2h[value]`` is
+    ``term_id(value)`` + a membership probe.
+
+    ``ranks()`` lazily materializes the VALUE-ORDER rank of every term
+    (Arrow ``sort_indices`` — C++, no Python strings): UTF-8 byte order
+    equals code-point order equals Spark's UTF8 binary order (the
+    pinned order-key equivalence), so a default/lexical page sorts
+    int64 ranks instead of strings — faster than the old object-array
+    argsort AND allocation-free.
+
+    Mutations only ever ADD terms (the reference never garbage-collects
+    them, reference query.py:505-507): new terms ride in the
+    append-only ``extra`` dict, SHARED across tier generations exactly
+    like the old dicts (a reader of an old generation can never look up
+    a hash only newer rows reference). ``fold()`` merges the overlay
+    into the base arrays — called from the tier's overlay fold so the
+    amortization matches the row patch.
+    """
+
+    __slots__ = (
+        "th", "start", "end", "blob", "lit", "extra", "extra_lit",
+        "n_lit_base", "nbytes", "_rank", "_rank_lock", "_arrow", "_ord",
+    )
+
+    # estimated fixed per-term array cost (th + start + end + lit +
+    # the lazy rank): what the byte-budget gate charges per entry
+    PER_TERM_BYTES = 48
+
+    def __init__(self, th, start, end, blob, lit, _arrow=None, _ord=None):
+        self.th = th
+        self.start = start
+        self.end = end
+        self.blob = blob
+        self.lit = lit
+        self.extra: dict = {}
+        self.extra_lit: set = set()
+        self.n_lit_base = int(lit.sum()) if lit.size else 0
+        self.nbytes = len(blob) + th.size * self.PER_TERM_BYTES
+        self._rank = None
+        self._rank_lock = threading.Lock()
+        # the source Arrow string array + the hash-sort permutation
+        # (th position -> arrow index): kept for the lazy ranks build;
+        # dropped by fold() (the merged blob has no single Arrow twin)
+        self._arrow = _arrow
+        self._ord = _ord
+
+    @classmethod
+    def from_arrow(cls, tbl) -> "TermDict":
+        """Build from an Arrow table with (hash, value, is_literal) —
+        the shape ``terms_df.toArrow()`` returns. The value buffer is
+        adopted zero-copy; only the int64 offset gathers allocate."""
+        import pyarrow as pa
+
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            e = np.empty(0, dtype=np.int64)
+            return cls(e, e.copy(), e.copy(), b"", np.empty(0, dtype=bool))
+        th_raw = tbl.column("hash").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        lit_raw = tbl.column("is_literal").to_numpy(zero_copy_only=False).astype(
+            bool, copy=False
+        )
+        val = tbl.column("value")
+        if hasattr(val, "chunk"):
+            val = val.chunk(0) if val.num_chunks else pa.array([], pa.string())
+        if not pa.types.is_large_string(val.type):
+            val = val.cast(pa.large_string())
+        off = np.frombuffer(val.buffers()[1], dtype=np.int64)[
+            val.offset : val.offset + len(val) + 1
+        ]
+        blob = memoryview(val.buffers()[2])
+        ord_ = np.argsort(th_raw, kind="stable")
+        return cls(
+            th_raw[ord_],
+            off[:-1][ord_].astype(np.int64, copy=True),
+            off[1:][ord_].astype(np.int64, copy=True),
+            blob,
+            lit_raw[ord_],
+            _arrow=val,
+            _ord=ord_,
+        )
+
+    @classmethod
+    def from_mapping(cls, h2v: dict, lit_hashes) -> "TermDict":
+        """Build from plain Python mappings (tests, tiny fixtures)."""
+        items = sorted(h2v.items())
+        th = np.array([h for h, _ in items], dtype=np.int64)
+        enc = [v.encode("utf-8") for _, v in items]
+        lens = np.array([0] + [len(b) for b in enc], dtype=np.int64)
+        off = np.cumsum(lens)
+        lit = np.array([h in lit_hashes for h, _ in items], dtype=bool)
+        return cls(th, off[:-1].copy(), off[1:].copy(), b"".join(enc), lit)
+
+    # ---- vectorized ------------------------------------------------------
+
+    def base_indices(self, keys: np.ndarray):
+        """(positions into th, found mask) — vectorized membership."""
+        if self.th.size == 0:
+            z = np.zeros(keys.size, dtype=np.int64)
+            return z, np.zeros(keys.size, dtype=bool)
+        idx = np.searchsorted(self.th, keys)
+        idx_c = np.minimum(idx, self.th.size - 1)
+        found = (idx < self.th.size) & (self.th[idx_c] == keys)
+        return idx_c, found
+
+    def decode(self, idx: np.ndarray) -> np.ndarray:
+        """Values (object array of str) at the given th positions."""
+        out = np.empty(len(idx), dtype=object)
+        blob, st, en = self.blob, self.start, self.end
+        for k, i in enumerate(idx.tolist()):
+            out[k] = bytes(blob[st[i] : en[i]]).decode("utf-8")
+        return out
+
+    def values_of(self, keys: np.ndarray):
+        """(values object array, found mask) for int64 hash keys —
+        the bulk h2v.get. Missing hashes get found=False (the
+        distributed terms join drops them); overlay terms resolve
+        through the extra dict."""
+        idx, found = self.base_indices(keys)
+        vals = np.empty(keys.size, dtype=object)
+        if found.any():
+            vals[found] = self.decode(idx[found])
+        if self.extra and not found.all():
+            ex = self.extra
+            for i in np.flatnonzero(~found).tolist():
+                v = ex.get(int(keys[i]))
+                if v is not None:
+                    vals[i] = v
+                    found[i] = True
+        return vals, found
+
+    def literal_flags(self, keys: np.ndarray) -> np.ndarray:
+        """Bool per key: present AND is_literal (vectorized)."""
+        idx, found = self.base_indices(keys)
+        flags = np.zeros(keys.size, dtype=bool)
+        if found.any():
+            flags[found] = self.lit[idx[found]]
+        if self.extra_lit and not found.all():
+            el = self.extra_lit
+            for i in np.flatnonzero(~found).tolist():
+                if int(keys[i]) in el:
+                    flags[i] = True
+        return flags
+
+    def extra_hit(self, keys: np.ndarray, found: np.ndarray) -> bool:
+        """True when any not-found key resolves through the overlay —
+        the rank fast paths then fall back to value decoding (ranks
+        cover only the base arrays between folds)."""
+        if not self.extra or found.all():
+            return False
+        ex = self.extra
+        return any(int(h) in ex for h in keys[~found].tolist())
+
+    def ranks(self) -> np.ndarray:
+        """int64 value-order rank per th position (lazy, cached).
+        Distinct values => a total order; byte order == code-point
+        order == Spark UTF8 binary order."""
+        r = self._rank
+        if r is not None:
+            return r
+        with self._rank_lock:
+            r = self._rank
+            if r is not None:
+                return r
+            n = self.th.size
+            if n == 0:
+                r = np.empty(0, dtype=np.int64)
+            elif self._arrow is not None:
+                import pyarrow.compute as pc
+
+                si = pc.sort_indices(self._arrow).to_numpy().astype(np.int64)
+                rank_by_arrow = np.empty(n, dtype=np.int64)
+                rank_by_arrow[si] = np.arange(n, dtype=np.int64)
+                r = rank_by_arrow[self._ord]
+            else:
+                # post-fold slow path (no Arrow twin): one bytes sort
+                blob, st, en = self.blob, self.start, self.end
+                vals = [bytes(blob[a:b]) for a, b in zip(st.tolist(), en.tolist())]
+                order = sorted(range(n), key=vals.__getitem__)
+                r = np.empty(n, dtype=np.int64)
+                r[np.array(order, dtype=np.int64)] = np.arange(n, dtype=np.int64)
+            self._rank = r
+            return r
+
+    # ---- scalar ----------------------------------------------------------
+
+    def get(self, h: int):
+        """Value for one hash, or None (scalar h2v.get)."""
+        v = self.extra.get(h)
+        if v is not None:
+            return v
+        th = self.th
+        if th.size == 0:
+            return None
+        i = int(np.searchsorted(th, h))
+        if i >= th.size or int(th[i]) != h:
+            return None
+        return bytes(self.blob[self.start[i] : self.end[i]]).decode("utf-8")
+
+    def contains_hash(self, h: int) -> bool:
+        if h in self.extra:
+            return True
+        th = self.th
+        if th.size == 0:
+            return False
+        i = int(np.searchsorted(th, h))
+        return i < th.size and int(th[i]) == h
+
+    def hash_of(self, value: str):
+        """Hash for one lexical form, or None when absent — the
+        dictionary is hash-addressed, so this is a hash + membership
+        probe, not a reverse index."""
+        from ..functions.xxh import term_id
+
+        h = term_id(value)
+        return h if self.contains_hash(h) else None
+
+    def add(self, h: int, value: str, is_literal: bool) -> None:
+        """Append-only overlay write (mutation-minted term). Shared
+        across generations like the old dicts — safe under the GIL."""
+        if h not in self.extra:
+            self.nbytes += len(value) + 80
+        self.extra[h] = value
+        if is_literal:
+            self.extra_lit.add(h)
+
+    def is_literal_hash(self, h: int) -> bool:
+        if h in self.extra_lit:
+            return True
+        th = self.th
+        if th.size == 0:
+            return False
+        i = int(np.searchsorted(th, h))
+        return i < th.size and int(th[i]) == h and bool(self.lit[i])
+
+    def literal_count(self) -> int:
+        return self.n_lit_base + len(self.extra_lit)
+
+    # ---- fold ------------------------------------------------------------
+
+    def fold(self) -> "TermDict":
+        """New TermDict with the extra overlay merged into the base
+        arrays (one batched np.insert + one blob append). The receiver
+        keeps its overlay untouched — old-generation readers still
+        resolve through it. Ranks carry over in O(n + k log n) when
+        already built (k binary searches position the new values; one
+        vectorized shift renumbers the old ones)."""
+        if not self.extra:
+            return self
+        items = sorted(self.extra.items())
+        k = len(items)
+        nh = np.array([h for h, _ in items], dtype=np.int64)
+        enc = [v.encode("utf-8") for _, v in items]
+        base_len = len(self.blob)
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        ends = base_len + np.cumsum(lens)
+        starts = ends - lens
+        pos = np.searchsorted(self.th, nh)
+        th2 = np.insert(self.th, pos, nh)
+        st2 = np.insert(self.start, pos, starts)
+        en2 = np.insert(self.end, pos, ends)
+        lit2 = np.insert(
+            self.lit, pos, [h in self.extra_lit for h, _ in items]
+        )
+        blob2 = bytes(self.blob) + b"".join(enc)
+        td = TermDict(th2, st2, en2, blob2, lit2)
+        old_rank = self._rank
+        if old_rank is not None and self.th.size:
+            # value-order positions of the new terms among the old
+            val_order = np.empty(self.th.size, dtype=np.int64)
+            val_order[old_rank] = np.arange(self.th.size, dtype=np.int64)
+            blob, st, en = self.blob, self.start, self.end
+
+            def _old_val(r: int) -> bytes:
+                i = val_order[r]
+                return bytes(blob[st[i] : en[i]])
+
+            order_new = sorted(range(k), key=enc.__getitem__)
+            pos_val = np.empty(k, dtype=np.int64)
+            n = self.th.size
+            for j, m in enumerate(order_new):
+                eb = enc[m]
+                lo, hi = 0, n
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if _old_val(mid) < eb:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                pos_val[j] = lo
+            # old rank r -> r + #{new values placed at or before r}
+            shifted = old_rank + np.searchsorted(
+                pos_val, old_rank, side="right"
+            )
+            jidx = np.empty(k, dtype=np.int64)
+            jidx[np.array(order_new, dtype=np.int64)] = np.arange(
+                k, dtype=np.int64
+            )
+            new_rank = pos_val[jidx] + jidx  # per hash-order item
+            td._rank = np.insert(shifted, pos, new_rank)
+        elif old_rank is not None:
+            # empty base: the merged ranks are the new terms' own value
+            # order, laid out in hash order (= th2 order)
+            order_new = sorted(range(k), key=enc.__getitem__)
+            jidx = np.empty(k, dtype=np.int64)
+            jidx[np.array(order_new, dtype=np.int64)] = np.arange(
+                k, dtype=np.int64
+            )
+            td._rank = jidx
+        return td
+
+    # ---- test / debug helpers ---------------------------------------------
+
+    def to_dict(self) -> dict:
+        """Full hash -> value dict (base + overlay). Test-sized only."""
+        out = dict(
+            zip(self.th.tolist(), self.decode(np.arange(self.th.size)).tolist())
+        )
+        out.update(self.extra)
+        return out
+
+    def lit_set(self) -> set:
+        return set(self.th[self.lit].tolist()) | set(self.extra_lit)
+
+
+class _H2V:
+    """Mapping view over TermDict: the tier's hash -> value surface
+    (plans/query.Engine.mutate and serving_pool write through it)."""
+
+    __slots__ = ("_td",)
+
+    def __init__(self, td: TermDict):
+        self._td = td
+
+    def get(self, h, default=None):
+        v = self._td.get(int(h))
+        return default if v is None else v
+
+    def __getitem__(self, h):
+        v = self._td.get(int(h))
+        if v is None:
+            raise KeyError(h)
+        return v
+
+    def __contains__(self, h) -> bool:
+        return self._td.contains_hash(int(h))
+
+    def __setitem__(self, h, v) -> None:
+        self._td.add(int(h), v, v.startswith('"'))
+
+
+class _V2H:
+    """Reverse view: value -> hash via term_id + membership (the
+    dictionary is hash-addressed, so no reverse storage exists)."""
+
+    __slots__ = ("_td",)
+
+    def __init__(self, td: TermDict):
+        self._td = td
+
+    def get(self, value, default=None):
+        h = self._td.hash_of(value)
+        return default if h is None else h
+
+    def __getitem__(self, value):
+        h = self._td.hash_of(value)
+        if h is None:
+            raise KeyError(value)
+        return h
+
+    def __contains__(self, value) -> bool:
+        return self._td.hash_of(value) is not None
+
+    def __setitem__(self, value, h) -> None:
+        # the h2v write (which carries the is_literal bit) is the one
+        # that records the term; hash-addressing makes this a no-op
+        pass
+
+
+class _IsLit:
+    """Set view over the is_literal bit."""
+
+    __slots__ = ("_td",)
+
+    def __init__(self, td: TermDict):
+        self._td = td
+
+    def __contains__(self, h) -> bool:
+        return self._td.is_literal_hash(int(h))
+
+    def add(self, h) -> None:
+        self._td.extra_lit.add(int(h))
+
+    def __len__(self) -> int:
+        return self._td.literal_count()
+
+
 class LocalTier:
     """One graph generation's driver-resident mirror."""
 
-    def __init__(self, s, p, o, g, hash_to_value, value_to_hash, literal_hashes,
-                 _indexes=None):
+    def __init__(self, s, p, o, g, terms: TermDict, _indexes=None):
         self.s = s
         self.p = p
         self.o = o
         self.g = g
-        self.h2v = hash_to_value
-        self.v2h = value_to_hash
-        self.is_lit = literal_hashes
+        # array-backed dictionary (TermDict) + the mapping views the
+        # engine-side mutation path writes through (tier.h2v[h] = v)
+        self.terms = terms
+        self.h2v = _H2V(terms)
+        self.v2h = _V2H(terms)
+        self.is_lit = _IsLit(terms)
         self.nrows = int(s.size)
         # ---- mutation overlay (r9) --------------------------------------
         # ``patched`` keeps mutations O(delta): deletes flip bits in a
@@ -283,13 +704,6 @@ class LocalTier:
         self._n_dead = 0
         self._sorted_n = self.nrows
         self._buf: dict | None = None
-        # terms minted since the sorted term arrays were last merged:
-        # np.insert on a corpus-sized dictionary is O(#terms) per
-        # mutation (87 ms/insert at sf1's 5.6M terms), so ``patched``
-        # defers the merge — ``_values_of`` resolves misses through the
-        # always-current h2v dict — and folds the tail in with the row
-        # overlay past OVERLAY_FOLD pending entries
-        self._t_tail: tuple = ()
         # sorted row indexes over s and o: membership tests against a
         # key set then cost O(k log n + hits) via searchsorted instead
         # of np.isin's per-call O(n log n) re-sort of the whole column
@@ -297,8 +711,7 @@ class LocalTier:
         if _indexes is not None:
             # mutation patch (``patched``): indexes merged from the
             # predecessor tier's in O(n) copies, no re-sort
-            (self._s_order, self._s_sorted, self._o_order, self._o_sorted,
-             self._th_sorted, self._tv_sorted) = _indexes
+            (self._s_order, self._s_sorted, self._o_order, self._o_sorted) = _indexes
         else:
             self._s_order = np.argsort(s, kind="stable")
             self._s_sorted = s[self._s_order]
@@ -315,17 +728,6 @@ class LocalTier:
         # O(members log members) per request)
         self._global_orders: dict = {}
         self._order_lock = threading.Lock()
-        # term dictionary as parallel sorted arrays for vectorized
-        # hash → value resolution (dict lookups cost ~100 ms per 300k
-        # members; a searchsorted gather costs ~10 ms)
-        if _indexes is None:
-            th = np.fromiter(
-                hash_to_value.keys(), dtype=np.int64, count=len(hash_to_value)
-            )
-            tv = np.array(list(hash_to_value.values()), dtype=object)
-            t_ord = np.argsort(th, kind="stable")
-            self._th_sorted = th[t_ord]
-            self._tv_sorted = tv[t_ord]
         # lazily-built _LocalFts keyed by the engine's FtsIndex object
         # identity (a load_fts/replace swaps the object); None value =
         # measured too big, stay distributed for fts filters
@@ -339,27 +741,15 @@ class LocalTier:
 
     def _values_of(self, keys: np.ndarray):
         """(values object array, found mask) for sorted-or-not keys —
-        vectorized h2v.get. Missing hashes get found=False (the
-        distributed terms join drops them)."""
-        idx = np.searchsorted(self._th_sorted, keys)
-        idx_c = np.minimum(idx, self._th_sorted.size - 1) if self._th_sorted.size else idx
-        found = (
-            (idx < self._th_sorted.size) & (self._th_sorted[idx_c] == keys)
-            if self._th_sorted.size
-            else np.zeros(keys.size, dtype=bool)
-        )
-        vals = np.empty(keys.size, dtype=object)
-        if self._th_sorted.size:
-            vals[found] = self._tv_sorted[idx_c[found]]
-        if self._t_tail and not found.all():
-            # unmerged term tail: resolve misses through the dict (the
-            # dict is always current; only the ARRAYS lag the merge)
-            for i in np.flatnonzero(~found).tolist():
-                v = self.h2v.get(int(keys[i]))
-                if v is not None:
-                    vals[i] = v
-                    found[i] = True
-        return vals, found
+        vectorized h2v.get over the TermDict. Missing hashes get
+        found=False (the distributed terms join drops them)."""
+        return self.terms.values_of(keys)
+
+    @property
+    def approx_bytes(self) -> int:
+        """Driver-memory estimate for the byte-budget cap: quad columns
+        (4 × int64) + the four sorted-index arrays + the dictionary."""
+        return self.nrows * 64 + self.terms.nbytes
 
     @property
     def live_rows(self) -> int:
@@ -486,12 +876,36 @@ class LocalTier:
             rows = np.arange(self.nrows)
         if rows.size > max_rows:
             return None
-        sv, sf = self._values_of(self.s[rows])
-        pv, pf = self._values_of(self.p[rows])
-        ov, of = self._values_of(self.o[rows])
+        td = self.terms
+        s_h, p_h, o_h = self.s[rows], self.p[rows], self.o[rows]
+        si, sf = td.base_indices(s_h)
+        pi, pf = td.base_indices(p_h)
+        oi, of = td.base_indices(o_h)
         ok = sf & pf & of  # missing dictionary hashes drop, like the joins
-        out = sorted(zip(sv[ok].tolist(), pv[ok].tolist(), ov[ok].tolist()))
-        return out[start : start + size] if start else out[:size]
+        if (
+            td.extra_hit(s_h, sf)
+            or td.extra_hit(p_h, pf)
+            or td.extra_hit(o_h, of)
+        ):
+            # overlay terms in play (only between mutation and fold):
+            # the rank order does not cover them — decode everything
+            sv, sf2 = self._values_of(s_h)
+            pv, pf2 = self._values_of(p_h)
+            ov, of2 = self._values_of(o_h)
+            ok = sf2 & pf2 & of2
+            out = sorted(zip(sv[ok].tolist(), pv[ok].tolist(), ov[ok].tolist()))
+            return out[start : start + size] if start else out[:size]
+        # rank sort: int64 lexsort instead of a Python tuple-of-str sort
+        # (value ranks are a total order — distinct dictionary values —
+        # so the ordering is identical), then decode ONLY the page
+        r = td.ranks()
+        rs, rp, ro = r[si[ok]], r[pi[ok]], r[oi[ok]]
+        order = np.lexsort((ro, rp, rs))[start : start + size]
+        kept = np.flatnonzero(ok)[order]
+        sv = td.decode(si[kept])
+        pv = td.decode(pi[kept])
+        ov = td.decode(oi[kept])
+        return list(zip(sv.tolist(), pv.tolist(), ov.tolist()))
 
     def _ref_counts(self, sorted_vals, order, flat_col, keys: np.ndarray) -> np.ndarray:
         """Live occurrence count of each key (SORTED UNIQUE int64) in
@@ -601,32 +1015,31 @@ class LocalTier:
         At sf1's 11M rows this takes the measured mutation cycle from
         1.4-1.7 s (r8's O(cap) merge copies) to the delta cost alone.
 
-        The term dicts are SHARED with this tier: mutation only ever
+        The TermDict is SHARED with this tier: mutation only ever
         ADDS terms (the reference never garbage-collects them,
         query.py:505-507), and a reader of the old tier can never look
         up a hash that only new rows reference, so append-only sharing
-        is safe under the GIL. ``new_terms`` [(hash, value)] are the
-        dictionary additions, already applied to the shared dicts by
-        the caller; their O(#terms) np.insert merge into the sorted
-        term arrays is deferred to the fold too — until then they ride
-        in ``_t_tail`` and ``_values_of`` resolves them via the dict.
+        is safe under the GIL. ``new_terms`` [(hash, value)] were
+        already applied to the shared overlay by the caller
+        (tier.h2v[h] = v); their O(#terms) np.insert merge into the
+        base arrays is deferred to the fold (TermDict.fold) — until
+        then lookups resolve through the overlay dict.
         The lazy FTS mirror is dropped (literal postings may have
         changed); the semantic mirror carries over (embeddings are not
         quad data, keyed by store identity, unchanged by mutations).
         """
         k_ins = len(ins_rows)
-        t_tail = self._t_tail + tuple(new_terms)
         pending = (
             (self.nrows - self._sorted_n)
             + self._n_dead
             + k_ins
             + int(del_rows.size)
         )
-        if pending > self.OVERLAY_FOLD or len(t_tail) > self.OVERLAY_FOLD:
-            return self._fold_patched(ins_rows, del_rows, t_tail)
-        # term-array merge DEFERRED (np.insert is O(#terms)): the tail
-        # rides as a tuple, _values_of falls back to the dict for it
-        th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
+        if (
+            pending > self.OVERLAY_FOLD
+            or len(self.terms.extra) > self.OVERLAY_FOLD
+        ):
+            return self._fold_patched(ins_rows, del_rows)
 
         live, n_dead = self._live, self._n_dead
         if del_rows.size:
@@ -657,33 +1070,24 @@ class LocalTier:
         else:
             s, p, o, g = self.s, self.p, self.o, self.g
         t = LocalTier(
-            s, p, o, g, self.h2v, self.v2h, self.is_lit,
+            s, p, o, g, self.terms,
             _indexes=(self._s_order, self._s_sorted, self._o_order,
-                      self._o_sorted, th_sorted, tv_sorted),
+                      self._o_sorted),
         )
         t._live, t._n_dead = live, n_dead
         t._sorted_n = self._sorted_n
         t._buf = buf
-        t._t_tail = t_tail
         t._sem_state = self._sem_state
         self._carry_order_caches(t, ins_rows, del_rows)
         return t
 
-    def _fold_patched(self, ins_rows, del_rows, t_tail) -> "LocalTier":
+    def _fold_patched(self, ins_rows, del_rows) -> "LocalTier":
         """Apply the pending overlay + this mutation physically: compact
         live rows (order-preserving, = the distributed anti-join),
         append inserts (= the trailing unionAll), fresh stable argsort
-        for both row indexes, the term tail merged into the sorted term
-        arrays in one np.insert. Runs once per OVERLAY_FOLD pending."""
-        th_sorted, tv_sorted = self._th_sorted, self._tv_sorted
-        if t_tail:
-            nt = sorted(t_tail)
-            nh = np.array([h for h, _ in nt], dtype=np.int64)
-            pos = np.searchsorted(th_sorted, nh, side="right")
-            th_sorted = np.insert(th_sorted, pos, nh)
-            nv = np.empty(len(nt), dtype=object)
-            nv[:] = [v for _, v in nt]
-            tv_sorted = np.insert(tv_sorted, pos, nv)
+        for both row indexes, the dictionary overlay merged into the
+        base arrays (TermDict.fold — one batched np.insert + rank
+        carry). Runs once per OVERLAY_FOLD pending."""
         keep = (
             self._live.copy()
             if self._live is not None
@@ -701,9 +1105,8 @@ class LocalTier:
         s_order = np.argsort(s, kind="stable")
         o_order = np.argsort(o, kind="stable")
         t = LocalTier(
-            s, p, o, g, self.h2v, self.v2h, self.is_lit,
-            _indexes=(s_order, s[s_order], o_order, o[o_order],
-                      th_sorted, tv_sorted),
+            s, p, o, g, self.terms.fold(),
+            _indexes=(s_order, s[s_order], o_order, o[o_order]),
         )
         t._sem_state = self._sem_state
         self._carry_order_caches(t, ins_rows, del_rows)
@@ -1054,12 +1457,21 @@ class LocalTier:
             ph = self.v2h.get(p_head)
             if ph is None:
                 return _EMPTY, None
-            mask = self._lv(self.p == ph)
             if o:
+                # probe the o-sorted index FIRST (the object narrows to
+                # its occurrence rows in O(log n)), then compare p only
+                # on those — a full-column p compare costs ~6 ms per
+                # 10M quads and dominated the sf1 point battery
                 terms = o.split(" ") if (o.startswith("<") and " " in o) else [o]
-                mask = mask & self._o_in(self._hashes(terms))
-            mask = self._and(mask, gmask)
-            return self._walk(np.unique(self.s[mask]), hops), None
+                rows = np.flatnonzero(
+                    self._and(self._o_in(self._hashes(terms)), gmask)
+                )
+                rows = rows[self.p[rows] == ph]
+                subs = np.unique(self.s[rows])
+            else:
+                mask = self._and(self._lv(self.p == ph), gmask)
+                subs = np.unique(self.s[mask])
+            return self._walk(subs, hops), None
 
         return None
 
@@ -1137,19 +1549,46 @@ class LocalTier:
         from .query import FACET_MAX_VALUES
 
         limit = FACET_MAX_VALUES if limit is None else (limit or None)
-        memmask = self._s_in(members_arr) if members_arr is not None else None
+        # the full member row-mask (two searchsorted probes of the
+        # corpus-sized s index per request) is needed only by the
+        # properties/graphs facets, which scan every live row; property
+        # facets filter by p first and membership-test the (much
+        # smaller) matched slice against the sorted member array
+        memmask = None
+        if members_arr is not None and any(
+            a in ("properties", "graphs") for a in aggs
+        ):
+            memmask = self._s_in(members_arr)
+
+        td = self.terms
 
         def _counts(keys: np.ndarray):
             vals, counts = np.unique(keys, return_counts=True)
-            out = []
-            for h, c in zip(vals.tolist(), counts.tolist()):
-                v = self.h2v.get(h)
-                if v is not None:
-                    out.append((c, v))
-            out.sort(key=lambda cv: (-cv[0], cv[1]))
-            if limit and len(out) > limit:
-                return out[:limit], True
-            return out, False
+            idx, found = td.base_indices(vals)
+            if td.extra_hit(vals, found):
+                # overlay terms among the buckets: decode-all fallback
+                dv, found2 = td.values_of(vals)
+                out = [
+                    (int(c), v)
+                    for c, v, f in zip(counts.tolist(), dv.tolist(), found2)
+                    if f
+                ]
+                out.sort(key=lambda cv: (-cv[0], cv[1]))
+                if limit and len(out) > limit:
+                    return out[:limit], True
+                return out, False
+            # (count desc, value asc) == (count desc, rank asc): sort
+            # int64 keys, decode only the capped page
+            idx_b, counts_b = idx[found], counts[found]
+            order = np.lexsort((td.ranks()[idx_b], -counts_b))
+            trunc = bool(limit and order.size > limit)
+            if trunc:
+                order = order[:limit]
+            dv = td.decode(idx_b[order])
+            return (
+                list(zip(counts_b[order].tolist(), dv.tolist())),
+                trunc,
+            )
 
         result, truncated = {}, []
         for agg in aggs:
@@ -1163,9 +1602,23 @@ class LocalTier:
                     result[agg] = []
                     continue
                 mask = self._lv(self.p == ph)
-                if memmask is not None:
-                    mask &= memmask
-                keys = self.o[mask]
+                if members_arr is not None:
+                    # membership-test the p-matched slice against the
+                    # SORTED member array (try_query passes np.unique
+                    # output) instead of masking the whole corpus
+                    rows = np.flatnonzero(mask)
+                    rs = self.s[rows]
+                    if members_arr.size:
+                        pos = np.searchsorted(members_arr, rs)
+                        pos_c = np.minimum(pos, members_arr.size - 1)
+                        hit = (pos < members_arr.size) & (
+                            members_arr[pos_c] == rs
+                        )
+                    else:
+                        hit = np.zeros(rs.size, dtype=bool)
+                    keys = self.o[rows[hit]]
+                else:
+                    keys = self.o[mask]
             result[agg], trunc = _counts(keys)
             if trunc:
                 truncated.append(str(agg))
@@ -1257,11 +1710,22 @@ class LocalTier:
         natural = bool(rule.get("natural", False))
         c = clean or {}
 
+        # resolve the (distinct) label hashes in one vectorized pass —
+        # per-pair scalar gets cost seconds at sf1's millions of labels
+        pairs = self._label_pairs(members_arr, rule)
+        lut: dict = {}
+        if pairs:
+            uniq = np.unique(
+                np.fromiter((lh for _, lh in pairs), dtype=np.int64, count=len(pairs))
+            )
+            lits = uniq[self.terms.literal_flags(uniq)]
+            vals, vf = self.terms.values_of(lits)
+            lut = {
+                int(h): v for h, v, f in zip(lits.tolist(), vals.tolist(), vf) if f
+            }
         best: dict[int, tuple] = {}
-        for s_, lh in self._label_pairs(members_arr, rule):
-            if lh not in self.is_lit:
-                continue
-            lbl = self.h2v.get(lh)
+        for s_, lh in pairs:
+            lbl = lut.get(lh)
             if lbl is None:
                 continue
             rank = len(langs) + 2
@@ -1418,12 +1882,21 @@ class LocalTier:
             # mirror of the fast page's terms join: subjects missing
             # from the dictionary drop from values AND from total (the
             # dictionary-completeness invariant makes this moot for any
-            # graph the engine itself built)
-            vals, found = self._values_of(members)
-            marr, mvals = members[found], vals[found]
+            # graph the engine itself built). Member VALUES are NOT
+            # decoded here — the page sorts int64 value-order ranks
+            # (TermDict.ranks) and decodes only the page slice; the
+            # decode-everything path survives only for members minted
+            # by not-yet-folded mutations (no rank coverage).
+            td = self.terms
+            bidx, bfound = td.base_indices(members)
+            if td.extra_hit(members, bfound):
+                vals, found = td.values_of(members)
+                marr, mvals, midx = members[found], vals[found], None
+            else:
+                marr, mvals, midx = members[bfound], None, bidx[bfound]
             total = int(marr.size)
         else:
-            marr = mvals = None
+            marr = mvals = midx = None
             total = 0
 
         aggregates, aggs_truncated = {}, []
@@ -1442,19 +1915,46 @@ class LocalTier:
             if order_rules:
                 page_vals = self._ordered_page(marr, order_rules[0], size, start)
             elif scores is not None:
-                rows = [
-                    (s_, v_, scores.get(s_))
-                    for s_, v_ in zip(marr.tolist(), mvals.tolist())
-                ]
-                rows.sort(
-                    key=lambda t: (t[2] is None, -(t[2] or 0.0), t[1])
+                # (score desc nulls-last, value asc) — the value
+                # tiebreak sorts RANKS (same total order), so only the
+                # page decodes
+                marr_l = marr.tolist()
+                keys = (
+                    self.terms.ranks()[midx].tolist()
+                    if midx is not None
+                    else mvals.tolist()
                 )
-                page_vals = [(s_, v_) for s_, v_, _ in rows[start : start + size]]
+                order = sorted(
+                    range(total),
+                    key=lambda i: (
+                        scores.get(marr_l[i]) is None,
+                        -(scores.get(marr_l[i]) or 0.0),
+                        keys[i],
+                    ),
+                )[start : start + size]
+                sel = np.array(order, dtype=np.int64)
+                pv = (
+                    self.terms.decode(midx[sel])
+                    if midx is not None
+                    else mvals[sel]
+                )
+                page_vals = list(zip([marr_l[i] for i in order], pv.tolist()))
             else:
-                order = np.argsort(mvals, kind="stable")[start : start + size]
-                page_vals = list(
-                    zip(marr[order].tolist(), mvals[order].tolist())
-                )
+                if midx is not None:
+                    order = np.argsort(self.terms.ranks()[midx], kind="stable")[
+                        start : start + size
+                    ]
+                    page_vals = list(
+                        zip(
+                            marr[order].tolist(),
+                            self.terms.decode(midx[order]).tolist(),
+                        )
+                    )
+                else:
+                    order = np.argsort(mvals, kind="stable")[start : start + size]
+                    page_vals = list(
+                        zip(marr[order].tolist(), mvals[order].tolist())
+                    )
 
             page_hashes = [s_ for s_, _ in page_vals]
             hash_to_val = dict(page_vals)
@@ -1583,27 +2083,57 @@ def patch_fts_mirror(old: "_LocalFts", rows, n_docs: int, avgdl: float) -> "_Loc
     return _LocalFts(tok2rows, n_docs, avgdl, old.stem, old.strip)
 
 
-def build_local_tier(engine, max_rows: int) -> LocalTier | None:
+# what the byte-budget gate charges per quad: four int64 columns plus
+# the four sorted-index arrays (LocalTier.approx_bytes uses the same
+# constant, so the build-time estimate and the mutation-time demotion
+# check agree)
+QUAD_TIER_BYTES = 64
+
+
+def build_local_tier(engine, max_rows: int, max_bytes: int = 0) -> LocalTier | None:
     """Collect the graph into a LocalTier, or None when over-cap.
 
-    The probe is bounded (``limit(cap+1).count()``), so calling this on
-    an arbitrarily large store costs one cheap partial-scan job."""
+    Two bounded probes, both cheap on an arbitrarily large store:
+
+    1. ``triples.limit(cap+1).count()`` — a petabyte store pays one
+       partial scan to discover it is over the ROW cap and never
+       collects anything.
+    2. With ``max_bytes`` set, one aggregation over the terms table
+       (count + octet_length sum) prices the dictionary BEFORE any
+       collect — the r9 cap was row-counted while the real driver
+       memory wall was the term dictionary, so the cap is now an
+       actual byte budget (quads at QUAD_TIER_BYTES each + terms at
+       TermDict.PER_TERM_BYTES + the UTF-8 blob). The terms scan only
+       runs once the row probe passed, so it is bounded by ≤ 4×cap
+       distinct terms.
+    """
     t = engine.graph.triples
-    if t.limit(max_rows + 1).count() > max_rows:
+    n = t.limit(max_rows + 1).count()
+    if n > max_rows:
         return None
+    if max_bytes:
+        from pyspark.sql import functions as F
+
+        row = engine.graph.terms.agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("value")).alias("b"),
+        ).first()
+        n_terms, blob_bytes = int(row["n"]), int(row["b"] or 0)
+        est = (
+            n * QUAD_TIER_BYTES
+            + n_terms * TermDict.PER_TERM_BYTES
+            + blob_bytes
+        )
+        if est > max_bytes:
+            return None
     pdf = t.select("s", "p", "o", "g").toPandas()
-    terms = engine.graph.terms.select("hash", "value", "is_literal").toPandas()
-    hashes = terms["hash"].tolist()
-    vals = terms["value"].tolist()
-    h2v = dict(zip(hashes, vals))
-    v2h = dict(zip(vals, hashes))
-    is_lit = {h for h, il in zip(hashes, terms["is_literal"].tolist()) if il}
+    td = TermDict.from_arrow(
+        engine.graph.terms.select("hash", "value", "is_literal").toArrow()
+    )
     return LocalTier(
         pdf["s"].to_numpy(dtype=np.int64),
         pdf["p"].to_numpy(dtype=np.int64),
         pdf["o"].to_numpy(dtype=np.int64),
         pdf["g"].to_numpy(dtype=np.int64),
-        h2v,
-        v2h,
-        is_lit,
+        td,
     )

@@ -91,15 +91,33 @@ _LOCAL_PATHS_SUBJECTS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_SUBJECTS"
 # the distributed walk (which spreads the same blowup over executors)
 # takes over
 _LOCAL_PATHS_MAX_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_PATHS_MAX_ROWS", "2000000"))
-# quad count under which query() serves from a driver-resident mirror
-# of the store with ZERO Spark jobs per request (plans/local_tier.py —
-# the logical conclusion of the capped fast-path family: at the
-# measured ~70-120 ms/job scheduler floor, sub-100 ms point serving
-# cannot cross the job scheduler at all). 4M quads ≈ 128 MB of int64
-# columns + the term dictionary; 0 disables. Over-cap graphs pay one
-# bounded limit(cap+1).count() probe per generation and stay on the
-# distributed path.
-_LOCAL_TIER_ROWS = int(os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_ROWS", "4000000"))
+# driver-memory budget under which query() serves from a driver-
+# resident mirror of the store with ZERO Spark jobs per request
+# (plans/local_tier.py — the logical conclusion of the capped fast-path
+# family: at the measured ~70-120 ms/job scheduler floor, sub-100 ms
+# point serving cannot cross the job scheduler at all).
+#
+# r10: the cap is a BYTE budget, not a row count — the r9 4M-row cap
+# was proxying for the term dictionary's Python dict/str footprint,
+# which the array-backed TermDict eliminated (~25 B/term + UTF-8 blob
+# vs ~200 B/term of PyObject overhead). The default 2 GiB serves sf1
+# (11M quads + 5.6M terms ≈ 1.4 GiB) from the tier on any reasonably
+# provisioned driver and leaves sf3 (33M quads ≈ 3.5 GiB estimate) on
+# the distributed path. Sizing probes are bounded (build_local_tier);
+# 0 disables the byte check (row cap only).
+_LOCAL_TIER_BYTES = int(
+    os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_BYTES", str(2 * 1024**3))
+)
+# row cap: explicit env wins; otherwise derived from the byte budget
+# at the build-time per-quad charge + dictionary headroom (80 B/quad
+# ≈ QUAD_TIER_BYTES + a 1-terms-per-4-quads dictionary share), so the
+# bounded limit(rows+1).count() probe can reject a petabyte store
+# without ever scanning its terms table. ≤0 disables the tier (tests
+# pinning distributed plan shapes set this).
+_LTR_ENV = os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_ROWS")
+_LOCAL_TIER_ROWS = (
+    int(_LTR_ENV) if _LTR_ENV is not None else max(_LOCAL_TIER_BYTES // 80, 1)
+)
 # s-clustered point-probe projection (see Engine._point_probe_triples):
 # "auto" builds it for over-tier-cap engines on their second probe
 # against a stable base; "1" forces, "0" disables.
@@ -309,6 +327,9 @@ class Engine:
     # query() with zero Spark jobs. 0 disables (tests pinning
     # distributed plan shapes set this).
     local_tier_rows: int = field(default=_LOCAL_TIER_ROWS)
+    # byte budget for the mirror (quads at 64 B + dictionary arrays +
+    # UTF-8 blob — see build_local_tier); 0 = row cap only
+    local_tier_bytes: int = field(default=_LOCAL_TIER_BYTES)
     local_tier_fts_rows: int = field(default=_LOCAL_TIER_FTS_ROWS)
     # (generation, LocalTier | None) — None value = measured over-cap
     _local_tier_state: tuple | None = field(default=None, repr=False)
@@ -710,7 +731,10 @@ class Engine:
         new_tier = tier.patched(ins_rows, del_rows, new_terms)
         if keep_fts:
             new_tier._fts_state = tier._fts_state
-        if new_tier.live_rows > self.local_tier_rows:
+        if new_tier.live_rows > self.local_tier_rows or (
+            self.local_tier_bytes
+            and new_tier.approx_bytes > self.local_tier_bytes
+        ):
             new_tier = None
         self._local_tier_state = (self._graph_generation, new_tier)
         self._last_tier_delta = {
@@ -2621,7 +2645,9 @@ class Engine:
                 return st[1]
             from .local_tier import build_local_tier
 
-            tier = build_local_tier(self, self.local_tier_rows)
+            tier = build_local_tier(
+                self, self.local_tier_rows, self.local_tier_bytes
+            )
             self._local_tier_state = (gen, tier)
             return tier
 

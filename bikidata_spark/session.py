@@ -68,10 +68,11 @@ def get_spark(app_name: str = "bikidata-spark", shuffle_partitions: int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BIKIDATA_SPARK_DRIVER_MEM", "8g"))
         # the tier build is the engine's one cap-bounded collect
-        # (build_local_tier: limit-probe then toPandas); deployments
-        # raising BIKIDATA_SPARK_LOCAL_TIER_ROWS past ~30M quads push
-        # that collect over Spark's 1g default result-size fence, so
-        # size the fence with the cap (4g covers a 64M-quad mirror)
+        # (build_local_tier: bounded probes, then toPandas/toArrow);
+        # deployments raising BIKIDATA_SPARK_LOCAL_TIER_BYTES (default
+        # 2 GiB ≈ a 26M-quad row fence) past ~2.5 GiB push that collect
+        # over Spark's 1g default result-size fence, so size the fence
+        # with the budget (4g covers a 64M-quad mirror)
         .config(
             "spark.driver.maxResultSize",
             os.environ.get("BIKIDATA_SPARK_MAX_RESULT", "4g"),

@@ -165,8 +165,8 @@ def test_patched_tier_equals_rebuilt_tier(mutated_pair):
     # rebuilt dictionaries may lack terms the patch added for since-
     # deleted triples? No: terms are never garbage-collected — the
     # distributed terms frame keeps them, so the dicts must MATCH.
-    assert patched.h2v == rebuilt.h2v
-    assert patched.is_lit == rebuilt.is_lit
+    assert patched.terms.to_dict() == rebuilt.terms.to_dict()
+    assert patched.terms.lit_set() == rebuilt.terms.lit_set()
     # overlay invariants: the sorted indexes cover EXACTLY the base
     # region as a stable argsort (ties ordered by row id — the property
     # every searchsorted probe and the sp() stored-order contract rely
@@ -183,14 +183,16 @@ def test_patched_tier_equals_rebuilt_tier(mutated_pair):
     if patched._live is not None:
         assert int((~patched._live).sum()) == patched._n_dead
     assert patched.live_rows == rebuilt.nrows
-    assert np.array_equal(patched._th_sorted, np.sort(patched._th_sorted))
-    # sorted term arrays + the unmerged tail together cover the dict
-    # exactly (the tail merges at the next fold; _values_of resolves
-    # tail hashes through the dict meanwhile)
-    got = {int(h): v for h, v in zip(patched._th_sorted, patched._tv_sorted)}
-    tail = dict(patched._t_tail)
-    assert not (set(got) & set(tail))
-    assert {**got, **tail} == patched.h2v
+    # TermDict invariants: base hash array sorted; the mutation-minted
+    # overlay is disjoint from the base (it merges at the next fold;
+    # values_of resolves overlay hashes through the dict meanwhile);
+    # rank order IS value order (the int-rank page sort depends on it)
+    td = patched.terms
+    assert np.array_equal(td.th, np.sort(td.th))
+    base_hashes = set(td.th.tolist())
+    assert not (base_hashes & set(td.extra))
+    dv = td.decode(np.argsort(td.ranks(), kind="stable"))
+    assert list(dv) == sorted(dv)
 
 
 def test_overlay_folds_and_stays_identical(spark, monkeypatch):
@@ -225,8 +227,11 @@ def test_overlay_folds_and_stays_identical(spark, monkeypatch):
     assert _store_state(tiered) == _store_state(plain)
     t = tiered._local_tier()
     assert t._live is None and t._n_dead == 0 and t._sorted_n == t.nrows
-    assert not t._t_tail  # term tail merged by the fold
-    assert {int(h): v for h, v in zip(t._th_sorted, t._tv_sorted)} == t.h2v
+    assert not t.terms.extra  # term overlay merged by the fold
+    assert np.array_equal(t.terms.th, np.sort(t.terms.th))
+    # fold carried/derived ranks must still mirror value order
+    dv = t.terms.decode(np.argsort(t.terms.ranks(), kind="stable"))
+    assert list(dv) == sorted(dv)
     assert np.array_equal(t._s_order, np.argsort(t.s, kind="stable"))
     assert np.array_equal(t._o_order, np.argsort(t.o, kind="stable"))
 
@@ -764,3 +769,44 @@ def test_over_cap_verdict_carries_across_inserts(spark):
     assert st is None or st[0] != eng._graph_generation
     out = eng.query({"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 5})
     assert out["total"] == 30
+
+
+def test_byte_budget_gates_and_demotes(spark):
+    """r10 memory-budgeted tier cap: the sizing probe prices the
+    dictionary (count + octet_length aggregation) BEFORE any collect
+    and rejects over-budget graphs; a mutation that pushes the resident
+    mirror past the budget demotes it (distributed serving continues,
+    correct); raising the budget re-promotes after the sticky sizing
+    memo is cleared (the refork/operator flow)."""
+    from bikidata_spark import Engine, from_string_quads
+
+    quads = spark.createDataFrame(
+        [(f"<c/{i}>", "<p>", f'"v{i}"', "") for i in range(50)],
+        "s string, p string, o string, g string",
+    )
+    graph = from_string_quads(quads).cache()
+    # budget smaller than even the quad columns: rejected by the probe
+    lean = Engine(graph, local_tier_rows=1000, local_tier_bytes=1024)
+    assert lean._local_tier() is None
+
+    eng = Engine(graph, local_tier_rows=1000, local_tier_bytes=0)  # rows-only
+    tier = eng._local_tier()
+    assert tier is not None
+    # set the budget just above the resident size, then cross it with
+    # one oversized literal: the patched tier must demote
+    eng.local_tier_bytes = tier.approx_bytes + 200
+    big = '"' + "x" * 4096 + '"'
+    assert "error" not in eng.mutate("insert", [{"s": "<c/big>", "p": "<p>", "o": big}])
+    assert eng._local_tier() is None  # demoted; verdict sticky this generation
+    assert (
+        eng.query({"filters": [{"p": "<p>", "o": big}], "use_cache": False})["total"]
+        == 1
+    )
+    # operator raises the budget and clears the memo: re-promotes
+    eng.local_tier_bytes = 10 * 1024 * 1024
+    eng._local_tier_state = None
+    assert eng._local_tier() is not None
+    assert (
+        eng.query({"filters": [{"p": "<p>", "o": big}], "use_cache": False})["total"]
+        == 1
+    )

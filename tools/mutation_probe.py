@@ -34,7 +34,10 @@ def main() -> None:
     graph.terms.count()
     eng = Engine(graph)
     t0 = time.perf_counter()
-    assert eng._local_tier() is not None, "tier over cap — raise BIKIDATA_SPARK_LOCAL_TIER_ROWS"
+    assert eng._local_tier() is not None, (
+        "tier over cap — raise BIKIDATA_SPARK_LOCAL_TIER_BYTES (and/or "
+        "BIKIDATA_SPARK_LOCAL_TIER_ROWS)"
+    )
     build_s = time.perf_counter() - t0
     eng.query({"filters": [{"p": "<p/type>", "o": "<c/customer>"}], "size": 1})
 

@@ -77,7 +77,9 @@ def main() -> None:
         g.terms.count()
         return g
 
-    tiered = Engine(build(), local_tier_rows=cap)
+    # rows-only cap: the soak deliberately forces the tier resident at
+    # sf3 scale (the default byte budget would keep sf3 distributed)
+    tiered = Engine(build(), local_tier_rows=cap, local_tier_bytes=0)
     plain = Engine(build(), local_tier_rows=0)
     t0 = time.perf_counter()
     assert tiered._local_tier() is not None, "raise SOAK_TIER_CAP"
