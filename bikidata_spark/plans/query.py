@@ -118,6 +118,12 @@ _LTR_ENV = os.environ.get("BIKIDATA_SPARK_LOCAL_TIER_ROWS")
 _LOCAL_TIER_ROWS = (
     int(_LTR_ENV) if _LTR_ENV is not None else max(_LOCAL_TIER_BYTES // 80, 1)
 )
+# dictionary-only driver cache budget for over-tier-cap graphs (see
+# Engine.term_cache_bytes); 1 GiB covers ~15M terms of TPC-H-shaped
+# dictionary — sf3's fits comfortably
+_TERM_CACHE_BYTES = int(
+    os.environ.get("BIKIDATA_SPARK_TERM_CACHE_BYTES", str(1024**3))
+)
 # s-clustered point-probe projection (see Engine._point_probe_triples):
 # "auto" builds it for over-tier-cap engines on their second probe
 # against a stable base; "1" forces, "0" disables.
@@ -331,6 +337,22 @@ class Engine:
     # UTF-8 blob — see build_local_tier); 0 = row cap only
     local_tier_bytes: int = field(default=_LOCAL_TIER_BYTES)
     local_tier_fts_rows: int = field(default=_LOCAL_TIER_FTS_ROWS)
+    # DICTIONARY-ONLY driver cache for over-tier-cap graphs (r10): the
+    # band where the quads are too big to mirror but the term
+    # dictionary fits is exactly where the distributed point path paid
+    # one full terms scan per request for hash->value resolution
+    # (_term_values broadcast join — unprunable: xxhash keys are
+    # uniform, so any 10k-member probe touches every batch; the
+    # OR-of-ranges negative result is pinned in docs/PLANS.md). A
+    # dimension-dictionary cache is the classic warehouse answer. Same
+    # discipline as the tier: bounded sizing probe (one count +
+    # octet_length aggregation, no collect), byte budget, generation
+    # keyed, patched forward across mutations (terms only ever grow
+    # and insert batches carry their lexical forms — reference
+    # query.py:505-507), dropped on external replace_graph. 0 disables.
+    term_cache_bytes: int = field(default=_TERM_CACHE_BYTES)
+    _term_cache_state: tuple | None = field(default=None, repr=False)
+    _term_cache_lock: object = field(default_factory=threading.Lock, repr=False)
     # (generation, LocalTier | None) — None value = measured over-cap
     _local_tier_state: tuple | None = field(default=None, repr=False)
     _local_tier_lock: object = field(default_factory=threading.Lock, repr=False)
@@ -444,6 +466,7 @@ class Engine:
             self._paths_edge_maps = {}
             self._paths_edge_map_sizes = {}
             self._local_tier_state = None
+            self._term_cache_state = None
 
     # ---- mutations -------------------------------------------------------
     def mutate(self, action: str, data: list[dict], are_hashes: bool = False) -> dict:
@@ -485,6 +508,12 @@ class Engine:
                     and self._local_tier_state[0] == self._graph_generation
                     and self._local_tier_state[1] is None
                 )
+                tc = self._term_cache_state
+                term_cache = (
+                    tc[1]
+                    if tc is not None and tc[0] == self._graph_generation
+                    else None
+                )
                 if action == "insert":
                     new_graph, result = _op_insert(self.graph, data)
                 else:
@@ -502,6 +531,25 @@ class Engine:
                         # query skips the bounded limit-count probe
                         # (deletes re-probe — they CAN shrink under it)
                         self._local_tier_state = (self._graph_generation, None)
+                    if term_cache is not None:
+                        # carry the dictionary cache across the bump:
+                        # deletes never shrink the dictionary, and an
+                        # insert batch carries its lexical forms — the
+                        # driver-side hash mirrors the plan's left_anti
+                        # exactly (same xxhash64, functions/xxh.py)
+                        if action == "insert":
+                            from ..functions.xxh import term_id
+
+                            for d in data:
+                                for v in (
+                                    d["s"], d["p"], d["o"], d.get("g", "") or ""
+                                ):
+                                    h = term_id(v)
+                                    if not term_cache.contains_hash(h):
+                                        term_cache.add(h, v, v.startswith('"'))
+                        self._term_cache_state = (
+                            self._graph_generation, term_cache
+                        )
                     self._maybe_checkpoint_lineage()
                 return result
             if action == "insert":
@@ -2238,6 +2286,7 @@ class Engine:
         aggs: list[str],
         known_rows: int | None = None,
         limit: int | None = None,
+        plan_key: str | None = None,
     ) -> dict[str, list[tuple[int, str]]]:
         """Every requested (unweighted) facet in ONE job (reference
         query.py:744-753 loops one SQL statement per aggregate; the r6
@@ -2266,6 +2315,24 @@ class Engine:
         complete one): returns (facets dict, [names of truncated
         facets])."""
         limit = FACET_MAX_VALUES if limit is None else (limit or None)
+        gen = self._graph_generation
+        small_scope = known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS
+        td_small = self._term_dict() if small_scope else None
+        # compiled-plan cache (r10): for a repeated (filter spec, facet
+        # set) the subject plan is identity-stable (_plan_cache), so the
+        # fused-facet frame built over it is reusable too — the ~0.2 s
+        # of per-request py4j Column/plan construction was what kept
+        # the facet/page overlap thread from submitting immediately.
+        # Execution is never skipped: a cached frame re-collects fresh.
+        fkey = f"facets:{plan_key}|{limit}|{small_scope}" if plan_key else None
+        if fkey is not None:
+            ent = self._plan_cache_get(gen, fkey)
+            if (
+                ent is not None
+                and ent[0] is s_results
+                and ent[1] == (td_small is not None)
+            ):
+                return self._facets_collect(ent[2], aggs, limit, td_small)
         t = self.graph.triples
         prop_aggs = [a for a in aggs if a not in ("properties", "graphs")]
         if len(prop_aggs) == len(aggs) and prop_aggs:
@@ -2301,38 +2368,68 @@ class Engine:
             F.explode(F.array_compact(F.array(*branches))).alias("_tk")
         ).select(F.col("_tk._tag").alias("_tag"), F.col("_tk._key").alias("_key"))
         grouped = pairs.groupBy("_tag", "_key").agg(F.count("*").alias("count"))
-        if known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS:
-            grouped = F.broadcast(grouped)
-        terms = self.graph.terms.select("hash", F.col("value").alias("val"))
-        out = grouped.join(terms, grouped._key == terms.hash).select(
-            "_tag", "count", "val"
-        )
-        small = known_rows is not None and known_rows <= _HOP_BROADCAST_ROWS
-        if limit and not small:
-            # corpus-scale facet: bound what reaches the driver BEFORE
-            # the collect — top-N per tag via a row_number window (the
-            # k-facet generalization of TakeOrderedAndProject). The
-            # small/broadcast path skips the extra exchange: its collect
-            # is already bounded by the subject set's triples.
-            w = Window.partitionBy("_tag").orderBy(
-                F.col("count").desc(), F.col("val").asc()
+        if td_small is not None:
+            # driver-resident dictionary: collect (tag, key-hash, count)
+            # — bounded by the subject set on this path — and resolve
+            # values driver-side, cutting the terms join (and its scan)
+            # out of the request plan entirely
+            frame = grouped
+        else:
+            if small_scope:
+                grouped = F.broadcast(grouped)
+            terms = self.graph.terms.select("hash", F.col("value").alias("val"))
+            out = grouped.join(terms, grouped._key == terms.hash).select(
+                "_tag", "count", "val"
             )
-            out = (
-                out.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= limit + 1)
-                .drop("_rn")
+            if limit and not small_scope:
+                # corpus-scale facet: bound what reaches the driver
+                # BEFORE the collect — top-N+1 per tag via a row_number
+                # window (the k-facet generalization of
+                # TakeOrderedAndProject; +1 is the truncation sentinel).
+                # The small/broadcast path skips the extra exchange: its
+                # collect is already bounded by the subject set's
+                # triples.
+                w = Window.partitionBy("_tag").orderBy(
+                    F.col("count").desc(), F.col("val").asc()
+                )
+                out = (
+                    out.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= limit + 1)
+                    .drop("_rn")
+                )
+            frame = out
+        if fkey is not None:
+            self._plan_cache_put(
+                gen, fkey, (s_results, td_small is not None, frame)
             )
-        rows = out.collect()
+        return self._facets_collect(frame, aggs, limit, td_small)
+
+    def _facets_collect(self, frame, aggs, limit, td):
+        """Run a compiled fused-facet frame and shape the response:
+        driver-side value resolution when a TermDict is resident
+        (frame carries key HASHES), the joined ``val`` column
+        otherwise; then the shared (count desc, val asc) sort + cap +
+        truncation marker."""
+        rows = frame.collect()
         by_tag: dict[int, list] = {i: [] for i in range(len(aggs))}
-        for r in rows:
-            by_tag[r["_tag"]].append((r["count"], r["val"]))
+        if td is not None:
+            hs = np.fromiter(
+                (r["_key"] for r in rows), dtype=np.int64, count=len(rows)
+            )
+            vals, found = td.values_of(hs)
+            for r, v, f in zip(rows, vals.tolist(), found):
+                if f:  # missing hashes drop, like the join
+                    by_tag[r["_tag"]].append((r["count"], v))
+        else:
+            for r in rows:
+                by_tag[r["_tag"]].append((r["count"], r["val"]))
         truncated = []
         for i, agg in enumerate(aggs):
-            vals = by_tag[i]
-            vals.sort(key=lambda cv: (-cv[0], cv[1]))
-            if limit and len(vals) > limit:
+            vals_l = by_tag[i]
+            vals_l.sort(key=lambda cv: (-cv[0], cv[1]))
+            if limit and len(vals_l) > limit:
                 truncated.append(str(agg))
-                del vals[limit:]
+                del vals_l[limit:]
         return {agg: by_tag[i] for i, agg in enumerate(aggs)}, truncated
 
     # ---- paths ---------------------------------------------------------
@@ -2806,8 +2903,19 @@ class Engine:
         ]
         facet_future = None
         if fused_aggs:
+            import json
+
             _sc = self.graph.spark.sparkContext
             _sched_pool = _sc.getLocalProperty("spark.scheduler.pool")
+            try:
+                # filter spec + facet set: the subject plan is identity-
+                # stable per spec (_plan_cache), so the compiled fused-
+                # facet frame keyed alongside it is reusable
+                _fplan_key = json.dumps(
+                    [opts.get("filters", []), fused_aggs], sort_keys=True
+                )
+            except (TypeError, ValueError):
+                _fplan_key = None
 
             def _facet_job():
                 # scheduler pool is thread-local: carry the request's
@@ -2820,6 +2928,7 @@ class Engine:
                         fused_aggs,
                         known_rows=known,
                         limit=opts.get("aggregates_limit"),
+                        plan_key=_fplan_key,
                     )
 
             if s_results is not None and size > 0:
@@ -2955,16 +3064,66 @@ class Engine:
                 back["aggregates_truncated"] = aggs_truncated
         return back
 
+    def _term_dict(self):
+        """Driver-resident dictionary for hash->value resolution, or
+        None. Prefers the tier's TermDict outright (same object, zero
+        extra memory); over-tier-cap graphs get a DICTIONARY-ONLY cache
+        under ``term_cache_bytes`` — one bounded sizing aggregation
+        (count + octet_length, no collect) prices it per generation,
+        and the distributed mutate path patches it forward (see
+        ``mutate``), so steady-state serving re-probes only on external
+        ``replace_graph``. (generation, None) = measured over budget."""
+        if self.term_cache_bytes <= 0:
+            return None
+        gen = self._graph_generation
+        st = self._local_tier_state
+        if st is not None and st[0] == gen and st[1] is not None:
+            return st[1].terms
+        tc = self._term_cache_state
+        if tc is not None and tc[0] == gen:
+            return tc[1]
+        with self._term_cache_lock:
+            tc = self._term_cache_state
+            if tc is not None and tc[0] == gen:
+                return tc[1]
+            from .local_tier import TermDict
+
+            row = self.graph.terms.agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length("value")).alias("b"),
+            ).first()
+            n_terms, blob_bytes = int(row["n"]), int(row["b"] or 0)
+            td = None
+            if n_terms * TermDict.PER_TERM_BYTES + blob_bytes <= self.term_cache_bytes:
+                td = TermDict.from_arrow(
+                    self.graph.terms.select("hash", "value", "is_literal").toArrow()
+                )
+            self._term_cache_state = (gen, td)
+            return td
+
     def _term_values(self, hashes) -> dict:
-        """Resolve a bounded set of term hashes to lexical forms in ONE
-        pass over the terms table, scanned in place — never shuffled or
-        sorted. Page-sized sets probe as a literal IN-list (one map-only
-        job, no broadcast-exchange round-trip); larger sets fall back to
-        a broadcast hash join (an IN-list costs ~0.5 ms/element to build
-        over py4j, so it loses past a couple hundred entries)."""
+        """Resolve a bounded set of term hashes to lexical forms.
+
+        With a driver-resident dictionary (the tier's TermDict, or the
+        over-tier-cap dictionary cache — ``_term_dict``), resolution is
+        a vectorized searchsorted + slice decode: ZERO Spark jobs, and
+        the accept-side member-value resolution of the fast page stops
+        paying a full terms scan per request (the r9 sf1 hydrate gap).
+
+        Otherwise ONE pass over the terms table, scanned in place —
+        never shuffled or sorted. Page-sized sets probe as a literal
+        IN-list (one map-only job, no broadcast-exchange round-trip);
+        larger sets fall back to a broadcast hash join (an IN-list
+        costs ~0.5 ms/element to build over py4j, so it loses past a
+        couple hundred entries)."""
         hs = list({int(h) for h in hashes if h is not None})
         if not hs:
             return {}
+        td = self._term_dict()
+        if td is not None:
+            vals, found = td.values_of(np.array(hs, dtype=np.int64))
+            # missing hashes drop, mirroring the distributed inner join
+            return {h: v for h, v, f in zip(hs, vals.tolist(), found) if f}
         terms = self.graph.terms
         if "bucket" in terms.columns:
             # hash-bucketed store layout (write_graph): prune the scan
@@ -2992,11 +3151,14 @@ class Engine:
                 need = self.graph.spark.createDataFrame(
                     pd.DataFrame({"hash": pd.array(hs, dtype="int64")})
                 )
-                rows = (
+                # Arrow out as well: Row-object deserialization of a
+                # 30k-entry resolution costs ~0.15 s the batch doesn't
+                out = (
                     terms.join(F.broadcast(need), "hash")
                     .select("hash", "value")
-                    .collect()
+                    .toPandas()
                 )
+                return dict(zip(out["hash"].tolist(), out["value"].tolist()))
         return {r["hash"]: r["value"] for r in rows}
 
     # ---- small introspection API (reference query.py:13-87) -----------
