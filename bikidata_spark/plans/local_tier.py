@@ -498,7 +498,9 @@ class TermDict:
         """Append-only overlay write (mutation-minted term). Shared
         across generations like the old dicts — safe under the GIL."""
         if h not in self.extra:
-            self.nbytes += len(value) + 80
+            # Charge UTF-8 bytes, not code points — a multibyte literal
+            # must count its real blob footprint against the byte budget.
+            self.nbytes += len(value.encode("utf-8")) + 80
         self.extra[h] = value
         if is_literal:
             self.extra_lit.add(h)
