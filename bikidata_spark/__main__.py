@@ -3,6 +3,7 @@
     python -m bikidata_spark build  <store_dir> <file.nt|.nq|.trig|dir> [...]
     python -m bikidata_spark query  <store_dir> '<json opts>'
     python -m bikidata_spark total  <store_dir>
+    python -m bikidata_spark warm   <store_dir>   # persist the driver tier for mmap cold-start
     python -m bikidata_spark serve  <store_dir> [num_workers] [journal_dir]
     python -m bikidata_spark replay <journal_dir> <log_store_dir>
     python -m bikidata_spark compact  <store_dir>   # quad-log, FTS, or IVF — auto-detected
@@ -171,6 +172,19 @@ def main(argv: list[str]) -> int:
         q.awaitTermination()
         g = read_store(spark, store)
         print(json.dumps({"triples": g.triples.count(), "store": store}))
+        return 0
+    if cmd == "warm":
+        # warm <store_dir>: build the driver tier once and persist it
+        # next to the store as mmap-able Arrow IPC — every later
+        # Engine/`serve` over this store cold-starts from a memory-map
+        # (first point query in well under a second, zero Spark jobs)
+        # instead of paying the one-time collect inside a request.
+        eng = Engine(read_graph(spark, argv[1]))
+        meta = eng.persist_tier(argv[1])
+        if meta is None:
+            print(json.dumps({"error": "graph is over the tier cap, nothing to persist"}))
+            return 1
+        print(json.dumps({"store": argv[1], **meta}))
         return 0
     if cmd == "total":
         eng = Engine(read_graph(spark, argv[1]))

@@ -91,6 +91,17 @@ class Graph:
     # derived graphs (mutations, clustered()) drop it unless they
     # preserve the row bag.
     s_projection: DataFrame | None = None
+    # store manifest (write_graph's `_meta.json`): n_triples / n_terms /
+    # blob_bytes, so tier and term-cache sizing verdicts cost zero Spark
+    # jobs (at 100x scale an engine that will never fit the driver tier
+    # should not pay even a bounded probe per process). Derived graphs
+    # (mutations) drop it — the default None IS the invalidation.
+    store_meta: dict | None = None
+    # persisted tier artifact (`{store}/_tier`, plans/local_tier.py
+    # persist_tier): Engine._local_tier memory-maps it instead of
+    # paying the one-time collect. Only attached by read_graph when the
+    # artifact is driver-local (mmap needs a local file).
+    tier_dir: str | None = None
 
     @property
     def spark(self) -> SparkSession:
@@ -133,6 +144,8 @@ class Graph:
             ),
             terms=self.terms.repartitionByRange("hash").sortWithinPartitions("hash"),
             s_projection=self.s_projection,  # same row bag, kept
+            store_meta=self.store_meta,  # same content, sizing still valid
+            tier_dir=self.tier_dir,
         )
 
     def unpersist(self) -> None:
@@ -239,7 +252,17 @@ def write_graph(
     row groups by the hash min/max inside them, instead of scanning
     the corpus-sized dictionary. Un-bucketed stores from earlier
     versions read back fine (the probe just skips the bucket
-    predicate)."""
+    predicate).
+
+    Also maintains the store MANIFEST (``{path}/_meta.json``:
+    n_triples / n_terms / blob_bytes — tier and term-cache sizing
+    verdicts then cost zero Spark jobs) and deletes any persisted tier
+    artifact (``{path}/_tier``, plans/local_tier.persist_tier) before
+    writing — coherence for both sidecars is writer-owned: a store
+    rewrite must never leave sizing numbers or a memory-mapped mirror
+    describing the OLD content. Appends drop both too (the manifest
+    describes the whole store, not the appended slice)."""
+    _drop_store_sidecars(graph.spark, path)
     (
         graph.triples.repartition("p")
         .sortWithinPartitions("p", "s")
@@ -267,6 +290,81 @@ def write_graph(
             .write.mode(mode)
             .parquet(f"{path}/triples_by_s")
         )
+    if mode == "overwrite":
+        n_triples = graph.triples.count()
+        row = graph.terms.agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("value")).alias("b"),
+        ).first()
+        _write_store_manifest(
+            path,
+            {
+                "n_triples": int(n_triples),
+                "n_terms": int(row["n"]),
+                "blob_bytes": int(row["b"] or 0),
+            },
+        )
+
+
+def _drop_store_sidecars(spark: SparkSession, path: str) -> None:
+    """Remove `_meta.json` and `_tier/` ahead of a store (re)write.
+    Local paths go through the OS; remote URIs through the Hadoop FS
+    (same handle-acquisition guard as read_graph's log-store probe)."""
+    import os
+    import shutil
+
+    local = path.split("://", 1)[0] if "://" in path else None
+    if local is None or local == "file":
+        base = path.split("://", 1)[-1] if "://" in path else path
+        try:
+            os.remove(os.path.join(base, "_meta.json"))
+        except OSError:
+            pass
+        shutil.rmtree(os.path.join(base, "_tier"), ignore_errors=True)
+        return
+    try:
+        sc = spark.sparkContext
+        jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
+    except Exception:
+        return
+    for sub in ("_meta.json", "_tier"):
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+
+def _write_store_manifest(path: str, meta: dict) -> None:
+    """Write `_meta.json` atomically (tmp+rename) for local stores;
+    remote stores simply skip the manifest (the sizing probes remain
+    bounded Spark aggregations there)."""
+    import json
+    import os
+
+    if "://" in path and not path.startswith("file:"):
+        return
+    base = path.split("://", 1)[-1] if "://" in path else path
+    tmp = os.path.join(base, "._meta.json.tmp")
+    try:
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(base, "_meta.json"))
+    except OSError:
+        pass
+
+
+def read_store_manifest(path: str) -> dict | None:
+    """The store manifest written by write_graph, or None."""
+    import json
+    import os
+
+    base = path.split("://", 1)[-1] if "://" in path else path
+    try:
+        with open(os.path.join(base, "_meta.json")) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return meta if isinstance(meta, dict) and "n_triples" in meta else None
 
 
 def read_graph(spark: SparkSession, path: str) -> Graph:
@@ -342,8 +440,20 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
         if _exists("triples_by_s")
         else None
     )
+    # sidecars: the manifest makes tier/term-cache sizing verdicts
+    # zero-job; a persisted tier artifact (if driver-local — mmap
+    # needs a local file) makes the tier itself a cold-start mmap
+    # instead of a collect. Both only ever attached here, so every
+    # derived graph (mutations) drops them by construction.
+    tier_dir = None
+    if "://" not in path or path.startswith("file:"):
+        cand = os.path.join(path.split("://", 1)[-1], "_tier")
+        if os.path.isfile(os.path.join(cand, "meta.json")):
+            tier_dir = cand
     return Graph(
         triples=spark.read.parquet(f"{path}/triples"),
         terms=spark.read.parquet(f"{path}/terms"),
         s_projection=sproj,
+        store_meta=read_store_manifest(path),
+        tier_dir=tier_dir,
     )

@@ -2742,11 +2742,64 @@ class Engine:
                 return st[1]
             from .local_tier import build_local_tier
 
-            tier = build_local_tier(
-                self, self.local_tier_rows, self.local_tier_bytes
-            )
+            tier = self._load_persisted_tier()
+            if tier is None:
+                tier = build_local_tier(
+                    self, self.local_tier_rows, self.local_tier_bytes
+                )
             self._local_tier_state = (gen, tier)
             return tier
+
+    def _load_persisted_tier(self):
+        """Memory-map a persisted tier artifact (`{store}/_tier`,
+        plans/local_tier.persist_tier) when the current graph carries
+        one — the cold-start path: file-open + pointer casts instead of
+        the one-time Spark collect (~8 s at sf1). Mutation-derived
+        graphs never carry ``tier_dir``, so a stale mirror cannot be
+        loaded over mutated content. The byte/row budget still gates
+        admission, priced from the artifact's own sizing record — zero
+        Spark jobs either way. Returns None to fall through to
+        build_local_tier (no artifact, over budget handled by the
+        caller via the same probes, or a corrupt artifact)."""
+        tier_dir = getattr(self.graph, "tier_dir", None)
+        if not tier_dir:
+            return None
+        from .local_tier import QUAD_TIER_BYTES, TermDict, load_tier, tier_meta
+
+        meta = tier_meta(tier_dir)
+        if meta is None:
+            return None
+        if int(meta["nrows"]) > self.local_tier_rows:
+            return None
+        if self.local_tier_bytes:
+            est = (
+                int(meta["nrows"]) * QUAD_TIER_BYTES
+                + int(meta["n_terms"]) * TermDict.PER_TERM_BYTES
+                + int(meta["blob_bytes"])
+            )
+            if est > self.local_tier_bytes:
+                return None
+        return load_tier(tier_dir)
+
+    def persist_tier(self, store_path: str) -> dict | None:
+        """Build (if needed) and persist this engine's tier next to the
+        store at ``store_path`` so the next Engine over that store
+        cold-starts from a memory-map (CLI ``warm``). Returns the
+        artifact's sizing record, or None when the graph is over the
+        tier cap (nothing resident to persist)."""
+        tier = self._local_tier()
+        if tier is None:
+            return None
+        import os
+
+        from .local_tier import persist_tier as _persist
+
+        base = (
+            store_path.split("://", 1)[-1]
+            if store_path.startswith("file:")
+            else store_path
+        )
+        return _persist(tier, os.path.join(base, "_tier"))
 
     def query(self, opts: dict) -> dict:
         """Reference-compatible entry point (query.py:620-886): returns
@@ -3088,11 +3141,19 @@ class Engine:
                 return tc[1]
             from .local_tier import TermDict
 
-            row = self.graph.terms.agg(
-                F.count("*").alias("n"),
-                F.sum(F.octet_length("value")).alias("b"),
-            ).first()
-            n_terms, blob_bytes = int(row["n"]), int(row["b"] or 0)
+            meta = getattr(self.graph, "store_meta", None) or {}
+            if "n_terms" in meta and "blob_bytes" in meta:
+                # store manifest (write_graph): the fit/no-fit decision
+                # costs zero Spark jobs — at 100x scale a dictionary
+                # that will never fit 1 GiB should not pay a full terms
+                # scan per generation to find that out
+                n_terms, blob_bytes = int(meta["n_terms"]), int(meta["blob_bytes"])
+            else:
+                row = self.graph.terms.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.octet_length("value")).alias("b"),
+                ).first()
+                n_terms, blob_bytes = int(row["n"]), int(row["b"] or 0)
             td = None
             if n_terms * TermDict.PER_TERM_BYTES + blob_bytes <= self.term_cache_bytes:
                 td = TermDict.from_arrow(
