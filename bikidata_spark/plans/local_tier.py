@@ -461,6 +461,56 @@ class TermDict:
             self._rank = r
             return r
 
+    def order_keys(self, keys: np.ndarray):
+        """Per-hash int64 LEXICAL sort keys + found mask: sorting the
+        keys sorts the terms in Spark UTF8 binary value order (the
+        ranks equivalence, see ``ranks``). Base terms map to
+        ``2*rank+1`` (odd, unique); overlay terms map to ``2*pos``
+        where ``pos`` is their insertion point among the base values —
+        even keys, so an overlay term lands strictly between its base
+        neighbours. Two overlay terms at the same insertion point
+        collide (equal even keys); callers order within equal keys by
+        the values themselves (bounded by the overlay size, which the
+        fold caps)."""
+        idx, found = self.base_indices(keys)
+        out = np.zeros(keys.size, dtype=np.int64)
+        if self.th.size:
+            r = self.ranks()
+            out[found] = 2 * r[idx[found]] + 1
+        if self.extra:
+            miss = np.nonzero(~found)[0]
+            if miss.size:
+                vo = self._value_order()
+                blob, st, en = self.blob, self.start, self.end
+                n = self.th.size
+
+                def _val(i: int) -> bytes:
+                    j = vo[i]
+                    return bytes(blob[st[j] : en[j]])
+
+                for k in miss.tolist():
+                    v = self.extra.get(int(keys[k]))
+                    if v is None:
+                        continue
+                    found[k] = True
+                    eb = v.encode("utf-8")
+                    lo, hi = 0, n
+                    while lo < hi:
+                        mid = (lo + hi) // 2
+                        if _val(mid) < eb:
+                            lo = mid + 1
+                        else:
+                            hi = mid
+                    out[k] = 2 * lo
+        return out, found
+
+    def _value_order(self) -> np.ndarray:
+        """th positions in ascending VALUE order (inverse of ranks)."""
+        r = self.ranks()
+        vo = np.empty(r.size, dtype=np.int64)
+        vo[r] = np.arange(r.size, dtype=np.int64)
+        return vo
+
     # ---- scalar ----------------------------------------------------------
 
     def get(self, h: int):

@@ -54,6 +54,13 @@ _HOP_BROADCAST_ROWS = int(os.environ.get("BIKIDATA_SPARK_HOP_BROADCAST_ROWS", "5
 # filters land at ~30k subjects and would otherwise pay the bounded
 # probe AND the distributed page
 _FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "50000"))
+# fast-page accept cap when a driver-resident dictionary serves the
+# sort (int64 rank argsort + page-only value decode — no per-member
+# Python strings), so the bound is just the bare-hash Arrow collect
+# (~8 B/row): 500k rows ≈ 4 MB
+_FAST_PAGE_DICT_ROWS = int(
+    os.environ.get("BIKIDATA_SPARK_FAST_PAGE_DICT_ROWS", "500000")
+)
 # literal IN-list probes beat a broadcast join only while the list is
 # page-sized — building the expression costs ~0.5 ms/element over py4j
 _ISIN_PROBE_MAX = 200
@@ -128,6 +135,22 @@ _TERM_CACHE_BYTES = int(
 # "auto" builds it for over-tier-cap engines on their second probe
 # against a stable base; "1" forces, "0" disables.
 _POINT_PROBE_FRAME = os.environ.get("BIKIDATA_SPARK_POINT_PROBE_FRAME", "auto")
+# IRI-object hop-edges projection (see Engine._hop_edges): same gating
+_HOP_EDGES_FRAME = os.environ.get("BIKIDATA_SPARK_HOP_EDGES", "auto")
+# driver-resident o-sorted hop index (see Engine._hop_driver_index):
+# auto|0|1 + row cap (2 int64 columns -> ~16 B/edge; 32M edges = 512 MB)
+_DRIVER_HOP = os.environ.get("BIKIDATA_SPARK_DRIVER_HOP", "auto")
+_DRIVER_HOP_MAX_EDGES = int(
+    os.environ.get("BIKIDATA_SPARK_DRIVER_HOP_MAX_EDGES", "32000000")
+)
+# driver-walk bail-outs: frontier rows collected per request, and the
+# per-hop output row cap past which the walk falls back to the join
+_DRIVER_WALK_FRONTIER_MAX = int(
+    os.environ.get("BIKIDATA_SPARK_DRIVER_WALK_FRONTIER_MAX", "1000000")
+)
+_DRIVER_WALK_ROW_MAX = int(
+    os.environ.get("BIKIDATA_SPARK_DRIVER_WALK_ROW_MAX", "8000000")
+)
 
 def patch_paths_edges(edges_map, prop_hash, ins_rows, del_idx, s_col, p_col, o_col):
     """Apply one mutation's edge delta to a driver-resident
@@ -388,6 +411,14 @@ class Engine:
     # probes: (base Graph, persisted frame). See _point_probe_triples.
     _hyd_state: tuple | None = field(default=None, repr=False)
     _hyd_last_base: object = field(default=None, repr=False)
+    # IRI-object hop-edges projection for distributed n-hop walks:
+    # (base Graph, persisted frame). See _hop_edges.
+    _hop_edge_state: tuple | None = field(default=None, repr=False)
+    _hop_edge_last_base: object = field(default=None, repr=False)
+    # driver-resident o-sorted edge index: (base Graph, (o_sorted,
+    # s_by_o) | None). See _hop_driver_index.
+    _hop_idx_state: tuple | None = field(default=None, repr=False)
+    _hop_idx_last_base: object = field(default=None, repr=False)
     _mutations_since_ckpt: int = field(default=0, repr=False)
     # observability (surfaced via cache_stats → Serving.status())
     _mutations_patched: int = field(default=0, repr=False)
@@ -701,6 +732,200 @@ class Engine:
                     hs = self._hyd_state = (base, frame)
         t = hs[1]
         return self._delta_triples(t, delta) if delta else t
+
+    def _hop_edges(self) -> DataFrame:
+        """Corpus frame the n-hop walk joins against (``_walk_up``):
+        an IRI-OBJECT-ONLY, o-range-clustered persisted projection when
+        this engine serves distributed hop queries.
+
+        Every hop probes the corpus on ``o`` with a frontier of SUBJECT
+        hashes — and a subject is an IRI/bnode by construction, so a
+        literal-object quad can never match (same hash = same
+        dictionary term). Filtering the projection to IRI-object rows
+        is therefore exact, and it removes the majority of the corpus
+        from every hop's stream-side scan (label/value literals
+        dominate the quad count in entity-shaped data); projecting the
+        o-range cluster also gives InMemoryTableScan per-batch min/max
+        on the probed column, which prunes the point-ish probes
+        (single-parent frontiers) the way the s projection prunes
+        hydration. The one-time build is a corpus × iris semi-join +
+        one range shuffle, amortized over every hop request — at
+        cluster scale this is the usual one-projection-per-probe-axis
+        storage trade (the store's (p,s) file sort covers filters, the
+        s projection covers hydration, this covers the o axis).
+
+        Same cost controls as ``_point_probe_triples``: auto-gated to
+        over-tier-cap engines (tier-resident graphs hop in the driver
+        mirror with zero jobs), keyed to the mutation BASE with the
+        buffered delta re-applied on top (inserted literal-object rows
+        ride along harmlessly — they cannot match a subject-hash
+        frontier), and built on the SECOND consecutive probe against a
+        stable base so mutation churn never pays the build.
+        BIKIDATA_SPARK_HOP_EDGES=1 forces, 0 disables."""
+        mode = _HOP_EDGES_FRAME
+        if mode == "0":
+            return self.graph.triples
+        mst = self._mut_state
+        if mst is not None and mst.get("current") is self.graph:
+            base, delta = mst["base"], mst
+        else:
+            base, delta = self.graph, None
+        if mode != "1":
+            st = self._local_tier_state
+            if st is None or st[1] is not None:
+                # tier disabled/unsized, or resident — don't build
+                return self.graph.triples
+        hs = self._hop_edge_state
+        if hs is None or hs[0] is not base:
+            if self._hop_edge_last_base is not base:
+                # first sighting of this base: defer the build
+                self._hop_edge_last_base = base
+                t = base.triples
+                return self._delta_triples(t, delta) if delta else t
+            with self._cache_lock:
+                hs = self._hop_edge_state
+                if hs is None or hs[0] is not base:
+                    if hs is not None:
+                        try:
+                            hs[1].unpersist()
+                        except Exception:
+                            pass
+                    # broadcast the IRI-hash side explicitly: one long
+                    # per non-literal term (~36 MB at sf3) — the corpus
+                    # is probed in place, never shuffled, which takes
+                    # the one-time build from ~16 s to a couple of
+                    # seconds at sf3 (the remaining shuffle is the
+                    # 33%-sized range repartition of the edges)
+                    frame = (
+                        base.triples.join(
+                            F.broadcast(
+                                base.terms.filter(~F.col("is_literal")).select(
+                                    F.col("hash").alias("o")
+                                )
+                            ),
+                            "o",
+                            "left_semi",
+                        )
+                        .select("s", "p", "o", "g")
+                        .repartitionByRange("o")
+                        .sortWithinPartitions("o")
+                        .persist()
+                    )
+                    hs = self._hop_edge_state = (base, frame)
+        t = hs[1]
+        return self._delta_triples(t, delta) if delta else t
+
+    def _hop_driver_index(self):
+        """Driver-resident o-sorted edge index for n-hop walks, or None.
+
+        The same architectural move as the paths hierarchy maps
+        (``_paths_edge_maps``) and the point tier, applied to the
+        UNPROPERTIED parent walk: the walk only ever touches (s, o)
+        pairs whose object is an IRI (see ``_hop_edges``), and that
+        column pair is ~16 B/edge — at sf3 (33M quads, over the tier
+        budget) the 11M IRI-object edges are ~180 MB, far under what a
+        driver holds comfortably. One Arrow collect of the hop-edges
+        projection + one argsort, and every subsequent hop is a
+        vectorized searchsorted + gather instead of a corpus-wide
+        broadcast join: the walk drops from ~0.6 s to single-digit ms
+        at sf3, flat in corpus size up to the row cap.
+
+        Gating mirrors the other projections: over-tier-cap engines
+        only, second sighting of a stable base (mutation churn never
+        pays the build), bail when a buffered delta is pending (the
+        index is keyed to the EXACT graph, not patched), and a hard
+        edge-row cap (``BIKIDATA_SPARK_DRIVER_HOP_MAX_EDGES``) so a
+        100x corpus simply stays on the distributed join."""
+        mode = _DRIVER_HOP
+        if mode == "0":
+            return None
+        mst = self._mut_state
+        if mst is not None and mst.get("current") is self.graph:
+            # buffered delta pending: the resident index would be stale
+            return None
+        base = self.graph
+        if mode != "1":
+            st = self._local_tier_state
+            if st is None or st[1] is not None:
+                return None
+        hs = self._hop_idx_state
+        if hs is not None and hs[0] is base:
+            return hs[1]
+        if self._hop_idx_last_base is not base and mode != "1":
+            # first sighting of this base: defer the build (mutation
+            # churn produces a fresh graph per cycle — never pay the
+            # collect for a base the next mutation invalidates)
+            self._hop_idx_last_base = base
+            return None
+        with self._cache_lock:
+            hs = self._hop_idx_state
+            if hs is not None and hs[0] is base:
+                return hs[1]
+            # direct build — NOT via the persisted _hop_edges frame:
+            # the index needs neither the range re-partition nor the
+            # executor-side cache, so the one-time cost is just the
+            # broadcast semi-join (IRI hashes ~8 B/term) + one Arrow
+            # collect of the two int64 columns
+            edges = (
+                base.triples.join(
+                    F.broadcast(
+                        base.terms.filter(~F.col("is_literal")).select(
+                            F.col("hash").alias("o")
+                        )
+                    ),
+                    "o",
+                    "left_semi",
+                )
+                .select("s", "o")
+                .persist()
+            )
+            try:
+                n = edges.count()
+                if n > _DRIVER_HOP_MAX_EDGES:
+                    self._hop_idx_state = (base, None)  # sized: too big
+                    return None
+                pdf = edges.toPandas()
+            finally:
+                try:
+                    edges.unpersist()
+                except Exception:
+                    pass
+            o = pdf["o"].to_numpy().astype(np.int64, copy=False)
+            s = pdf["s"].to_numpy().astype(np.int64, copy=False)
+            order = np.argsort(o, kind="stable")
+            idx = (o[order], s[order])
+            self._hop_idx_state = (base, idx)
+            return idx
+
+    def _walk_up_driver(self, idx, pdf, hops: int, carry: tuple):
+        """Vectorized n-hop walk over the resident edge index. Returns
+        the walked rows as numpy columns, or None when a hop's output
+        exceeds the row cap (caller falls back to the join walk).
+        Multiplicity semantics mirror the distributed loop exactly:
+        scored walks keep one row per matching edge per frontier row
+        (scores aggregate downstream); plain walks dedup — the
+        distributed plan's trailing distinct, applied per hop (same
+        final set, bounded intermediate growth)."""
+        o_sorted, s_by_o = idx
+        f = pdf["s"].to_numpy().astype(np.int64, copy=False)
+        carried = [pdf[c].to_numpy() for c in carry]
+        for _ in range(hops):
+            lo = np.searchsorted(o_sorted, f, side="left")
+            hi = np.searchsorted(o_sorted, f, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total > _DRIVER_WALK_ROW_MAX:
+                return None
+            starts = np.zeros(f.size, dtype=np.int64)
+            np.cumsum(cnt[:-1], out=starts[1:])
+            pos = np.repeat(lo, cnt) + (
+                np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+            )
+            f = s_by_o[pos]
+            carried = [np.repeat(c, cnt) for c in carried]
+            if not carry:
+                f = np.unique(f)
+        return f, carried
 
     def _mutated_graph(self, st: dict) -> Graph:
         """CONSTANT-depth mutated frames from the base + delta buffers:
@@ -1201,9 +1426,37 @@ class Engine:
         out = base.persist()
         self._register_transient(out)
         n = out.count()
+        # DRIVER WALK: with the o-sorted edge index resident the whole
+        # chain is searchsorted + gather — the frontier collect reads
+        # the cache the count just materialized, and the result ships
+        # back as one Arrow batch. Explosion or an over-cap frontier
+        # falls through to the join loop below, same `out`.
+        if n <= _DRIVER_WALK_FRONTIER_MAX:
+            idx = self._hop_driver_index()
+            if idx is not None:
+                import pandas as pd
+
+                pdf = out.select("s", *carry).toPandas()
+                walked = self._walk_up_driver(idx, pdf, hops, carry)
+                if walked is not None:
+                    f, carried = walked
+                    res = pd.DataFrame(
+                        {"s": f, **{c: v for c, v in zip(carry, carried)}}
+                    )
+                    # explicit schema: an empty walk result must not
+                    # trip pandas schema inference
+                    schema = "s long" + "".join(f", {c} double" for c in carry)
+                    frame = self.graph.spark.createDataFrame(res, schema)
+                    if not carry:
+                        # the member set is ALREADY driver-resident and
+                        # distinct: ride it along so the fast page can
+                        # skip the frame round-trip entirely
+                        frame._driver_rows = f
+                    return frame
         small = n <= _HOP_BROADCAST_ROWS
+        edges = self._hop_edges()
         for i in range(hops):
-            parents = self.graph.triples.select(
+            parents = edges.select(
                 F.col("s").alias("_ps"), F.col("o").alias("_po")
             )
             probe = F.broadcast(out) if small else out
@@ -1535,7 +1788,12 @@ class Engine:
         result = self._plan_cache_get(gen, key) if key is not None else None
         if result is None:
             result = self._subjects_uncached(opts)
-            if key is not None and result[1] is None and result[0] is not None:
+            if (
+                key is not None
+                and result[1] is None
+                and result[0] is not None
+                and not self._hop_plan_volatile(opts)
+            ):
                 self._plan_cache_put(gen, key, result)
         if use_cache and result[0] is not None:
             result = (result[0].persist(), result[1])
@@ -1543,6 +1801,34 @@ class Engine:
         return result
 
     _PLAN_CACHE_MAX = 128
+
+    def _hop_plan_volatile(self, opts: dict) -> bool:
+        """True when this spec's compiled subjects plan should NOT be
+        cached YET: the spec walks hops, the driver edge index is
+        gated on (over-cap engine), but the index is not resident —
+        the plan just compiled is the corpus-join walk, and caching it
+        would pin every future repeat of this spec to the slow path
+        even after the index builds. Once the index IS resident, the
+        compiled plan embeds the driver-walked LocalRelation — correct
+        for the whole generation (the plan cache is generation-keyed,
+        and every mutation path bumps the generation), so it caches
+        like any other plan."""
+        if _DRIVER_HOP == "0":
+            return False
+        if _DRIVER_HOP != "1":
+            st = self._local_tier_state
+            if st is None or st[1] is not None:
+                return False
+        hs = self._hop_idx_state
+        if hs is not None and hs[0] is self.graph:
+            # sized: either resident (the compiled plan is the
+            # driver-walked LocalRelation) or measured too big (the
+            # join plan is final) — both cache fine
+            return False
+        return any(
+            parse_hops_and_prop(q.get("p", ""))[0] > 0
+            for q in opts.get("filters", [])
+        )
 
     def _plan_cache_get(self, gen: int, key: str):
         with self._cache_lock:
@@ -1761,6 +2047,7 @@ class Engine:
         excepts: list[int] = []
         tagged: list[DataFrame] = []
         inline_tagged: list[tuple[int, DataFrame]] = []
+        driver_rows: list = []  # driver-walked member arrays (see _walk_up)
         plain_conds: list[tuple[int, Column]] = []
         score_frames = []
         n_tags = 0
@@ -1782,6 +2069,9 @@ class Engine:
                 else:
                     if scores is not None:
                         score_frames.append(scores)
+                    dr = getattr(subj, "_driver_rows", None)
+                    if dr is not None:
+                        driver_rows.append(dr)
                     tagged.append(subj.select("s").withColumn("_ftag", F.lit(tag)))
             n_tags += 1
             if not groups:
@@ -1813,7 +2103,14 @@ class Engine:
             and len(groups[0]) == 1
         )
         if single and not inline_tagged:
-            combined = tagged[0].select("s").distinct()
+            if driver_rows and not plain_conds:
+                # the one filter was a driver-side walk: its rows are
+                # already distinct, and the array rides along so the
+                # fast page never round-trips the member frame
+                combined = tagged[0].select("s")
+                combined._driver_rows = driver_rows[0]
+            else:
+                combined = tagged[0].select("s").distinct()
         elif single:
             # one scored filter: membership distinct AND per-subject max
             # score in the SAME aggregation — one shuffle total. The agg
@@ -2863,6 +3160,7 @@ class Engine:
         # path, so the invariant is the engine's contract, not this
         # path's.
         sv_rows = None
+        fast_page, fast_total = None, None
         fast = (
             s_results is not None
             and size > 0
@@ -2902,12 +3200,78 @@ class Engine:
                 # plan always paid. The inline-scored frame carries its
                 # scores through the same collect.
                 src = scored_src if scored_src is not None else s_results
-                with self._no_aqe():
-                    # toPandas (Arrow) — Row-object deserialization of a
-                    # near-cap candidate set costs ~0.1 s that an Arrow
-                    # batch doesn't
-                    pdf = src.limit(_FAST_PAGE_ROWS + 1).toPandas()
-                if len(pdf) <= _FAST_PAGE_ROWS:
+                # RANK-SORTED page (r11): with a driver dictionary and
+                # no scores, the lexical sort needs NO member values at
+                # all — order_keys maps each hash to an int64 lexical
+                # key (the TermDict ranks, the same pinned UTF8-binary
+                # equivalence the tier's default page order uses), the
+                # sort is one numpy argsort, and only the PAGE's
+                # size-many values decode. That lifts the accept cap
+                # 10x (the collect is bare hashes), so mid-size member
+                # sets — 1-hop walks, broad filters, exactly the r9
+                # "over the tier, under DuckDB" band — skip the whole
+                # distributed total/order/page phase.
+                td = self._term_dict() if scored_src is None else None
+                dr = (
+                    getattr(s_results, "_driver_rows", None)
+                    if td is not None
+                    else None
+                )
+                if dr is None:
+                    cap = (
+                        _FAST_PAGE_DICT_ROWS if td is not None else _FAST_PAGE_ROWS
+                    )
+                    with self._no_aqe():
+                        # toPandas (Arrow) — Row-object deserialization
+                        # of a near-cap candidate set costs ~0.1 s that
+                        # an Arrow batch doesn't
+                        pdf = src.limit(cap + 1).toPandas()
+                else:
+                    # driver-walked member set: no collect at all
+                    pdf, cap = None, 0
+                if td is not None and (
+                    dr is not None or len(pdf) <= cap
+                ):
+                    hs_all = (
+                        dr
+                        if dr is not None
+                        else pdf["s"].to_numpy().astype(np.int64, copy=False)
+                    )
+                    keys, kfound = td.order_keys(hs_all)
+                    if not kfound.all():
+                        # missing from the dictionary = contract
+                        # violation; drop like the inner join would
+                        hs_all, keys = hs_all[kfound], keys[kfound]
+                    fast_total = int(hs_all.size)
+                    ord_ = np.argsort(keys, kind="stable")
+                    ks = keys[ord_]
+                    dup = np.nonzero(ks[1:] == ks[:-1])[0]
+                    if dup.size:
+                        # equal keys = overlay terms sharing an
+                        # insertion point: order those runs by value
+                        # (runs are overlay-sized, never corpus-sized)
+                        in_run = np.zeros(ks.size, dtype=bool)
+                        in_run[dup] = True
+                        in_run[dup + 1] = True
+                        pos = np.nonzero(in_run)[0]
+                        breaks = np.nonzero(np.diff(pos) > 1)[0] + 1
+                        for seg in np.split(pos, breaks):
+                            a, b = int(seg[0]), int(seg[-1]) + 1
+                            ord_[a:b] = sorted(
+                                ord_[a:b].tolist(),
+                                key=lambda j: td.get(int(hs_all[j])),
+                            )
+                    if size:
+                        sel = ord_[start : start + size]
+                        ph = hs_all[sel]
+                        vals, _vf = td.values_of(ph)
+                        fast_page = [
+                            {"s": int(h), "s_value": v}
+                            for h, v in zip(ph.tolist(), vals.tolist())
+                        ]
+                    else:
+                        fast_page = []
+                elif len(pdf) <= _FAST_PAGE_ROWS:
                     ss = pdf["s"].tolist()  # int64 -> Python ints
                     hv = self._term_values(ss)
                     # `in hv` mirrors the old inner join exactly: a
@@ -2936,7 +3300,9 @@ class Engine:
                         sv_rows = [
                             {"s": s, "s_value": hv[s]} for s in ss if s in hv
                         ]
-        if sv_rows is not None:
+        if fast_total is not None:
+            total = fast_total
+        elif sv_rows is not None:
             total = len(sv_rows)
         elif s_results is not None:
             with self._no_aqe():
@@ -2999,7 +3365,9 @@ class Engine:
 
         results: dict = {}
         if s_results is not None and size > 0:
-            if sv_rows is not None:
+            if fast_page is not None:
+                page = fast_page
+            elif sv_rows is not None:
                 if s_by_score is not None:
                     # score desc (nulls last), s_value tiebreak — the
                     # exact key set page()'s orderBy would use

@@ -837,3 +837,98 @@ def test_termdict_add_charges_utf8_bytes():
     base = td.nbytes
     td.add(1, "\N{GRINNING FACE}", True)
     assert td.nbytes == base
+
+
+def test_hop_edges_projection_differential(spark, monkeypatch):
+    """The IRI-object hop-edges projection (_hop_edges) must make every
+    n-hop walk — plain hops, fts-scored hops (carry), hops after
+    mutations touching edge rows — row-identical to the direct corpus
+    join. Forced on via the module toggle (auto mode only engages over
+    the tier cap, which no test graph reaches)."""
+    import bikidata_spark.plans.query as Q
+
+    monkeypatch.setattr(Q, "_HOP_EDGES_FRAME", "1")
+    eng = _mk_engine(spark, tier=False)
+    ref = _mk_engine(spark, tier=False)
+    tiered = _mk_engine(spark, tier=True)
+    batt = [
+        {"filters": [{"p": "<p/peer> 1", "o": "<m/20>"}], "size": 30},
+        {"filters": [{"p": "<p/peer> 2", "o": "<m/20>"}], "size": 30},
+        {"filters": [{"p": "fts 1", "o": "alpha"}], "size": 10},  # scored carry
+        {"filters": [{"p": "fts 2", "o": "gamma delta"}], "size": 10},
+    ]
+
+    def all_three(opts):
+        opts = dict(opts, use_cache=False)
+        monkeypatch.setattr(Q, "_HOP_EDGES_FRAME", "1")
+        a = eng.query(dict(opts))
+        monkeypatch.setattr(Q, "_HOP_EDGES_FRAME", "0")
+        b = ref.query(dict(opts))
+        c = tiered.query(dict(opts))
+        assert a == b, opts
+        assert a == c, opts
+
+    for opts in batt:
+        all_three(opts)  # first sighting: deferred build
+        all_three(opts)  # second: builds the projection
+    assert eng._hop_edge_state is not None  # the forced build ran
+    # mutations: delete an edge row, insert a new one (and a literal-o
+    # row that must ride the delta harmlessly), walk again
+    for e in (eng, ref, tiered):
+        assert e.mutate("delete", [{"s": "<m/21>", "p": "<p/peer>"}])[
+            "triples_deleted"
+        ] == 1
+        assert e.mutate(
+            "insert",
+            [
+                {"s": "<m/21>", "p": "<p/peer>", "o": "<m/20>"},
+                {"s": "<m/21>", "p": "<p/hopnote>", "o": '"lit o rides along"'},
+            ],
+        )["triples_inserted"] == 2
+    for opts in batt:
+        all_three(opts)
+
+
+def test_driver_hop_index_differential(spark, monkeypatch):
+    """The driver-resident o-sorted edge index (_hop_driver_index) must
+    make every walk — plain, multi-hop, scored (carry), empty frontier,
+    post-mutation — identical to the distributed join walk and the
+    tier. Forced on via the module toggles."""
+    import bikidata_spark.plans.query as Q
+
+    monkeypatch.setattr(Q, "_HOP_EDGES_FRAME", "1")
+    monkeypatch.setattr(Q, "_DRIVER_HOP", "1")
+    eng = _mk_engine(spark, tier=False)
+    ref = _mk_engine(spark, tier=False)
+    tiered = _mk_engine(spark, tier=True)
+    batt = [
+        {"filters": [{"p": "<p/peer> 1", "o": "<m/20>"}], "size": 30},
+        {"filters": [{"p": "<p/peer> 3", "o": "<m/20>"}], "size": 30},
+        {"filters": [{"p": "fts 1", "o": "alpha"}], "size": 10},
+        {"filters": [{"p": "fts 2", "o": "gamma delta"}], "size": 10},
+        {"filters": [{"p": "<p/peer> 1", "o": "<m/nosuchnode>"}], "size": 10},
+    ]
+
+    def all_three(opts):
+        opts = dict(opts, use_cache=False)
+        monkeypatch.setattr(Q, "_DRIVER_HOP", "1")
+        a = eng.query(dict(opts))
+        monkeypatch.setattr(Q, "_DRIVER_HOP", "0")
+        b = ref.query(dict(opts))
+        c = tiered.query(dict(opts))
+        assert a == b, opts
+        assert a == c, opts
+
+    for opts in batt:
+        all_three(opts)
+    assert eng._hop_idx_state is not None and eng._hop_idx_state[1] is not None
+    # mutation invalidates by base identity: results stay equal after
+    for e in (eng, ref, tiered):
+        assert e.mutate("insert", [{"s": "<m/21>", "p": "<p/peer>", "o": "<m/20>"}])[
+            "triples_inserted"
+        ] == 1
+    for opts in batt:
+        all_three(opts)
+    # explosion bail: a row cap of 1 must fall back to the join walk
+    monkeypatch.setattr(Q, "_DRIVER_WALK_ROW_MAX", 1)
+    all_three(batt[0])
