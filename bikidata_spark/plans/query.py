@@ -151,6 +151,14 @@ _DRIVER_WALK_FRONTIER_MAX = int(
 _DRIVER_WALK_ROW_MAX = int(
     os.environ.get("BIKIDATA_SPARK_DRIVER_WALK_ROW_MAX", "8000000")
 )
+# driver-resident order-key index (see Engine._order_driver_index):
+# the persisted full-corpus order-key frame collected once per
+# (generation, rule), label strings rank-encoded — ordered pages then
+# sort int64 keys driver-side. ~24 B/labeled subject.
+_DRIVER_ORDER = os.environ.get("BIKIDATA_SPARK_DRIVER_ORDER", "auto")
+_DRIVER_ORDER_MAX_ROWS = int(
+    os.environ.get("BIKIDATA_SPARK_DRIVER_ORDER_MAX_ROWS", "16000000")
+)
 
 def patch_paths_edges(edges_map, prop_hash, ins_rows, del_idx, s_col, p_col, o_col):
     """Apply one mutation's edge delta to a driver-resident
@@ -419,6 +427,10 @@ class Engine:
     # s_by_o) | None). See _hop_driver_index.
     _hop_idx_state: tuple | None = field(default=None, repr=False)
     _hop_idx_last_base: object = field(default=None, repr=False)
+    # driver-resident order-key indexes: {(gen, rule-sig): entry} +
+    # the second-sighting set. See _order_driver_index.
+    _order_idx_cache: dict = field(default_factory=dict, repr=False)
+    _order_idx_seen: set = field(default_factory=set, repr=False)
     _mutations_since_ckpt: int = field(default=0, repr=False)
     # observability (surfaced via cache_stats → Serving.status())
     _mutations_patched: int = field(default=0, repr=False)
@@ -488,6 +500,8 @@ class Engine:
                 except Exception:
                     pass
             self._order_key_cache = {}
+            self._order_idx_cache = {}
+            self._order_idx_seen = set()
             for df in self._paths_edge_cache.values():
                 try:
                     df.unpersist()
@@ -2110,7 +2124,14 @@ class Engine:
                 combined = tagged[0].select("s")
                 combined._driver_rows = driver_rows[0]
             else:
-                combined = tagged[0].select("s").distinct()
+                pre = tagged[0].select("s")
+                combined = pre.distinct()
+                if plain_conds:
+                    # single plain filter: the fast pages can collect
+                    # the MAP-ONLY scan and np.unique driver-side —
+                    # the distinct's member-set shuffle is the largest
+                    # remaining per-request exchange on those paths
+                    combined._pre_distinct_frame = pre
         elif single:
             # one scored filter: membership distinct AND per-subject max
             # score in the SAME aggregation — one shuffle total. The agg
@@ -2406,6 +2427,168 @@ class Engine:
                     pass
             self._order_key_cache[key] = df
             return df
+
+    _ORDER_IDX_MAX = 4
+
+    def _order_driver_index(self, rule: dict):
+        """Driver-resident order-key index for ``rule``, or None.
+
+        The distributed ordered page probes the persisted full-corpus
+        order-key frame, joins member values, and TakeOrderedAndProject
+        — ~3 exchanges per request over member-set-sized data. With the
+        over-cap term cache resident the whole sort can run driver-side
+        instead: collect the SAME frame once (so every rule semantic —
+        language preference, via-walks, clean modes, natural prefixes,
+        reference query.py:316-465 — inherits exactly), rank-encode the
+        sort labels (equal strings share a rank, so ties still fall to
+        the s_value tiebreak like the distributed orderBy), and an
+        ordered page becomes searchsorted + np.lexsort over int64 keys.
+
+        Entry: (s_sorted, label_rank_by_s, num_prefix_by_s | None,
+        num_null_by_s | None). Gated like the other driver projections:
+        over-tier-cap engines, second sighting of a (generation, rule)
+        so mutation churn never pays the collect, row cap
+        ``BIKIDATA_SPARK_DRIVER_ORDER_MAX_ROWS``, generation-keyed LRU."""
+        mode = _DRIVER_ORDER
+        if mode == "0":
+            return None
+        if mode != "1":
+            st = self._local_tier_state
+            if st is None or st[1] is not None:
+                return None
+        import json
+
+        sig = {
+            k: rule.get(k)
+            for k in ("by", "prop", "via", "lang", "mode", "clean", "natural")
+            if rule.get(k) is not None
+        }
+        try:
+            key = (self._graph_generation, json.dumps(sig, sort_keys=True))
+        except (TypeError, ValueError):
+            return None
+        with self._cache_lock:
+            ent = self._order_idx_cache.get(key)
+            if ent is not None:
+                self._order_idx_cache.pop(key, None)
+                self._order_idx_cache[key] = ent  # LRU touch
+                return None if ent == "over_cap" else ent
+            if key not in self._order_idx_seen and mode != "1":
+                self._order_idx_seen.add(key)
+                return None
+        frame = self._order_keys_cached(rule)
+        if frame is None:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = frame.toArrow().combine_chunks()
+        n = tbl.num_rows
+        if n > _DRIVER_ORDER_MAX_ROWS:
+            with self._cache_lock:
+                self._order_idx_cache[key] = "over_cap"
+            return None
+        if n == 0:
+            ent = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                None,
+                None,
+            )
+        else:
+            s_arr = tbl.column("s").chunk(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            lbl = tbl.column("sort_label").chunk(0)
+            si = pc.sort_indices(lbl)
+            si_np = si.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            sv = lbl.take(si)
+            # dense ranks: equal labels share a rank, so the member
+            # sort ties exactly where the distributed orderBy ties
+            if n > 1:
+                ne = pc.not_equal(sv.slice(1), sv.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                ne = np.empty(0, dtype=bool)
+            ranks_sorted = np.zeros(n, dtype=np.int64)
+            np.cumsum(ne, out=ranks_sorted[1:])
+            rank = np.empty(n, dtype=np.int64)
+            rank[si_np] = ranks_sorted
+            perm = np.argsort(s_arr, kind="stable")
+            num = num_null = None
+            if "num_prefix" in tbl.column_names:
+                npx = tbl.column("num_prefix").chunk(0)
+                num_null = pc.is_null(npx).to_numpy(zero_copy_only=False)[perm]
+                num = (
+                    npx.fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)[perm]
+                )
+            ent = (s_arr[perm], rank[perm], num, num_null)
+        with self._cache_lock:
+            if key[0] != self._graph_generation:
+                return ent  # graph swapped mid-build: usable, not cached
+            while len(self._order_idx_cache) >= self._ORDER_IDX_MAX:
+                self._order_idx_cache.pop(next(iter(self._order_idx_cache)))
+            self._order_idx_cache[key] = ent
+            return ent
+
+    def _order_page_driver(
+        self, oidx, td, hs_all: np.ndarray, rule: dict, size: int, start: int
+    ):
+        """Ordered page over driver-resident structures: the exact key
+        set page()'s orderBy uses — (null_key, [num_null asc, num dir,]
+        sort_label dir, s_value asc) — as an np.lexsort over int64
+        columns. Returns (page_rows, total) or None to fall back
+        (members missing from the dictionary base: overlay terms could
+        collide on insertion-point keys, so they take the distributed
+        path)."""
+        s_sorted, rank_by, num, num_null = oidx
+        svk, found = td.order_keys(hs_all)
+        if not found.all():
+            return None  # dictionary-contract violation: distributed path
+        if td.extra and svk.size and not (svk & 1).all():
+            return None  # overlay members: even keys can collide
+        direction = (rule.get("dir") or "asc").lower()
+        nulls = (rule.get("nulls") or "last").lower()
+        natural = bool(rule.get("natural", False))
+        n = hs_all.size
+        if s_sorted.size:
+            pos = np.searchsorted(s_sorted, hs_all)
+            posc = np.minimum(pos, s_sorted.size - 1)
+            has = s_sorted[posc] == hs_all
+            pos = posc
+        else:
+            pos = np.zeros(n, dtype=np.int64)
+            has = np.zeros(n, dtype=bool)
+        null_k = (~has).astype(np.int64)
+        if nulls == "first":
+            null_k = -null_k
+        lk = np.zeros(n, dtype=np.int64)
+        lk[has] = rank_by[pos[has]]
+        if direction == "desc":
+            lk = -lk
+        keys = [svk, lk]
+        if natural:
+            nk = np.zeros(n, dtype=np.int64)
+            nn = np.ones(n, dtype=np.int64)
+            if num is not None:
+                nn[has] = num_null[pos[has]]
+                nk[has] = np.where(num_null[pos[has]], 0, num[pos[has]])
+            if direction == "desc":
+                nk = -nk
+            keys += [nk, nn]
+        keys.append(null_k)
+        order = np.lexsort(tuple(keys))
+        sel = order[start : start + size] if size else order[:0]
+        ph = hs_all[sel]
+        vals, _vf = td.values_of(ph)
+        page = [
+            {"s": int(h), "s_value": v}
+            for h, v in zip(ph.tolist(), vals.tolist())
+        ]
+        return page, int(n)
 
     def page(
         self,
@@ -3161,11 +3344,45 @@ class Engine:
         # path's.
         sv_rows = None
         fast_page, fast_total = None, None
-        fast = (
-            s_results is not None
-            and size > 0
-            and not _normalize_order_rules(opts.get("order"))
-        )
+        _order_rules = _normalize_order_rules(opts.get("order"))
+        fast = s_results is not None and size > 0 and not _order_rules
+        if _order_rules and s_results is not None and size > 0:
+            # FAST ORDERED PAGE (r11): rule-ordered pages ignore scores
+            # (page() sorts by the rule, not s_by_score), so with the
+            # driver order-key index + term dictionary resident the
+            # whole total/order/page phase runs driver-side — collect
+            # bare member hashes (or reuse a driver-walked set), lexsort
+            # int64 keys, decode only the page. Any gate failing falls
+            # through to the distributed page untouched.
+            oidx = self._order_driver_index(_order_rules[0])
+            td = self._term_dict() if oidx is not None else None
+            if td is not None:
+                hs_all = getattr(s_results, "_driver_rows", None)
+                if hs_all is None:
+                    osrc = s_results
+                    pre = (
+                        getattr(s_results, "_pre_distinct_frame", None)
+                        if not opts.get("use_cache", True)
+                        else None  # cached members read the persisted set
+                    )
+                    if pre is not None:
+                        osrc = pre
+                    with self._no_aqe():
+                        opdf = osrc.select("s").limit(
+                            _FAST_PAGE_DICT_ROWS + 1
+                        ).toPandas()
+                    if len(opdf) <= _FAST_PAGE_DICT_ROWS:
+                        hs_all = opdf["s"].to_numpy().astype(
+                            np.int64, copy=False
+                        )
+                        if pre is not None:
+                            hs_all = np.unique(hs_all)
+                if hs_all is not None:
+                    back = self._order_page_driver(
+                        oidx, td, hs_all, _order_rules[0], size, start
+                    )
+                    if back is not None:
+                        fast_page, fast_total = back
         if fast:
             terms = self.graph.terms.select("hash", F.col("value").alias("s_value"))
             scored_src = getattr(s_results, "_inline_scored_frame", None)
@@ -3217,26 +3434,37 @@ class Engine:
                     if td is not None
                     else None
                 )
+                pre = None
                 if dr is None:
                     cap = (
                         _FAST_PAGE_DICT_ROWS if td is not None else _FAST_PAGE_ROWS
                     )
+                    if td is not None and not opts.get("use_cache", True):
+                        # single plain filter: collect the MAP-ONLY
+                        # scan and np.unique driver-side instead of
+                        # paying the distinct's member-set shuffle
+                        pre = getattr(src, "_pre_distinct_frame", None)
                     with self._no_aqe():
                         # toPandas (Arrow) — Row-object deserialization
                         # of a near-cap candidate set costs ~0.1 s that
                         # an Arrow batch doesn't
-                        pdf = src.limit(cap + 1).toPandas()
+                        pdf = (pre if pre is not None else src).limit(
+                            cap + 1
+                        ).toPandas()
                 else:
                     # driver-walked member set: no collect at all
                     pdf, cap = None, 0
                 if td is not None and (
                     dr is not None or len(pdf) <= cap
                 ):
-                    hs_all = (
-                        dr
-                        if dr is not None
-                        else pdf["s"].to_numpy().astype(np.int64, copy=False)
-                    )
+                    if dr is not None:
+                        hs_all = dr
+                    else:
+                        hs_all = pdf["s"].to_numpy().astype(
+                            np.int64, copy=False
+                        )
+                        if pre is not None:
+                            hs_all = np.unique(hs_all)
                     keys, kfound = td.order_keys(hs_all)
                     if not kfound.all():
                         # missing from the dictionary = contract

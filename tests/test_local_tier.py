@@ -439,3 +439,86 @@ def test_properties_and_count_by_property_match_distributed(pair):
         a = sorted(tuple(r) for r in tiered.count_by_property(prop).collect())
         b = sorted(tuple(r) for r in plain.count_by_property(prop).collect())
         assert a == b, prop
+
+
+def test_driver_order_index_differential(spark, monkeypatch):
+    """The driver-resident order-key index (_order_driver_index +
+    _order_page_driver) must page identically to the distributed
+    orderBy across the full rule space — the same hostile-label corpus
+    and random rules as the tier mirror fuzz, plus the battery's
+    object_label/property rules — and to the tier itself. Forced on via
+    the module toggle (auto only engages over the tier cap)."""
+    import random
+
+    import bikidata_spark.plans.query as Q
+    from bikidata_spark import Engine, from_string_quads
+
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    hostile = [
+        "  leading spaces", "trailing\t tab\t", "İstanbul", "ßharp",
+        "99999999999999999999 overflow", "9223372036854775807 max",
+        '"inner quotes"', "mixed   SPACE\truns", "~punct!lead", "",
+        "123 numeric", "0123 pad", "Ωmega", "émigré", " ", "ümlaut",
+    ]
+    quads = []
+    rng = random.Random(4242)
+    for i in range(150):
+        e = f"<e/{i}>"
+        quads.append((e, "<p/type>", "<t/x>", ""))
+        quads.append((e, "<p/cat>", f"<cat/{i % 5}>", ""))
+        if i % 11 == 0:
+            quads.append((e, "<p/num>", f'"{i * 7 % 100} n"', ""))
+        for _ in range(rng.randint(0, 2)):
+            txt = rng.choice(hostile)
+            lang = rng.choice(["", "@en", "@de", "@tr"])
+            quads.append((e, label, f'"{txt}"{lang}', ""))
+    for c in range(5):
+        quads.append((f"<cat/{c}>", label, f'"Category {4 - c}"@en', ""))
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    ).cache()
+    fast = Engine(g, local_tier_rows=0)
+    plain = Engine(g, local_tier_rows=0)
+    tiered = Engine(g)
+
+    def compare(opts, tag):
+        opts = dict(opts, use_cache=False)
+        monkeypatch.setattr(Q, "_DRIVER_ORDER", "1")
+        a = fast.query(dict(opts))
+        monkeypatch.setattr(Q, "_DRIVER_ORDER", "0")
+        b = plain.query(dict(opts))
+        c = tiered.query(dict(opts))
+        assert a == b, f"{tag}: fast vs distributed for {opts}"
+        assert a == c, f"{tag}: fast vs tier for {opts}"
+
+    base = {"filters": [{"p": "<p/type>", "o": "<t/x>"}], "size": 150}
+    for trial in range(25):
+        rule = {"by": "label"}
+        if rng.random() < 0.5:
+            rule["lang"] = rng.sample(["en", "de", "tr", "fr"], rng.randint(1, 3))
+        if rng.random() < 0.5:
+            rule["mode"] = rng.choice(["lex", "raw"])
+        if rng.random() < 0.6:
+            rule["clean"] = {
+                k: rng.random() < 0.5
+                for k in ("trim", "lower", "remove_quotes", "collapse_space",
+                          "strip_punct")
+            }
+        if rng.random() < 0.4:
+            rule["natural"] = True
+        rule["dir"] = rng.choice(["asc", "desc"])
+        rule["nulls"] = rng.choice(["first", "last"])
+        opts = {**base, "order": rule}
+        if rng.random() < 0.4:
+            opts["size"], opts["start"] = 10, rng.randint(0, 30)
+        compare(opts, f"trial{trial}")
+        compare(opts, f"trial{trial}-repeat")  # second sighting: index built
+    assert fast._order_idx_cache  # the forced build actually ran
+    # battery rules the fuzz doesn't reach
+    for rule in (
+        {"by": "property", "prop": "<p/num>", "natural": True},
+        {"by": "object_label", "via": "<p/cat>", "dir": "desc"},
+    ):
+        opts = {**base, "order": rule}
+        compare(opts, "battery")
+        compare(opts, "battery-repeat")
