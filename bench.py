@@ -94,9 +94,22 @@ def _serving_workload(
     t0 = time.perf_counter()
     asyncio.run(run_all())
     wall = time.perf_counter() - t0
+    fork_mem = None
+    pool = getattr(srv, "_proc_pool", None)
+    if pool is not None:
+        mem = pool.worker_memory()
+        if mem:
+            fork_mem = {
+                "forks": len(mem),
+                "rss_mb_max": round(max(m["rss_kb"] for m in mem) / 1024, 1),
+                "uss_mb_max": round(max(m["uss_kb"] for m in mem) / 1024, 1),
+                "uss_mb_p50": round(
+                    sorted(m["uss_kb"] for m in mem)[len(mem) // 2] / 1024, 1
+                ),
+            }
     srv.close()
     lat.sort()
-    return {
+    stats = {
         "queries": len(lat),
         "workers": workers,
         "wall_s": round(wall, 3),
@@ -105,6 +118,9 @@ def _serving_workload(
         "p95_s": round(lat[max(0, int(round(len(lat) * 0.95)) - 1)], 3),
         "max_s": round(lat[-1], 3),
     }
+    if fork_mem is not None:
+        stats["fork_mem"] = fork_mem
+    return stats
 
 
 def main() -> None:

@@ -367,6 +367,43 @@ class TierProcPool:
                 "stale_drops": self._stale_drops,
             }
 
+    def worker_memory(self) -> list[dict]:
+        """Per-fork memory from /proc/<pid>/smaps_rollup (Linux).
+
+        USS (Private_Clean + Private_Dirty) is the copy-on-write
+        verdict: forks sharing the parent's tier arrays should show
+        USS ≪ RSS — a child whose USS approaches the TermDict blob
+        size has copied it (the failure mode this method exists to
+        catch at sf1+, VERDICT r10 item 4). Returns [] off-Linux.
+        """
+        with self._lock:
+            pids = [w.proc.pid for w in self._workers if w.proc.is_alive()]
+        out = []
+        for pid in pids:
+            fields = {}
+            try:
+                with open(f"/proc/{pid}/smaps_rollup") as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 2 and parts[0].endswith(":"):
+                            try:
+                                fields[parts[0][:-1]] = int(parts[1])
+                            except ValueError:
+                                pass
+            except OSError:
+                continue
+            out.append(
+                {
+                    "pid": pid,
+                    "rss_kb": fields.get("Rss", 0),
+                    "uss_kb": fields.get("Private_Clean", 0)
+                    + fields.get("Private_Dirty", 0),
+                    "shared_kb": fields.get("Shared_Clean", 0)
+                    + fields.get("Shared_Dirty", 0),
+                }
+            )
+        return out
+
     def close(self) -> None:
         with self._lock:
             workers, self._workers = list(self._workers), []

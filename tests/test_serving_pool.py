@@ -383,3 +383,109 @@ def test_serving_refork_after_retirement(spark):
         assert got is not None and got["total"] == 1
     finally:
         srv.close()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/proc/self/smaps_rollup"),
+    reason="needs Linux smaps_rollup for USS",
+)
+def test_pool_cow_blob_sharing_and_overlay_replay_at_scale(spark, monkeypatch):
+    """VERDICT r10 item 4 (scaled twin of the sf1 sweep): a fork over a
+    blob-backed TermDict in the ~100 MB range must (a) SHARE the blob
+    copy-on-write — after serving hydrating queries that decode values
+    across the whole blob, each child's USS stays well under the blob
+    size (a child that copied the blob shows USS ≳ noise + blob) — and
+    (b) stay byte-identical through mutation broadcasts that force a
+    TermDict overlay fold inside the fork. True-sf1 CoW numbers are in
+    docs/BENCH_NOTES.md (tools/serving_sweep.py, fork_mem column).
+    """
+    import os
+
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.plans.local_tier import LocalTier
+
+    n = 100_000
+    quads = spark.range(n).selectExpr(
+        "concat('<m/', id, '>') as s",
+        "'<p/desc>' as p",
+        # ~1.1 KB unique literal per subject -> ~110 MB blob
+        "concat('\"', repeat(concat('w', id, ' '), 150), '\"') as o",
+        "cast(null as string) as g",
+    ).union(
+        spark.range(n).selectExpr(
+            "concat('<m/', id, '>') as s",
+            "'<p/type>' as p",
+            "concat('<t/', id % 5, '>') as o",
+            "cast(null as string) as g",
+        )
+    )
+    graph = from_string_quads(quads).cache()
+    graph.triples.count()
+    eng = Engine(graph)
+    # warm the tier before forking
+    assert eng.query({"filters": [{"p": "<p/type>", "o": "<t/1>"}], "size": 1})
+    tier = eng._local_tier()
+    assert tier is not None
+    blob_bytes = len(tier.terms.blob)
+    assert blob_bytes > 80 * 1024 * 1024, f"blob only {blob_bytes} B — scale the test up"
+
+    monkeypatch.setattr(LocalTier, "OVERLAY_FOLD", 4)  # inherited by forks
+    pool = _mk_pool(eng, n=2)
+    plain = Engine(graph, local_tier_rows=0)
+    try:
+        # (a) decode values across the blob from inside the forks:
+        # hydrated pages at spread-out starts touch ~2000 literals each
+        for start in range(0, 20_000, 2_000):
+            o = {
+                "filters": [{"p": "<p/type>"}],
+                "size": 200,
+                "start": start,
+                "use_cache": False,
+            }
+            got = pool.query(dict(o))
+            want = plain.query(dict(o))
+            assert got is not None and got == want, f"diverged at start={start}"
+        mem = pool.worker_memory()
+        assert len(mem) == 2
+        for m in mem:
+            uss = m["uss_kb"] * 1024
+            # full-copy failure mode: USS ~ interpreter noise + blob
+            # (>140 MB here); CoW keeps it at noise (<~60 MB measured)
+            assert uss < 0.4 * blob_bytes + 48 * 1024 * 1024, (
+                f"fork {m['pid']} USS {uss / 1e6:.0f} MB vs blob "
+                f"{blob_bytes / 1e6:.0f} MB — copy-on-read blowup"
+            )
+
+        # (b) literal-inserting mutations past OVERLAY_FOLD: the fold
+        # runs inside each fork; answers must match the distributed
+        # control engine byte-for-byte
+        for i in range(10):
+            eng._last_tier_delta = None
+            a = eng.mutate(
+                "insert",
+                [{"s": f"<mf/{i}>", "p": "<p/desc>", "o": f'"folded literal {i}"'}],
+            )
+            b = plain.mutate(
+                "insert",
+                [{"s": f"<mf/{i}>", "p": "<p/desc>", "o": f'"folded literal {i}"'}],
+            )
+            assert a == b and "error" not in a
+            assert eng._last_tier_delta is not None
+            pool.apply_mutation(eng._last_tier_delta)
+        for o in (
+            {"filters": [{"p": "<p/desc>"}], "size": 20, "use_cache": False},
+            {
+                "filters": [{"p": "<p/type>", "o": "<t/2>"}],
+                "size": 25,
+                "start": 500,
+                "use_cache": False,
+            },
+            {"size": 0, "aggregates": ["properties", "<p/type>"]},
+        ):
+            got = pool.query(dict(o))
+            want = plain.query(dict(o))
+            assert got is not None and got == want, f"post-fold diverged on {o}"
+        assert pool.stats()["worker_errors"] == 0
+    finally:
+        pool.close()
+        graph.unpersist()
