@@ -3206,6 +3206,27 @@ class Engine:
         )
 
     # ---- full query (reference-shaped result) -------------------------
+    def _fts_mirror_rows(self, tier) -> int:
+        """Effective postings-row cap for the driver FTS mirror.
+
+        An explicit cap (env ``BIKIDATA_SPARK_LOCAL_TIER_FTS_ROWS`` or a
+        constructor override) wins unchanged. Otherwise the mirror may
+        spend the headroom the admitted tier LEFT in the byte budget —
+        priced at 64 B/posting (lit/tf/dl float64s + index arrays +
+        token-key overhead), floored at the 8M default so small budgets
+        keep the r8 behavior. A graph that fits a 6 GiB budget (sf3:
+        quads+dictionary ≈ 3.6 GiB) therefore mirrors its ~20M-row
+        postings too instead of bailing fts to the distributed path —
+        the one workload the r11 sf3-in-tier probe left at 4 jobs."""
+        if (
+            self.local_tier_fts_rows != _LOCAL_TIER_FTS_ROWS
+            or "BIKIDATA_SPARK_LOCAL_TIER_FTS_ROWS" in os.environ
+            or not self.local_tier_bytes
+        ):
+            return self.local_tier_fts_rows
+        headroom = self.local_tier_bytes - tier.approx_bytes
+        return max(self.local_tier_fts_rows, headroom // 64)
+
     def _local_tier(self):
         """The driver-resident mirror for this generation, or None
         (disabled / over-cap). Built under a lock so concurrent serving
@@ -3295,7 +3316,7 @@ class Engine:
         differential-tested against it (tests/test_local_tier.py)."""
         tier = self._local_tier()
         if tier is not None:
-            back = tier.try_query(self, opts, self.local_tier_fts_rows)
+            back = tier.try_query(self, opts, self._fts_mirror_rows(tier))
             if back is not None:
                 return back
         try:

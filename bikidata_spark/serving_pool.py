@@ -202,7 +202,9 @@ class TierProcPool:
         self._worker_errors = 0
         self._stale_drops = 0
         ctx = mp.get_context("fork")
-        fts_rows = engine.local_tier_fts_rows
+        # same budget-derived cap the parent's try_query uses (st was
+        # validated resident above)
+        fts_rows = engine._fts_mirror_rows(st[1])
         for _ in range(n_procs):
             parent_conn, child_conn = ctx.Pipe(duplex=True)
             proc = ctx.Process(

@@ -522,3 +522,40 @@ def test_driver_order_index_differential(spark, monkeypatch):
         opts = {**base, "order": rule}
         compare(opts, "battery")
         compare(opts, "battery-repeat")
+
+
+def test_fts_mirror_rows_budget_headroom(spark, monkeypatch):
+    """The FTS mirror's postings-row cap spends the byte-budget
+    headroom the admitted tier left (priced 64 B/posting), floored at
+    the default; explicit env/constructor caps win unchanged — the r11
+    fix for sf3-in-tier fts bailing to 4 Spark jobs at the fixed 8M cap."""
+    from bikidata_spark import Engine, from_string_quads
+    from bikidata_spark.plans import query as qmod
+
+    quads = spark.createDataFrame(
+        [(f"<e/{i}>", "<p>", f'"v{i}"', "") for i in range(10)],
+        "s string, p string, o string, g string",
+    )
+    g = from_string_quads(quads).cache()
+
+    class _FakeTier:
+        approx_bytes = 3 * 1024**3
+
+    monkeypatch.delenv("BIKIDATA_SPARK_LOCAL_TIER_FTS_ROWS", raising=False)
+    eng = Engine(g, local_tier_bytes=6 * 1024**3)
+    # 3 GiB headroom / 64 B = ~50.3M rows, above the 8M floor
+    assert eng._fts_mirror_rows(_FakeTier()) == (3 * 1024**3) // 64
+    # tier consumed (nearly) the whole budget: floor at the default
+    class _BigTier:
+        approx_bytes = 6 * 1024**3 - 1
+
+    assert eng._fts_mirror_rows(_BigTier()) == qmod._LOCAL_TIER_FTS_ROWS
+    # constructor override wins
+    eng2 = Engine(g, local_tier_bytes=6 * 1024**3, local_tier_fts_rows=123)
+    assert eng2._fts_mirror_rows(_FakeTier()) == 123
+    # rows-cap-only engines (local_tier_bytes=0) keep the field value
+    eng3 = Engine(g, local_tier_rows=100, local_tier_bytes=0)
+    assert eng3._fts_mirror_rows(_FakeTier()) == qmod._LOCAL_TIER_FTS_ROWS
+    # env override wins over derivation
+    monkeypatch.setenv("BIKIDATA_SPARK_LOCAL_TIER_FTS_ROWS", "77")
+    assert eng._fts_mirror_rows(_FakeTier()) == eng.local_tier_fts_rows
