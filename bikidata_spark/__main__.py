@@ -180,6 +180,12 @@ def main(argv: list[str]) -> int:
         # (first point query in well under a second, zero Spark jobs)
         # instead of paying the one-time collect inside a request.
         eng = Engine(read_graph(spark, argv[1]))
+        try:
+            # warm the FTS mirror too so the artifact carries it and a
+            # cold engine's first fts query is also zero-job (r11)
+            eng.query({"filters": [{"p": "fts", "o": "warm"}], "size": 1})
+        except Exception:
+            pass  # IRI-only store: no literals to index
         meta = eng.persist_tier(argv[1])
         if meta is None:
             print(json.dumps({"error": "graph is over the tier cap, nothing to persist"}))

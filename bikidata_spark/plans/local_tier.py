@@ -112,20 +112,132 @@ def _group_max(keys: np.ndarray, vals: np.ndarray):
     return k[starts], maxes
 
 
+# _fts_state key for a mirror loaded from a persisted tier artifact:
+# no distributed FtsIndex exists yet — _local_fts serves the mirror
+# while engine._fts is None and adopts (re-keys to) the real index the
+# first time one is built over the same unmutated store
+ARTIFACT_FTS = object()
+
+
 class _LocalFts:
     """Driver-side mirror of one FtsIndex: token → (lit, tf, dl) rows.
+
+    r11: ARRAY-BACKED — the postings live as token-grouped parallel
+    arrays (sorted fixed-width byte tokens + [start, end) group
+    offsets + lit/tf/dl row arrays), with mutation increments in a
+    small per-token overlay dict that FOLDS into the base past
+    ``OVERLAY_FOLD`` pending rows — the same base+overlay+fold shape
+    as :class:`TermDict`. The previous dict-of-arrays form copied the
+    WHOLE token map on every mutation patch (O(vocab): 2M+ entries at
+    sf3) and built it with a per-token Python loop; both are now
+    O(delta) / vectorized, and the base arrays are fork- and
+    mmap-friendly (no per-token Python objects).
+
+    Row-retrieval order is pinned: base rows in grouped postings
+    order, then overlay rows in arrival order — exactly the append
+    order the dict form produced, and ``fold()`` regroups with a
+    STABLE sort over that same order, so per-token row arrays are
+    identical before and after a fold. (BM25 sums are additionally
+    insensitive to within-token order: postings carry one row per
+    (lit, token), so each lit's sum has exactly one addend per query
+    term, added in term order.)
 
     Scoring mirrors ``FtsIndex.match`` exactly — same BM25 constants,
     same expression shape and association order, IEEE doubles on both
     sides (reference: DuckDB fts match_bm25, reference query.py:187-210).
     """
 
-    def __init__(self, tok2rows: dict, n_docs: int, avgdl: float, stem: bool, strip: bool):
-        self.tok2rows = tok2rows
+    OVERLAY_FOLD = 16384
+
+    def __init__(
+        self,
+        toks: np.ndarray,
+        starts: np.ndarray,
+        ends: np.ndarray,
+        lits: np.ndarray,
+        tfs: np.ndarray,
+        dls: np.ndarray,
+        n_docs: int,
+        avgdl: float,
+        stem: bool,
+        strip: bool,
+        extra: dict | None = None,
+        pending: int = 0,
+    ):
+        self.toks = toks  # sorted 'S<w>' byte tokens, one per group
+        self.starts = starts
+        self.ends = ends
+        self.lits = lits
+        self.tfs = tfs
+        self.dls = dls
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.stem = stem
         self.strip = strip
+        # token str -> (lits, tfs, dls) increment rows, arrival order
+        self.extra: dict = {} if extra is None else extra
+        self.pending = pending
+
+    def _rows(self, t: str):
+        """(lit, tf, dl) arrays for token ``t``, or None (df = 0)."""
+        base = None
+        b = t.encode("utf-8")
+        if self.toks.size and len(b) <= self.toks.dtype.itemsize:
+            i = int(np.searchsorted(self.toks, np.bytes_(b)))
+            if i < self.toks.size and self.toks[i] == b:
+                a, e = int(self.starts[i]), int(self.ends[i])
+                base = (self.lits[a:e], self.tfs[a:e], self.dls[a:e])
+        ex = self.extra.get(t)
+        if ex is None:
+            return base
+        if base is None:
+            return ex
+        return (
+            np.concatenate([base[0], ex[0]]),
+            np.concatenate([base[1], ex[1]]),
+            np.concatenate([base[2], ex[2]]),
+        )
+
+    def fold(self) -> "_LocalFts":
+        """Merge the overlay into fresh base arrays (one stable sort
+        over [base rows, overlay rows] — per-token retrieval order is
+        preserved exactly, see class docstring)."""
+        if not self.extra:
+            return self
+        ow = max((len(t.encode("utf-8")) for t in self.extra), default=1)
+        w = max(self.toks.dtype.itemsize if self.toks.size else 1, ow, 1)
+        counts = (self.ends - self.starts) if self.toks.size else np.empty(0, np.int64)
+        btoks = np.repeat(self.toks.astype(f"S{w}", copy=False), counts)
+        oparts, l_parts, t_parts, d_parts = [], [], [], []
+        for t, (el, et, ed) in self.extra.items():
+            oparts.append(np.full(el.size, t.encode("utf-8"), dtype=f"S{w}"))
+            l_parts.append(el)
+            t_parts.append(et)
+            d_parts.append(ed)
+        all_toks = np.concatenate([btoks] + oparts)
+        all_lits = np.concatenate([self.lits] + l_parts)
+        all_tfs = np.concatenate([self.tfs] + t_parts)
+        all_dls = np.concatenate([self.dls] + d_parts)
+        order = np.argsort(all_toks, kind="stable")
+        toks_s = all_toks[order]
+        n = toks_s.size
+        boundaries = (
+            np.flatnonzero(toks_s[1:] != toks_s[:-1]) + 1 if n else np.empty(0, np.int64)
+        )
+        starts = np.concatenate(([0], boundaries)).astype(np.int64)
+        ends = np.concatenate((boundaries, [n])).astype(np.int64)
+        return _LocalFts(
+            toks_s[starts] if n else np.empty(0, dtype="S1"),
+            starts if n else np.empty(0, np.int64),
+            ends if n else np.empty(0, np.int64),
+            all_lits[order],
+            all_tfs[order],
+            all_dls[order],
+            self.n_docs,
+            self.avgdl,
+            self.stem,
+            self.strip,
+        )
 
     def match(self, text: str):
         """Conjunctive BM25 match → (lits int64 array, scores array)."""
@@ -137,7 +249,7 @@ class _LocalFts:
         lit_parts, sc_parts = [], []
         n = float(self.n_docs)
         for t in terms:
-            rows = self.tok2rows.get(t)
+            rows = self._rows(t)
             if rows is None:
                 # conjunctive: a term with df=0 empties the match
                 return _EMPTY, np.empty(0, dtype=np.float64)
@@ -1265,16 +1377,43 @@ class LocalTier:
             # forked read-only worker (serving_pool): touching engine.fts
             # could BUILD the index — a Spark job the child process must
             # never schedule. Serve the mirror only if it is resident and
-            # keyed to the already-built index; otherwise bail to the
+            # keyed to the already-built index (or loaded from the tier
+            # artifact with no index built); otherwise bail to the
             # parent process (None → _BAIL upstream).
             st = self._fts_state
-            if (
-                st is not None
-                and engine._fts is not None
-                and st[0] is engine._fts
-            ):
-                return st[1]
+            if st is not None and st[1] is not None:
+                if engine._fts is not None and st[0] is engine._fts:
+                    return st[1]
+                if st[0] is ARTIFACT_FTS and engine._fts is None:
+                    return st[1]
             return None
+        st = self._fts_state
+        if st is not None and st[0] is ARTIFACT_FTS and st[1] is not None:
+            # mirror loaded from the persisted tier artifact (r11):
+            # serve it WITHOUT building the distributed FtsIndex — the
+            # cold-start fts query costs zero Spark jobs — as long as
+            # the settings the index WOULD be built with match the
+            # artifact's. Once a real index exists (built lazily by a
+            # distributed fallback, or load_fts), adopt it as the key
+            # if its settings agree; on any mismatch fall through to
+            # the rebuild, which re-keys the state.
+            lf = st[1]
+            if lf.lits.size > max_rows:
+                lf = None  # cap shrank below the artifact: lazy rebuild
+            elif engine._fts is None:
+                from ..operators.fts import fts_settings_from_env
+
+                s = fts_settings_from_env()
+                if (
+                    lf.stem == (s.get("stemmer") == "porter")
+                    and lf.strip == bool(s.get("strip_accents", 1))
+                ):
+                    return lf
+            elif engine._fts.stem == lf.stem and engine._fts.strip == lf.strip:
+                with self._fts_lock:
+                    if self._fts_state is st:
+                        self._fts_state = (engine._fts, lf)
+                return lf
         index = engine.fts  # builds the in-memory index if absent — the
         # distributed path would equally pay this one-time build
         st = self._fts_state
@@ -1296,21 +1435,71 @@ class LocalTier:
             return None
         if index.postings.limit(max_rows + 1).count() > max_rows:
             return None
-        pdf = index.postings.select("lit", "token", "tf", "dl").toPandas()
-        lits = pdf["lit"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.float64)
-        dls = pdf["dl"].to_numpy(dtype=np.float64)
-        toks = pdf["token"].to_numpy()
-        order = np.argsort(toks, kind="stable")
-        toks_s = toks[order]
-        boundaries = np.flatnonzero(toks_s[1:] != toks_s[:-1]) + 1
-        starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [toks_s.size])) if toks_s.size else starts
-        tok2rows = {}
-        for a, b in zip(starts, ends):
-            idx = order[a:b]
-            tok2rows[toks_s[a]] = (lits[idx], tfs[idx], dls[idx])
-        return _LocalFts(tok2rows, index.n_docs, float(index.avgdl), index.stem, index.strip)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = (
+            index.postings.select("lit", "token", "tf", "dl")
+            .toArrow()
+            .combine_chunks()
+        )
+        n = tbl.num_rows
+        if n == 0:
+            return _LocalFts(
+                np.empty(0, dtype="S1"),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+                np.empty(0, np.float64),
+                index.n_docs,
+                float(index.avgdl),
+                index.stem,
+                index.strip,
+            )
+
+        def _np(name, dtype):
+            return (
+                tbl.column(name)
+                .chunk(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(dtype, copy=False)
+            )
+
+        tok = tbl.column("token").chunk(0)
+        # (token, original-row) two-key sort = guaranteed-stable token
+        # grouping (Arrow does not document single-key stability; the
+        # old numpy build was kind="stable" and per-token row order is
+        # part of the pinned retrieval contract)
+        si = pc.sort_indices(
+            pa.table({"token": tok, "idx": pa.array(np.arange(n, dtype=np.int64))}),
+            sort_keys=[("token", "ascending"), ("idx", "ascending")],
+        )
+        tok_s = tok.take(si)
+        # Arrow string sort is bytewise over UTF-8 — the same order
+        # numpy 'S' comparison (and therefore _rows' searchsorted) uses
+        ne = pc.not_equal(tok_s.slice(1), tok_s.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(ne) + 1)).astype(np.int64)
+        ends = np.concatenate((starts[1:], [n])).astype(np.int64)
+        order = si.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        toks = np.array(
+            [t.encode("utf-8") for t in tok_s.take(pa.array(starts)).to_pylist()],
+            dtype="S",
+        )
+        return _LocalFts(
+            toks,
+            starts,
+            ends,
+            _np("lit", np.int64)[order],
+            _np("tf", np.float64)[order],
+            _np("dl", np.float64)[order],
+            index.n_docs,
+            float(index.avgdl),
+            index.stem,
+            index.strip,
+        )
 
     def carry_fts_mirror(self, new_index):
         """Patched _LocalFts for an incrementally-updated FtsIndex
@@ -2107,32 +2296,50 @@ class LocalTier:
 
 def patch_fts_mirror(old: "_LocalFts", rows, n_docs: int, avgdl: float) -> "_LocalFts":
     """Patched _LocalFts: append the increment's posting rows
-    ({token, lit, tf, dl} dicts) to a COPY of the token map and
-    re-stamp n_docs/avgdl. Per-term arrays carry one row per lit, so
-    append order cannot change any BM25 sum. Shared by
+    ({token, lit, tf, dl} dicts) to a COPY of the OVERLAY dict (r11:
+    O(delta) — the r9 form copied the whole token map, O(vocab) per
+    mutation) and re-stamp n_docs/avgdl; past ``OVERLAY_FOLD`` pending
+    rows the overlay folds into fresh base arrays. Retrieval order per
+    token is base-then-arrival, so BM25 sums are unchanged. Shared by
     LocalTier.carry_fts_mirror (parent process) and the forked serving
-    workers, which receive the same rows over the mutation pipe
-    (serving_pool)."""
-    tok2rows = dict(old.tok2rows)
+    workers, which receive the same rows over the mutation pipe and
+    therefore fold at the same mutation (serving_pool)."""
+    extra = dict(old.extra)
     by_tok: dict = {}
     for r in rows:
         by_tok.setdefault(r["token"], []).append(
             (int(r["lit"]), float(r["tf"]), float(r["dl"]))
         )
+    pending = old.pending
     for t, lst in by_tok.items():
         lits = np.array([x[0] for x in lst], dtype=np.int64)
         tfs = np.array([x[1] for x in lst], dtype=np.float64)
         dls = np.array([x[2] for x in lst], dtype=np.float64)
-        if t in tok2rows:
-            ol, ot, od = tok2rows[t]
-            tok2rows[t] = (
-                np.concatenate([ol, lits]),
-                np.concatenate([ot, tfs]),
-                np.concatenate([od, dls]),
+        prev = extra.get(t)
+        if prev is not None:
+            extra[t] = (
+                np.concatenate([prev[0], lits]),
+                np.concatenate([prev[1], tfs]),
+                np.concatenate([prev[2], dls]),
             )
         else:
-            tok2rows[t] = (lits, tfs, dls)
-    return _LocalFts(tok2rows, n_docs, avgdl, old.stem, old.strip)
+            extra[t] = (lits, tfs, dls)
+        pending += len(lst)
+    lf = _LocalFts(
+        old.toks,
+        old.starts,
+        old.ends,
+        old.lits,
+        old.tfs,
+        old.dls,
+        n_docs,
+        avgdl,
+        old.stem,
+        old.strip,
+        extra=extra,
+        pending=pending,
+    )
+    return lf.fold() if pending > _LocalFts.OVERLAY_FOLD else lf
 
 
 # what the byte-budget gate charges per quad: four int64 columns plus
@@ -2265,6 +2472,8 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
     import os
     import pyarrow as pa
 
+    fts_st = tier._fts_state
+    lf = fts_st[1].fold() if fts_st is not None and fts_st[1] is not None else None
     if (
         tier._live is not None
         or tier._sorted_n != tier.nrows
@@ -2314,6 +2523,56 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
         "blob_bytes": int(len(td.blob)),
         "approx_bytes": int(tier.approx_bytes),
     }
+    if lf is not None:
+        # FTS mirror (r11, optional): token-grouped postings as two
+        # mmap-able tables — fts_tokens.arrow (FixedSizeBinary tokens,
+        # zero-copy to the numpy 'S<w>' view _rows() searchsorts, plus
+        # [start,end) group offsets) and fts_postings.arrow (grouped
+        # lit/tf/dl rows). A cold engine's FIRST fts query then runs
+        # with zero Spark jobs too, without even building the
+        # distributed FtsIndex.
+        w = int(lf.toks.dtype.itemsize) if lf.toks.size else 1
+        _write(
+            "fts_tokens.arrow",
+            pa.table(
+                {
+                    "token": pa.FixedSizeBinaryArray.from_buffers(
+                        pa.binary(w),
+                        int(lf.toks.size),
+                        [None, pa.py_buffer(np.ascontiguousarray(lf.toks).data)],
+                    ),
+                    "start": pa.array(lf.starts, pa.int64()),
+                    "end": pa.array(lf.ends, pa.int64()),
+                }
+            ),
+        )
+        _write(
+            "fts_postings.arrow",
+            pa.table(
+                {
+                    "lit": pa.array(lf.lits, pa.int64()),
+                    "tf": pa.array(lf.tfs, pa.float64()),
+                    "dl": pa.array(lf.dls, pa.float64()),
+                }
+            ),
+        )
+        meta["fts"] = {
+            "n_docs": int(lf.n_docs),
+            "avgdl": float(lf.avgdl),
+            "stem": bool(lf.stem),
+            "strip": bool(lf.strip),
+            "token_width": w,
+            "n_tokens": int(lf.toks.size),
+            "n_rows": int(lf.lits.size),
+        }
+    else:
+        # no mirror resident this time: drop any stale fts sidecars so
+        # the artifact never pairs old postings with new meta
+        for fn in ("fts_tokens.arrow", "fts_postings.arrow"):
+            try:
+                os.remove(os.path.join(dir_path, fn))
+            except OSError:
+                pass
     tmp = os.path.join(dir_path, ".meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -2409,6 +2668,50 @@ def load_tier(dir_path: str) -> LocalTier | None:
             _ord=np.arange(n, dtype=np.int64),
         )
         td._rank = i64(tt, "rank")
-        return LocalTier(s, p, o, g, td, _indexes=idx)
+        tier = LocalTier(s, p, o, g, td, _indexes=idx)
+        fm = meta.get("fts")
+        if fm:
+            # optional FTS mirror — its own try: a corrupt/missing fts
+            # sidecar degrades to the lazy rebuild, never fails the tier
+            try:
+                ft = pa.ipc.open_file(
+                    pa.memory_map(os.path.join(dir_path, "fts_tokens.arrow"))
+                ).read_all().combine_chunks()
+                fp = pa.ipc.open_file(
+                    pa.memory_map(os.path.join(dir_path, "fts_postings.arrow"))
+                ).read_all().combine_chunks()
+                w = int(fm["token_width"])
+                tokc = col(ft, "token")
+                ntok = len(tokc)
+                if ntok:
+                    toks = np.frombuffer(
+                        tokc.buffers()[1], dtype=f"S{w}", count=ntok,
+                        offset=tokc.offset * w,
+                    )
+                else:
+                    toks = np.empty(0, dtype="S1")
+                lf = _LocalFts(
+                    toks,
+                    i64(ft, "start"),
+                    i64(ft, "end"),
+                    i64(fp, "lit"),
+                    col(fp, "tf").to_numpy(zero_copy_only=True)
+                    if fp.num_rows
+                    else np.empty(0, np.float64),
+                    col(fp, "dl").to_numpy(zero_copy_only=True)
+                    if fp.num_rows
+                    else np.empty(0, np.float64),
+                    int(fm["n_docs"]),
+                    float(fm["avgdl"]),
+                    bool(fm["stem"]),
+                    bool(fm["strip"]),
+                )
+                if toks.size == int(fm["n_tokens"]) and lf.lits.size == int(
+                    fm["n_rows"]
+                ):
+                    tier._fts_state = (ARTIFACT_FTS, lf)
+            except (OSError, KeyError, ValueError, pa.ArrowInvalid):
+                pass
+        return tier
     except (OSError, KeyError, ValueError, pa.ArrowInvalid):
         return None

@@ -489,3 +489,40 @@ def test_pool_cow_blob_sharing_and_overlay_replay_at_scale(spark, monkeypatch):
     finally:
         pool.close()
         graph.unpersist()
+
+
+def test_pool_fts_mirror_fold_in_children(spark, warm_engine, monkeypatch):
+    """r11 array-backed _LocalFts: literal-inserting mutations push the
+    mirror's overlay past OVERLAY_FOLD so the fold runs inside parent
+    AND forks (class attr set before the fork); fts answers must stay
+    identical to a distributed control engine through it."""
+    from bikidata_spark.plans.local_tier import _LocalFts
+
+    eng = warm_engine
+    plain = _mk_engine(spark, tier=False)
+    monkeypatch.setattr(_LocalFts, "OVERLAY_FOLD", 2)
+    pool = _mk_pool(eng)
+    try:
+        for i in range(6):
+            eng._last_tier_delta = None
+            a = eng.mutate(
+                "insert",
+                [{"s": f"<ff/{i}>", "p": "<p/desc>", "o": f'"zulu fold {i}"'}],
+            )
+            b = plain.mutate(
+                "insert",
+                [{"s": f"<ff/{i}>", "p": "<p/desc>", "o": f'"zulu fold {i}"'}],
+            )
+            assert a == b and "error" not in a
+            assert eng._last_tier_delta is not None
+            pool.apply_mutation(eng._last_tier_delta)
+        for q in ("zulu", "fold", "zulu fold", "alpha"):
+            o = {"filters": [{"p": "fts", "o": q}], "size": 25, "use_cache": False}
+            got = pool.query(dict(o))
+            want = plain.query(dict(o))
+            assert got is not None and got == want, f"fts diverged on {q!r}"
+        st = eng._local_tier()._fts_state
+        assert st is not None and st[1] is not None and not st[1].extra  # folded
+        assert pool.stats()["worker_errors"] == 0
+    finally:
+        pool.close()

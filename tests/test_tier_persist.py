@@ -281,3 +281,100 @@ def test_loaded_termdict_roundtrip_values(spark, store):
     assert np.array_equal(a.lit, b.lit)
     assert a.to_dict() == b.to_dict()
     assert np.array_equal(a.ranks(), b.ranks())
+
+
+@pytest.fixture(scope="module")
+def fts_store(spark, tmp_path_factory):
+    """A warmed store whose artifact also carries the FTS mirror
+    (CLI `warm` shape: an fts query before persist_tier, r11)."""
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    path = str(tmp_path_factory.mktemp("tierstore_fts") / "store")
+    write_graph(_mk_graph(spark), path)
+    eng = Engine(read_graph(spark, path))
+    assert eng.query({"filters": [{"p": "fts", "o": "val"}], "size": 1})["total"]
+    meta = eng.persist_tier(path)
+    assert meta is not None and "fts" in meta and meta["fts"]["n_rows"] > 0
+    return path
+
+
+def test_fts_artifact_cold_query_zero_jobs(spark, fts_store):
+    """Cold Engine over an fts-warmed store: the FIRST fts query serves
+    from the artifact mirror with zero Spark jobs and never builds the
+    distributed FtsIndex; scores match a scratch distributed engine."""
+    from bikidata_spark import Engine, read_graph
+
+    eng = Engine(read_graph(spark, fts_store))
+    control = Engine(read_graph(spark, fts_store), local_tier_rows=0)
+    sc = spark.sparkContext
+    sc.setJobGroup("fts-cold", "probe")
+    try:
+        got = eng.query({"filters": [{"p": "fts", "o": "val über"}], "size": 10})
+        jobs = sc.statusTracker().getJobIdsForGroup("fts-cold")
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) == 0, f"cold fts scheduled Spark jobs: {jobs}"
+    assert eng._fts is None  # the distributed index was never built
+    want = control.query({"filters": [{"p": "fts", "o": "val über"}], "size": 10})
+    assert got == want
+
+
+def test_fts_artifact_settings_mismatch_falls_back(spark, fts_store, monkeypatch):
+    """An artifact built without stemming must NOT serve an engine whose
+    env asks for the Porter stemmer — the mismatch falls through to the
+    distributed build, which answers with the requested settings."""
+    from bikidata_spark import Engine, read_graph
+
+    monkeypatch.setenv("BIKIDATA_FTS_SETTINGS", '{"stemmer": "porter"}')
+    eng = Engine(read_graph(spark, fts_store))
+    control = Engine(read_graph(spark, fts_store), local_tier_rows=0)
+    got = eng.query({"filters": [{"p": "fts", "o": "values"}], "size": 10})
+    want = control.query({"filters": [{"p": "fts", "o": "values"}], "size": 10})
+    assert got == want
+    assert eng._fts is not None and eng._fts.stem  # rebuilt, stemmed
+
+
+def test_fts_artifact_corrupt_degrades(spark, fts_store, tmp_path):
+    """A truncated fts sidecar degrades to the lazy rebuild — the tier
+    itself still loads and fts answers stay correct."""
+    import shutil
+
+    from bikidata_spark import Engine, read_graph
+
+    path = str(tmp_path / "store")
+    shutil.copytree(fts_store, path)
+    with open(os.path.join(path, "_tier", "fts_postings.arrow"), "wb") as f:
+        f.write(b"garbage")
+    eng = Engine(read_graph(spark, path))
+    assert eng._local_tier() is not None  # tier load survived
+    control = Engine(read_graph(spark, path), local_tier_rows=0)
+    got = eng.query({"filters": [{"p": "fts", "o": "val"}], "size": 5})
+    want = control.query({"filters": [{"p": "fts", "o": "val"}], "size": 5})
+    assert got == want
+
+
+def test_fts_artifact_mutations_patch_mirror(spark, fts_store, tmp_path):
+    """Literal inserts on a cold artifact engine patch the loaded
+    mirror (base+overlay) and stay equal to a distributed control."""
+    import shutil
+
+    from bikidata_spark import Engine, read_graph
+
+    path = str(tmp_path / "store")
+    shutil.copytree(fts_store, path)
+    eng = Engine(read_graph(spark, path))
+    control = Engine(read_graph(spark, path), local_tier_rows=0)
+    # serve once from the artifact first (the cold path under test)
+    assert eng.query({"filters": [{"p": "fts", "o": "val"}], "size": 1})["total"]
+    for i in range(3):
+        a = eng.mutate(
+            "insert", [{"s": f"<nf/{i}>", "p": "<p/name>", "o": f'"quokka text {i}"'}]
+        )
+        b = control.mutate(
+            "insert", [{"s": f"<nf/{i}>", "p": "<p/name>", "o": f'"quokka text {i}"'}]
+        )
+        assert a == b and "error" not in a
+    for q in ("quokka", "val", "quokka text"):
+        got = eng.query({"filters": [{"p": "fts", "o": q}], "size": 10, "use_cache": False})
+        want = control.query({"filters": [{"p": "fts", "o": q}], "size": 10, "use_cache": False})
+        assert got == want, f"diverged on {q!r}"
