@@ -496,6 +496,14 @@ class TermDict:
 
     def decode(self, idx: np.ndarray) -> np.ndarray:
         """Values (object array of str) at the given th positions."""
+        if self._arrow is not None and len(idx) > 1024:
+            # bulk path: Arrow take + to_numpy materializes the Python
+            # strings in C (~6x the per-slice loop at millions of rows)
+            import pyarrow as pa
+
+            return self._arrow.take(pa.array(self._ord[idx])).to_numpy(
+                zero_copy_only=False
+            )
         out = np.empty(len(idx), dtype=object)
         blob, st, en = self.blob, self.start, self.end
         for k, i in enumerate(idx.tolist()):
@@ -2030,6 +2038,21 @@ class LocalTier:
             hit = self._global_orders.get(cache_key)
             if hit is not None:
                 return hit
+        out = None
+        try:
+            out = self._global_order_vec(rule, direction, nulls, natural)
+        except Exception:
+            out = None  # any kernel/shape surprise: the Python twin is
+            # the semantics oracle and always available
+        if out is not None:
+            self._vec_order_builds = getattr(self, "_vec_order_builds", 0) + 1
+            if cache_key is not None:
+                with self._order_lock:
+                    while len(self._global_orders) >= 8:
+                        self._global_orders.pop(next(iter(self._global_orders)))
+                    self._global_orders[cache_key] = out
+            return out
+
         keys = self._order_keys_cached(rule)
         desc = direction == "desc"
 
@@ -2089,6 +2112,203 @@ class LocalTier:
                     self._global_orders.pop(next(iter(self._global_orders)))
                 self._global_orders[cache_key] = out
         return out
+
+    def _global_order_vec(self, rule: dict, direction: str, nulls: str, natural: bool):
+        """Vectorized twin of the ``_order_keys`` + ``_global_order``
+        Python path for base-only tiers and label/property rules.
+
+        The cold first ordered page at sf1 paid ~21 s: a ~2M-iteration
+        per-label Python loop (regex extract, language ranking, clean
+        flags) plus a 2M-tuple comparator sort. Here the same
+        semantics run as Arrow/RE2 string kernels over the
+        dictionary's Arrow twin (zero Python strings) and the final
+        order is one int64 ``np.lexsort`` — language rank, DENSE
+        cleaned-label rank (equal exprs share a rank, so ties fall to
+        the s_value tiebreak exactly like the tuple sort), numeric
+        prefix (>18-digit prefixes handled per-element like the
+        Python ``int``/overflow path), null-key group, s_value via
+        ``TermDict.ranks`` (UTF-8 byte order == code-point order ==
+        the Python ``<``). Returns the exact ``_global_order`` tuple,
+        or None to fall back: object_label rules, dictionary overlay
+        (rank collisions possible), tier row overlay, or a post-fold
+        dictionary with no Arrow twin (decode fallback covers it).
+
+        Semantics are pinned two ways: the tier-vs-distributed fuzz
+        (test_order_rule_fuzz_hostile_labels) now exercises THIS path,
+        and test_global_order_vec_matches_python differentials it
+        against the Python twin over the hostile corpus."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        td = self.terms
+        if td.extra:
+            return None
+        by = (rule.get("by") or "label").lower()
+        if by not in ("label", "property"):
+            return None
+        if not (self._live is None and self._sorted_n == self.nrows):
+            return None  # row overlay: python path handles liveness
+        langs = rule.get("lang") or ["de", "en"]
+        mode = (rule.get("mode") or "lex").lower()
+        c = rule.get("clean") or {"trim": True, "lower": mode == "lex"}
+        desc = direction == "desc"
+
+        cached = getattr(self, "_vec_subs_cache", None)
+        if cached is not None:
+            subs, s_rank, svals = cached
+        else:
+            # rule-independent per-tier work: the subject universe, its
+            # value ranks, and the decoded values (the per-rule decode
+            # was the largest non-label cost at sf1's 2M subjects)
+            subs = np.unique(self._s_sorted)
+            sidx, sfound = td.base_indices(subs)
+            subs, sidx = subs[sfound], sidx[sfound]
+            s_rank = td.ranks()[sidx]
+            svals = td.decode(sidx)
+            self._vec_subs_cache = (subs, s_rank, svals)
+
+        prop = RDFS_LABEL_IRI if by == "label" else rule.get("prop")
+        ph = self.v2h.get(prop)
+        if ph is None:
+            s_pair = lh_pair = np.empty(0, dtype=np.int64)
+        else:
+            mask = self.p == ph
+            s_pair, lh_pair = self.s[mask], self.o[mask]
+
+        if lh_pair.size:
+            uniq_lh, inv = np.unique(lh_pair, return_inverse=True)
+        else:
+            uniq_lh = inv = np.empty(0, dtype=np.int64)
+        lidx, lfound = td.base_indices(uniq_lh)
+        lflags = np.zeros(uniq_lh.size, dtype=bool)
+        if lfound.any():
+            lflags[lfound] = td.lit[lidx[lfound]]
+
+        n_l = int(uniq_lh.size)
+        if n_l:
+            if td._arrow is not None:
+                safe = np.where(lfound, lidx, 0)
+                lab_arr = td._arrow.take(pa.array(td._ord[safe]))
+            else:
+                vals = np.empty(n_l, dtype=object)
+                vals[:] = ""
+                if lfound.any():
+                    vals[lfound] = td.decode(lidx[lfound])
+                lab_arr = pa.array(vals.tolist(), type=pa.large_string())
+            if lab_arr.null_count:
+                return None  # dictionary contract violation
+        else:
+            lab_arr = pa.array([], type=pa.large_string())
+
+        def _b(arr):
+            return arr.to_numpy(zero_copy_only=False).astype(bool, copy=False)
+
+        # language preference rank: first matching lang wins (apply in
+        # reverse so earlier langs overwrite), else no-tag, else other
+        rank_u = np.full(n_l, len(langs) + 2, dtype=np.int64)
+        if n_l:
+            rank_u[_b(pc.invert(pc.match_substring_regex(lab_arr, '"@[A-Za-z-]+$')))] = (
+                len(langs) + 1
+            )
+            for i in range(len(langs) - 1, -1, -1):
+                rank_u[_b(pc.ends_with(lab_arr, pattern=f'"@{langs[i]}'))] = i + 1
+
+        # cleaned sort expression (same op order as the Python twin)
+        expr_u = pc.fill_null(
+            pc.struct_field(pc.extract_regex(lab_arr, '^"(?P<e>.+)"'), "e"), ""
+        )
+        if c.get("remove_quotes", False):
+            expr_u = pc.replace_substring_regex(expr_u, '^"|"$', "")
+        if c.get("collapse_space", False):
+            expr_u = pc.replace_substring_regex(expr_u, _JAVA_WS, " ")
+        if c.get("strip_punct", False):
+            expr_u = pc.replace_substring_regex(expr_u, "^[^0-9A-Za-z]+", "")
+        if c.get("trim", True):
+            expr_u = pc.utf8_trim(expr_u, characters=" ")
+        if mode == "lex" and c.get("lower", True):
+            expr_u = pc.utf8_lower(expr_u)
+
+        # dense expr rank: equality-preserving, order-preserving
+        expr_rank_u = np.empty(0, dtype=np.int64)
+        if n_l:
+            esi = pc.sort_indices(expr_u)
+            esorted = expr_u.take(esi)
+            ne = (
+                _b(pc.not_equal(esorted.slice(1), esorted.slice(0, n_l - 1)))
+                if n_l > 1
+                else np.empty(0, dtype=bool)
+            )
+            er_sorted = np.zeros(n_l, dtype=np.int64)
+            np.cumsum(ne, out=er_sorted[1:])
+            expr_rank_u = np.empty(n_l, dtype=np.int64)
+            expr_rank_u[esi.to_numpy(zero_copy_only=False).astype(np.int64)] = er_sorted
+
+        num_u = np.zeros(n_l, dtype=np.int64)
+        num_null_u = np.ones(n_l, dtype=bool)
+        if natural and n_l:
+            nx = pc.struct_field(pc.extract_regex(expr_u, "^(?P<n>[0-9]+)"), "n")
+            valid = _b(nx.is_valid())
+            ln = pc.fill_null(pc.utf8_length(nx), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+            shortm = valid & (ln <= 18)
+            if shortm.any():
+                safe_nx = pc.if_else(pa.array(shortm), nx, "0")
+                casted = pc.cast(safe_nx, pa.int64()).to_numpy(zero_copy_only=False)
+                num_u[shortm] = casted[shortm]
+                num_null_u[shortm] = False
+            longm = valid & (ln > 18)
+            if longm.any():
+                nx_np = nx.to_numpy(zero_copy_only=False)
+                for j in np.flatnonzero(longm).tolist():
+                    v = int(nx_np[j])
+                    if v <= _LONG_MAX:  # try_cast overflow → null
+                        num_u[j] = v
+                        num_null_u[j] = False
+
+        # best label per subject: min (lang_rank, expr) — expr via its
+        # order-preserving dense rank
+        keep = lflags[inv] if inv.size else np.empty(0, dtype=bool)
+        sp_, pi = s_pair[keep], inv[keep]
+        if sp_.size:
+            order = np.lexsort((expr_rank_u[pi], rank_u[pi], sp_))
+            ss = sp_[order]
+            first = np.concatenate(([True], ss[1:] != ss[:-1]))
+            best_s = ss[first]
+            best_ui = pi[order][first]
+        else:
+            best_s = np.empty(0, dtype=np.int64)
+            best_ui = np.empty(0, dtype=np.int64)
+
+        # assemble the final key set over the subject universe
+        if best_s.size:
+            pos = np.searchsorted(best_s, subs)
+            posc = np.minimum(pos, best_s.size - 1)
+            has = best_s[posc] == subs
+            bui = best_ui[posc]
+        else:
+            has = np.zeros(subs.size, dtype=bool)
+            bui = np.zeros(subs.size, dtype=np.int64)
+        nk = np.where(has, 0, -1 if nulls == "first" else 1).astype(np.int64)
+        lblk = np.where(has, expr_rank_u[bui] if n_l else 0, 0).astype(np.int64)
+        if desc:
+            lblk = -lblk
+        if natural:
+            numnk = np.where(has, num_null_u[bui] if n_l else True, True).astype(
+                np.int64
+            )
+            numk = np.where(has & (numnk == 0), num_u[bui] if n_l else 0, 0).astype(
+                np.int64
+            )
+            if desc:
+                numk = -numk
+            order_f = np.lexsort((s_rank, lblk, numk, numnk, nk))
+        else:
+            order_f = np.lexsort((s_rank, lblk, nk))
+        g_subj = subs[order_f]
+        g_vals = svals[order_f]
+        perm = np.argsort(g_subj, kind="stable")
+        return (g_subj, g_vals, g_subj[perm], perm)
 
     def _ordered_page(self, marr: np.ndarray, rule: dict, size: int, start: int):
         """marr: SORTED member hashes → ordered page [(s, s_value)]:

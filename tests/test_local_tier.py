@@ -559,3 +559,75 @@ def test_fts_mirror_rows_budget_headroom(spark, monkeypatch):
     # env override wins over derivation
     monkeypatch.setenv("BIKIDATA_SPARK_LOCAL_TIER_FTS_ROWS", "77")
     assert eng._fts_mirror_rows(_FakeTier()) == eng.local_tier_fts_rows
+
+
+def test_global_order_vec_matches_python(spark):
+    """r11 vectorized _global_order: for every hostile-label rule the
+    Arrow/lexsort path must return EXACTLY what the Python twin
+    (the semantics oracle) returns — and it must actually engage."""
+    import random
+
+    from bikidata_spark import Engine, from_string_quads
+
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    hostile = [
+        "  leading spaces", "trailing\t tab\t", " nbsp figure",
+        "İstanbul", "ßharp", "STRASSE", "strasse", "123 numeric", "0123 pad",
+        "99999999999999999999 overflow", "9223372036854775807 max",
+        '"inner quotes"', "mixed   SPACE\truns", "~punct!lead", "\x0bvtab",
+        "Ωmega", "émigré", "é combining", "", " ", "ümlaut",
+    ]
+    quads = []
+    rng = random.Random(7)
+    for i in range(150):
+        e = f"<e/{i}>"
+        quads.append((e, "<p/type>", "<t/x>", ""))
+        for _ in range(rng.randint(0, 3)):
+            txt = rng.choice(hostile)
+            lang = rng.choice(["", "@en", "@de", "@tr", "@x-klingon"])
+            quads.append((e, label, f'"{txt}"{lang}', ""))
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    ).cache()
+    eng = Engine(g)
+    eng.query({"filters": [{"p": "<p/type>", "o": "<t/x>"}], "size": 1})
+    tier = eng._local_tier()
+    assert tier is not None
+    engaged = 0
+    for trial in range(40):
+        rule = {"by": "label"}
+        if rng.random() < 0.5:
+            rule["lang"] = rng.sample(["en", "de", "tr", "fr"], rng.randint(1, 3))
+        if rng.random() < 0.5:
+            rule["mode"] = rng.choice(["lex", "raw"])
+        if rng.random() < 0.6:
+            rule["clean"] = {
+                k: rng.random() < 0.5
+                for k in ("trim", "lower", "remove_quotes", "collapse_space", "strip_punct")
+            }
+        if rng.random() < 0.5:
+            rule["natural"] = True
+        rule["dir"] = rng.choice(["asc", "desc"])
+        rule["nulls"] = rng.choice(["first", "last"])
+        direction = rule["dir"]
+        nulls = rule["nulls"]
+        natural = bool(rule.get("natural", False))
+        vec = tier._global_order_vec(rule, direction, nulls, natural)
+        # the python twin, bypassing the vec hook and the cache
+        tier._global_orders.clear()
+
+        import bikidata_spark.plans.local_tier as lt
+
+        orig = lt.LocalTier._global_order_vec
+        lt.LocalTier._global_order_vec = lambda self, *a, **k: None
+        try:
+            py = tier._global_order(rule)
+        finally:
+            lt.LocalTier._global_order_vec = orig
+        assert vec is not None, f"trial {trial}: vec did not engage for {rule}"
+        engaged += 1
+        for a, b, name in zip(vec, py, ("g_subj", "g_vals", "subj_sorted", "perm")):
+            assert a.tolist() == b.tolist(), (
+                f"trial {trial}: {name} diverged for rule {rule}"
+            )
+    assert engaged == 40
