@@ -3090,8 +3090,34 @@ class Engine:
         with self._cache_lock:
             if key in self._paths_edge_maps:
                 return self._paths_edge_maps[key]
-        rows = self._paths_edges(prop).limit(_LOCAL_PATHS_EDGES + 1).collect()
         result: dict | None
+        st = self._local_tier_state
+        if st is not None and st[0] == self._graph_generation and st[1] is not None:
+            # tier-resident: the SAME (child=s, parent=o) edge rows for
+            # p==hash(prop) come straight off the quad arrays — a cold
+            # engine's first paths query then schedules ZERO jobs (r11;
+            # was one edge-frame collect)
+            t = st[1]
+            ph = t.v2h.get(prop)
+            if ph is None:
+                rows = []
+            else:
+                mask = t._lv(t.p == ph)
+                ch, par = t.s[mask], t.o[mask]
+                rows = list(zip(ch.tolist(), par.tolist()))
+            if len(rows) > _LOCAL_PATHS_EDGES:
+                result = None
+            else:
+                result = {}
+                for child, parent in rows:
+                    result.setdefault(child, []).append(parent)
+            with self._cache_lock:
+                if key[0] == self._graph_generation:
+                    self._paths_edge_maps[key] = result
+                    if result is not None:
+                        self._paths_edge_map_sizes[key] = len(rows)
+            return result
+        rows = self._paths_edges(prop).limit(_LOCAL_PATHS_EDGES + 1).collect()
         if len(rows) > _LOCAL_PATHS_EDGES:
             result = None
         else:
