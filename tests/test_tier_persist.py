@@ -378,3 +378,42 @@ def test_fts_artifact_mutations_patch_mirror(spark, fts_store, tmp_path):
         got = eng.query({"filters": [{"p": "fts", "o": q}], "size": 10, "use_cache": False})
         want = control.query({"filters": [{"p": "fts", "o": q}], "size": 10, "use_cache": False})
         assert got == want, f"diverged on {q!r}"
+
+
+def test_cold_order_and_paths_zero_jobs(spark, store):
+    """r11 cold-surface completion: a cold Engine's FIRST ordered page
+    (vectorized order build) and FIRST paths walk (edge map off the
+    tier arrays) schedule zero Spark jobs."""
+    from bikidata_spark import Engine, read_graph
+
+    eng = Engine(read_graph(spark, store))
+    sc = spark.sparkContext
+    sc.setJobGroup("cold-op", "probe")
+    try:
+        ro = eng.query(
+            {
+                "filters": [{"p": "<p/name>"}],
+                "order": [{"by": "label", "dir": "desc"}],
+                "size": 5,
+            }
+        )
+        rp = eng.query(
+            {"filters": [{"p": "id", "o": "<c/7>"}], "paths": ["<p/ref>"], "size": 1}
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("cold-op")
+    finally:
+        sc.setJobGroup(None, None)
+    assert ro["total"] == 400 and rp["total"] == 1
+    assert len(jobs) == 0, f"cold order/paths scheduled Spark jobs: {jobs}"
+    # and they answered the same as a distributed control engine
+    control = Engine(read_graph(spark, store), local_tier_rows=0)
+    assert ro == control.query(
+        {
+            "filters": [{"p": "<p/name>"}],
+            "order": [{"by": "label", "dir": "desc"}],
+            "size": 5,
+        }
+    )
+    assert rp == control.query(
+        {"filters": [{"p": "id", "o": "<c/7>"}], "paths": ["<p/ref>"], "size": 1}
+    )
