@@ -147,7 +147,7 @@ class _LocalFts:
     sides (reference: DuckDB fts match_bm25, reference query.py:187-210).
     """
 
-    OVERLAY_FOLD = 16384
+    OVERLAY_FOLD = _OVERLAY_FOLD  # same knob as LocalTier/TermDict
 
     def __init__(
         self,
@@ -1393,7 +1393,20 @@ class LocalTier:
                 if engine._fts is not None and st[0] is engine._fts:
                     return st[1]
                 if st[0] is ARTIFACT_FTS and engine._fts is None:
-                    return st[1]
+                    # same stem/strip env check as the parent ARTIFACT_FTS
+                    # path below: if BIKIDATA_FTS_SETTINGS asks for a
+                    # different tokenization than the artifact was built
+                    # with, the child must NOT serve it — bail to the
+                    # parent (env read only; schedules no Spark work).
+                    from ..operators.fts import fts_settings_from_env
+
+                    s = fts_settings_from_env()
+                    lf = st[1]
+                    if (
+                        lf.stem == (s.get("stemmer") == "porter")
+                        and lf.strip == bool(s.get("strip_accents", 1))
+                    ):
+                        return lf
             return None
         st = self._fts_state
         if st is not None and st[0] is ARTIFACT_FTS and st[1] is not None:
@@ -2226,7 +2239,22 @@ class LocalTier:
         if c.get("trim", True):
             expr_u = pc.utf8_trim(expr_u, characters=" ")
         if mode == "lex" and c.get("lower", True):
-            expr_u = pc.utf8_lower(expr_u)
+            # pc.utf8_lower diverges from Python/JVM lower() on a few
+            # Unicode cases (final sigma: 'ΑΣ'→'ασ' vs 'ας'; dotted
+            # capital I: 'İ'→'istanbul' vs 'i̇stanbul').  The distributed
+            # twin uses Spark's lower(), which matches str.lower(), so
+            # lower the non-ASCII subset via Python to stay bit-equal.
+            if n_l:
+                ascii_mask = _b(pc.string_is_ascii(expr_u))
+                lowered = pc.ascii_lower(expr_u)
+                if ascii_mask.all():
+                    expr_u = lowered
+                else:
+                    vals = lowered.to_pylist()
+                    raw = expr_u.to_pylist()
+                    for j in np.flatnonzero(~ascii_mask).tolist():
+                        vals[j] = raw[j].lower()
+                    expr_u = pa.array(vals, type=pa.large_string())
 
         # dense expr rank: equality-preserving, order-preserving
         expr_rank_u = np.empty(0, dtype=np.int64)
@@ -2900,8 +2928,15 @@ def load_tier(dir_path: str) -> LocalTier | None:
                 fp = pa.ipc.open_file(
                     pa.memory_map(os.path.join(dir_path, "fts_postings.arrow"))
                 ).read_all().combine_chunks()
-                w = int(fm["token_width"])
                 tokc = col(ft, "token")
+                # width comes from the sidecar's OWN Arrow type; a crash
+                # between the fts sidecar writes and the meta.json rename
+                # can pair old meta with new sidecars, and decoding with
+                # a stale width silently garbles tokens — treat any
+                # width disagreement as corruption (skip the mirror).
+                w = int(tokc.type.byte_width)
+                if w != int(fm["token_width"]):
+                    raise ValueError("fts token width mismatch")
                 ntok = len(tokc)
                 if ntok:
                     toks = np.frombuffer(

@@ -3099,23 +3099,28 @@ class Engine:
             # was one edge-frame collect)
             t = st[1]
             ph = t.v2h.get(prop)
+            n_rows = 0
             if ph is None:
-                rows = []
+                result = {}
             else:
                 mask = t._lv(t.p == ph)
                 ch, par = t.s[mask], t.o[mask]
-                rows = list(zip(ch.tolist(), par.tolist()))
-            if len(rows) > _LOCAL_PATHS_EDGES:
-                result = None
-            else:
-                result = {}
-                for child, parent in rows:
-                    result.setdefault(child, []).append(parent)
+                n_rows = int(ch.size)
+                if n_rows > _LOCAL_PATHS_EDGES:
+                    # over-cap: short-circuit BEFORE materializing the
+                    # Python tuples (a byte-budgeted tier can hold far
+                    # more edges than the cap; building millions of
+                    # tuples just to discard them is a memory spike)
+                    result = None
+                else:
+                    result = {}
+                    for child, parent in zip(ch.tolist(), par.tolist()):
+                        result.setdefault(child, []).append(parent)
             with self._cache_lock:
                 if key[0] == self._graph_generation:
                     self._paths_edge_maps[key] = result
                     if result is not None:
-                        self._paths_edge_map_sizes[key] = len(rows)
+                        self._paths_edge_map_sizes[key] = n_rows
             return result
         rows = self._paths_edges(prop).limit(_LOCAL_PATHS_EDGES + 1).collect()
         if len(rows) > _LOCAL_PATHS_EDGES:
