@@ -576,6 +576,11 @@ def test_global_order_vec_matches_python(spark):
         "99999999999999999999 overflow", "9223372036854775807 max",
         '"inner quotes"', "mixed   SPACE\truns", "~punct!lead", "\x0bvtab",
         "Ωmega", "émigré", "é combining", "", " ", "ümlaut",
+        # r12: strings that sort BETWEEN pc.utf8_lower and str.lower()
+        # divergent forms — 'İstanbul'.lower() is 'i̇stanbul'
+        # (> 'ix') while utf8_lower gives 'istanbul' (< 'ix');
+        # final-sigma 'ΑΣ'.lower() is 'ας' vs utf8_lower 'ασ'
+        "ix", "iz", "ΑΣ", "ασ", "ας", "ΑΤΛΑΣ", "ατ",
     ]
     quads = []
     rng = random.Random(7)
