@@ -186,6 +186,18 @@ def main(argv: list[str]) -> int:
             eng.query({"filters": [{"p": "fts", "o": "warm"}], "size": 1})
         except Exception:
             pass  # IRI-only store: no literals to index
+        try:
+            # warm the default label ordering so the artifact carries
+            # its order-index sidecar (r12): a cold engine's first
+            # ordered page is then a file read, not a 2-3 s label
+            # pass. Seeded directly on the tier — the global order is
+            # corpus-wide, independent of any filter's member set.
+            tier = eng._local_tier()
+            if tier is not None:
+                tier._global_order({"by": "label"})
+                tier._global_order({"by": "label", "dir": "desc"})
+        except Exception:
+            pass
         meta = eng.persist_tier(argv[1])
         if meta is None:
             print(json.dumps({"error": "graph is over the tier cap, nothing to persist"}))

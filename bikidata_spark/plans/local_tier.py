@@ -899,6 +899,12 @@ class LocalTier:
         # the member set (the difference between O(page) and
         # O(members log members) per request)
         self._global_orders: dict = {}
+        # unloaded order-index sidecars from a persisted tier artifact
+        # (r12): {(sig, dir, nulls): (path, n_rows)} — the first ordered
+        # page for a persisted rule mmap-reads the precomputed order
+        # instead of paying the label-derivation kernels (~2.4-3.3 s at
+        # sf1 cold). Entries move into _global_orders on first use.
+        self._order_sidecars: dict = {}
         self._order_lock = threading.Lock()
         # lazily-built _LocalFts keyed by the engine's FtsIndex object
         # identity (a load_fts/replace swaps the object); None value =
@@ -1298,7 +1304,9 @@ class LocalTier:
         resolves to the new hash and is correctly dropped."""
         import json
 
-        if not (self._order_key_maps or self._global_orders):
+        if not (
+            self._order_key_maps or self._global_orders or self._order_sidecars
+        ):
             return
         touched_p: set = set()
         if ins_rows:
@@ -1334,6 +1342,12 @@ class LocalTier:
         for ck, v in self._global_orders.items():
             if touched_p.isdisjoint(footprint(ck[0])):
                 t._global_orders[ck] = v
+        # unloaded sidecars obey the same validity argument: the
+        # subject set is unchanged (probed above) and the rule's
+        # footprint untouched, so the on-disk order still holds
+        for ck, v in self._order_sidecars.items():
+            if touched_p.isdisjoint(footprint(ck[0])):
+                t._order_sidecars[ck] = v
 
     # ---- small helpers -------------------------------------------------
 
@@ -2051,6 +2065,19 @@ class LocalTier:
             hit = self._global_orders.get(cache_key)
             if hit is not None:
                 return hit
+            sc = self._order_sidecars.get(cache_key)
+            if sc is not None:
+                out = _load_order_sidecar(*sc)
+                with self._order_lock:
+                    self._order_sidecars.pop(cache_key, None)
+                if out is not None:
+                    with self._order_lock:
+                        while len(self._global_orders) >= 8:
+                            self._global_orders.pop(
+                                next(iter(self._global_orders))
+                            )
+                        self._global_orders[cache_key] = out
+                    return out
         out = None
         try:
             out = self._global_order_vec(rule, direction, nulls, natural)
@@ -2821,11 +2848,116 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
                 os.remove(os.path.join(dir_path, fn))
             except OSError:
                 pass
+    # order-index sidecars (r12): the ≤4 most recently used global
+    # orders ride along, so a fresh process's first ordered page for a
+    # rule seen before persist is a file read (~0.3 s at sf1), not the
+    # 2.4-3.3 s label-derivation pass. Same tmp+rename / meta-last
+    # discipline; the loader validates per-sidecar row counts and
+    # permutation bounds and degrades to the lazy rebuild on mismatch.
+    orders_meta = []
+    for (sig, odir, onulls), ent in list(tier._global_orders.items())[-4:]:
+        g_subj, g_vals, _ss, perm = ent
+        try:
+            vals = pa.array(g_vals.tolist(), type=pa.large_string())
+        except (pa.ArrowInvalid, TypeError):
+            continue
+        if vals.null_count:
+            continue
+        name = f"order_{len(orders_meta)}.arrow"
+        _write(
+            name,
+            pa.table(
+                {
+                    "s": pa.array(g_subj, pa.int64()),
+                    "val": vals,
+                    "perm": pa.array(perm, pa.int64()),
+                }
+            ),
+        )
+        orders_meta.append(
+            {
+                "file": name,
+                "sig": sig,
+                "dir": odir,
+                "nulls": onulls,
+                "n": int(g_subj.size),
+            }
+        )
+    if orders_meta:
+        meta["orders"] = orders_meta
+    i = len(orders_meta)
+    while True:  # drop stale sidecars a previous persist left behind
+        stale = os.path.join(dir_path, f"order_{i}.arrow")
+        if not os.path.exists(stale):
+            break
+        os.remove(stale)
+        i += 1
     tmp = os.path.join(dir_path, ".meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(dir_path, "meta.json"))
     return meta
+
+
+class _SidecarVals:
+    """Lazy page-value column for sidecar-loaded global orders: the
+    mmap'd Arrow large_string column stands in for the numpy object
+    array the in-process build produces. A page fancy-indexes only its
+    size-many values (``vals[sel].tolist()``), so converting all ~2M
+    strings to Python objects up front (~0.5 s at sf1) would be pure
+    cold-start waste; ``tolist`` keeps re-persist working."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr) -> None:
+        self.arr = arr
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __getitem__(self, idx):
+        import pyarrow as pa
+
+        if isinstance(idx, np.ndarray):
+            return _SidecarVals(self.arr.take(pa.array(idx)))
+        return self.arr[idx].as_py()
+
+    def tolist(self) -> list:
+        return self.arr.to_pylist()
+
+
+def _load_order_sidecar(path: str, n: int):
+    """mmap-read one persisted global-order sidecar back into the
+    (g_subj, g_vals, subj_sorted, perm) tuple ``_global_order`` caches.
+    Any mismatch (crash-window stale meta, truncated file, nulls,
+    out-of-range permutation) returns None — the order rebuilds from
+    the tier arrays: slower, never wrong."""
+    import pyarrow as pa
+
+    try:
+        tbl = pa.ipc.open_file(pa.memory_map(path)).read_all().combine_chunks()
+        if tbl.num_rows != n:
+            return None
+        g_subj = (
+            tbl.column("s")
+            .chunk(0)
+            .to_numpy(zero_copy_only=True)
+            .astype(np.int64, copy=False)
+        )
+        perm = (
+            tbl.column("perm")
+            .chunk(0)
+            .to_numpy(zero_copy_only=True)
+            .astype(np.int64, copy=False)
+        )
+        vals_col = tbl.column("val").chunk(0)
+        if vals_col.null_count or perm.size != g_subj.size:
+            return None
+        if perm.size and (perm.min() < 0 or perm.max() >= perm.size):
+            return None
+        return (g_subj, _SidecarVals(vals_col), g_subj[perm], perm)
+    except (OSError, KeyError, ValueError, pa.ArrowInvalid):
+        return None
 
 
 def tier_meta(dir_path: str) -> dict | None:
@@ -2967,6 +3099,17 @@ def load_tier(dir_path: str) -> LocalTier | None:
                     tier._fts_state = (ARTIFACT_FTS, lf)
             except (OSError, KeyError, ValueError, pa.ArrowInvalid):
                 pass
+        for om in meta.get("orders") or []:
+            # register unloaded: the first ordered page for this rule
+            # pays one sidecar mmap-read (_load_order_sidecar), never
+            # the eager cost for rules this process won't use
+            try:
+                pth = os.path.join(dir_path, om["file"])
+                key = (str(om["sig"]), str(om["dir"]), str(om["nulls"]))
+                if os.path.exists(pth):
+                    tier._order_sidecars[key] = (pth, int(om["n"]))
+            except (KeyError, TypeError, ValueError):
+                continue
         return tier
     except (OSError, KeyError, ValueError, pa.ArrowInvalid):
         return None

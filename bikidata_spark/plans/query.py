@@ -159,6 +159,29 @@ _DRIVER_ORDER = os.environ.get("BIKIDATA_SPARK_DRIVER_ORDER", "auto")
 _DRIVER_ORDER_MAX_ROWS = int(
     os.environ.get("BIKIDATA_SPARK_DRIVER_ORDER_MAX_ROWS", "16000000")
 )
+# resident order-index entry pricing: s (int64) + label rank (int64) +
+# natural-prefix num/num_null (int64 + bool) per labeled subject
+_ORDER_ENTRY_BYTES_PER_ROW = 25
+# ONE number bounds TOTAL driver residency (r12): every driver-resident
+# structure registers its measured bytes in Engine._residency_ledger
+# ("tier", "term_cache", "hop_index", "order_index:<sig>",
+# "paths_edges:<prop>"), and the aux indexes charge their priced cost —
+# INCLUDING the transient collect (the order index's label blob is
+# sized with a count+octet_length aggregation BEFORE toArrow, the
+# _term_dict discipline) — against budget − ledger-total before
+# admitting. Default budget = tier budget + dictionary budget, exactly
+# the envelope the per-structure gates already allowed; the FTS mirror
+# spends the tier budget's own headroom and is accounted inside the
+# tier entry (its 8M-posting floor adds ≤ ~512 MB of documented
+# slack). Env is read per call so serving operators can retune live.
+def _residency_budget_env():
+    env = os.environ.get("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES")
+    if env is None:
+        return None
+    try:
+        return int(env)
+    except ValueError:
+        return None
 
 def patch_paths_edges(edges_map, prop_hash, ins_rows, del_idx, s_col, p_col, o_col):
     """Apply one mutation's edge delta to a driver-resident
@@ -431,6 +454,10 @@ class Engine:
     # the second-sighting set. See _order_driver_index.
     _order_idx_cache: dict = field(default_factory=dict, repr=False)
     _order_idx_seen: set = field(default_factory=set, repr=False)
+    # measured bytes of every driver-resident structure, keyed by name —
+    # one ledger, one budget (_residency_budget) bounds the driver's
+    # total data residency. Guarded by _cache_lock.
+    _residency_ledger: dict = field(default_factory=dict, repr=False)
     _mutations_since_ckpt: int = field(default=0, repr=False)
     # observability (surfaced via cache_stats → Serving.status())
     _mutations_patched: int = field(default=0, repr=False)
@@ -512,6 +539,15 @@ class Engine:
             self._paths_edge_map_sizes = {}
             self._local_tier_state = None
             self._term_cache_state = None
+            # generation-scoped residency drops with its structures;
+            # the hop index entry stays — _hop_idx_state is base-keyed
+            # and its arrays remain referenced until a rebuild evicts
+            # them, so the ledger keeps telling the truth
+            self._residency_ledger = {
+                k: v
+                for k, v in self._residency_ledger.items()
+                if k == "hop_index"
+            }
 
     # ---- mutations -------------------------------------------------------
     def mutate(self, action: str, data: list[dict], are_hashes: bool = False) -> dict:
@@ -594,6 +630,9 @@ class Engine:
                                         term_cache.add(h, v, v.startswith('"'))
                         self._term_cache_state = (
                             self._graph_generation, term_cache
+                        )
+                        self._register_residency(
+                            "term_cache", term_cache.nbytes
                         )
                     self._maybe_checkpoint_lineage()
                 return result
@@ -895,8 +934,17 @@ class Engine:
             )
             try:
                 n = edges.count()
-                if n > _DRIVER_HOP_MAX_EDGES:
+                other = sum(
+                    v
+                    for k, v in self._residency_ledger.items()
+                    if k != "hop_index"
+                )
+                if (
+                    n > _DRIVER_HOP_MAX_EDGES
+                    or other + n * 16 > self._residency_budget()
+                ):
                     self._hop_idx_state = (base, None)  # sized: too big
+                    self._residency_ledger.pop("hop_index", None)
                     return None
                 pdf = edges.toPandas()
             finally:
@@ -909,6 +957,7 @@ class Engine:
             order = np.argsort(o, kind="stable")
             idx = (o[order], s[order])
             self._hop_idx_state = (base, idx)
+            self._residency_ledger["hop_index"] = idx[0].nbytes + idx[1].nbytes
             return idx
 
     def _walk_up_driver(self, idx, pdf, hops: int, carry: tuple):
@@ -1024,6 +1073,9 @@ class Engine:
         ):
             new_tier = None
         self._local_tier_state = (self._graph_generation, new_tier)
+        self._register_residency(
+            "tier", new_tier.approx_bytes if new_tier is not None else None
+        )
         self._last_tier_delta = {
             "ins": list(ins_rows),
             "del": del_rows,
@@ -1063,9 +1115,13 @@ class Engine:
                 )
                 if size + d > _LOCAL_PATHS_EDGES:
                     self._paths_edge_maps[(gen, prop)] = None
+                    self._residency_ledger.pop("paths_edges:" + prop, None)
                 else:
                     self._paths_edge_maps[(gen, prop)] = m2
                     self._paths_edge_map_sizes[(gen, prop)] = size + d
+                    self._residency_ledger["paths_edges:" + prop] = (
+                        (size + d) * 96
+                    )
 
     def _swap_graph_keep_fts(self, graph: Graph) -> None:
         """replace_graph, preserving the built FTS index.
@@ -2479,15 +2535,41 @@ class Engine:
         frame = self._order_keys_cached(rule)
         if frame is None:
             return None
+        ledger_key = "order_index:" + key[1]
+        # byte-price BEFORE collecting (r12): one bounded aggregation
+        # over the persisted index (count + label octet_length — the
+        # _term_dict sizing discipline) rejects a hostile-length label
+        # corpus without the driver ever holding its blob. The charge
+        # covers the transient Arrow label column (blob + ~16 B/row of
+        # offsets) plus the resident int64 entry, against the single
+        # residency budget minus everything already resident.
+        srow = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("sort_label")).alias("b"),
+        ).first()
+        n_sized = int(srow["n"])
+        lbl_bytes = int(srow["b"] or 0)
+        with self._cache_lock:
+            other = sum(
+                v for k, v in self._residency_ledger.items() if k != ledger_key
+            )
+        if (
+            n_sized > _DRIVER_ORDER_MAX_ROWS
+            or other
+            + _ORDER_ENTRY_BYTES_PER_ROW * n_sized
+            + lbl_bytes
+            + 16 * n_sized
+            > self._residency_budget()
+        ):
+            with self._cache_lock:
+                self._order_idx_cache[key] = "over_cap"
+                self._residency_ledger.pop(ledger_key, None)
+            return None
         import pyarrow as pa
         import pyarrow.compute as pc
 
         tbl = frame.toArrow().combine_chunks()
         n = tbl.num_rows
-        if n > _DRIVER_ORDER_MAX_ROWS:
-            with self._cache_lock:
-                self._order_idx_cache[key] = "over_cap"
-            return None
         if n == 0:
             ent = (
                 np.empty(0, dtype=np.int64),
@@ -2526,12 +2608,19 @@ class Engine:
                     .astype(np.int64, copy=False)[perm]
                 )
             ent = (s_arr[perm], rank[perm], num, num_null)
+        ent_bytes = sum(a.nbytes for a in ent if a is not None)
         with self._cache_lock:
             if key[0] != self._graph_generation:
                 return ent  # graph swapped mid-build: usable, not cached
             while len(self._order_idx_cache) >= self._ORDER_IDX_MAX:
-                self._order_idx_cache.pop(next(iter(self._order_idx_cache)))
+                evicted_key = next(iter(self._order_idx_cache))
+                self._order_idx_cache.pop(evicted_key)
+                self._residency_ledger.pop(
+                    "order_index:" + evicted_key[1], None
+                )
             self._order_idx_cache[key] = ent
+            if ent_bytes:
+                self._residency_ledger[ledger_key] = ent_bytes
             return ent
 
     def _order_page_driver(
@@ -3121,6 +3210,10 @@ class Engine:
                     self._paths_edge_maps[key] = result
                     if result is not None:
                         self._paths_edge_map_sizes[key] = n_rows
+                        # ledger: ~96 B/edge of dict-of-lists overhead
+                        self._residency_ledger["paths_edges:" + prop] = (
+                            n_rows * 96
+                        )
             return result
         rows = self._paths_edges(prop).limit(_LOCAL_PATHS_EDGES + 1).collect()
         if len(rows) > _LOCAL_PATHS_EDGES:
@@ -3134,6 +3227,9 @@ class Engine:
                 self._paths_edge_maps[key] = result
                 if result is not None:
                     self._paths_edge_map_sizes[key] = len(rows)
+                    self._residency_ledger["paths_edges:" + prop] = (
+                        len(rows) * 96
+                    )
         return result
 
     def _paths_local_rows(self, edges_map: dict, subject_hashes) -> list | None:
@@ -3237,6 +3333,42 @@ class Engine:
         )
 
     # ---- full query (reference-shaped result) -------------------------
+    def _residency_budget(self) -> int:
+        """The single byte budget bounding total driver residency.
+        Env ``BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES`` wins; otherwise
+        tier budget + dictionary budget (the envelope the per-structure
+        gates already allowed — see _residency_budget_env)."""
+        env = _residency_budget_env()
+        if env is not None:
+            return env
+        return max(self.local_tier_bytes, 0) + max(self.term_cache_bytes, 0)
+
+    def _register_residency(self, name: str, nbytes) -> None:
+        """Record (or, with falsy ``nbytes``, drop) one driver-resident
+        structure's measured bytes. Callers already holding
+        ``_cache_lock`` must mutate ``_residency_ledger`` inline
+        instead (the lock is not reentrant)."""
+        with self._cache_lock:
+            if not nbytes:
+                self._residency_ledger.pop(name, None)
+            else:
+                self._residency_ledger[name] = int(nbytes)
+
+    def _residency_other_bytes(self) -> int:
+        with self._cache_lock:
+            return sum(self._residency_ledger.values())
+
+    def driver_residency(self) -> dict:
+        """Observability: measured bytes per driver-resident structure,
+        their total, and the one budget that bounds them."""
+        with self._cache_lock:
+            ledger = dict(self._residency_ledger)
+        return {
+            "structures": ledger,
+            "total_bytes": sum(ledger.values()),
+            "budget_bytes": self._residency_budget(),
+        }
+
     def _fts_mirror_rows(self, tier) -> int:
         """Effective postings-row cap for the driver FTS mirror.
 
@@ -3280,6 +3412,9 @@ class Engine:
                     self, self.local_tier_rows, self.local_tier_bytes
                 )
             self._local_tier_state = (gen, tier)
+            self._register_residency(
+                "tier", tier.approx_bytes if tier is not None else None
+            )
             return tier
 
     def _load_persisted_tier(self):
@@ -3808,6 +3943,9 @@ class Engine:
                     self.graph.terms.select("hash", "value", "is_literal").toArrow()
                 )
             self._term_cache_state = (gen, td)
+            self._register_residency(
+                "term_cache", td.nbytes if td is not None else None
+            )
             return td
 
     def _term_values(self, hashes) -> dict:

@@ -524,6 +524,58 @@ def test_driver_order_index_differential(spark, monkeypatch):
         compare(opts, "battery-repeat")
 
 
+def test_driver_order_index_byte_priced(spark, monkeypatch):
+    """r12: the order index is priced in BYTES against the single
+    driver-residency budget (BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES) —
+    long multibyte labels far under the 16M row cap must reject the
+    index BEFORE the label blob is collected (over_cap marker, no
+    ledger entry, identical distributed results); a budget that fits
+    admits it and registers its measured bytes, and driver_residency()
+    exposes the one number that bounds total residency."""
+    import bikidata_spark.plans.query as Q
+    from bikidata_spark import Engine, from_string_quads
+
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    big = "ü" * 4000  # 8 KB of UTF-8 per label — 40 rows ≈ 320 KB
+    quads = []
+    for i in range(40):
+        e = f"<e/{i}>"
+        quads.append((e, "<p/type>", "<t/x>", ""))
+        quads.append((e, label, f'"{big}{i:04d}"', ""))
+    g = from_string_quads(
+        spark.createDataFrame(quads, "s string, p string, o string, g string")
+    ).cache()
+    opts = {
+        "filters": [{"p": "<p/type>", "o": "<t/x>"}],
+        "size": 40,
+        "order": {"by": "label"},
+        "use_cache": False,
+    }
+    monkeypatch.setattr(Q, "_DRIVER_ORDER", "1")
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", "100000")
+    eng = Engine(g, local_tier_rows=0)
+    a = eng.query(dict(opts))
+    assert "over_cap" in eng._order_idx_cache.values()
+    assert not any(
+        k.startswith("order_index:") for k in eng._residency_ledger
+    )
+    monkeypatch.setattr(Q, "_DRIVER_ORDER", "0")
+    plain = Engine(g, local_tier_rows=0)
+    assert a == plain.query(dict(opts)), "distributed fallback diverged"
+    # a budget that fits admits the index and the ledger prices it
+    monkeypatch.setenv(
+        "BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(64 * 1024**2)
+    )
+    monkeypatch.setattr(Q, "_DRIVER_ORDER", "1")
+    eng2 = Engine(g, local_tier_rows=0)
+    b = eng2.query(dict(opts))
+    assert b == a
+    res = eng2.driver_residency()
+    assert any(k.startswith("order_index:") for k in res["structures"])
+    assert 0 < res["total_bytes"] <= res["budget_bytes"]
+    assert res["budget_bytes"] == 64 * 1024**2
+
+
 def test_fts_mirror_rows_budget_headroom(spark, monkeypatch):
     """The FTS mirror's postings-row cap spends the byte-budget
     headroom the admitted tier left (priced 64 B/posting), floored at

@@ -417,3 +417,96 @@ def test_cold_order_and_paths_zero_jobs(spark, store):
     assert rp == control.query(
         {"filters": [{"p": "id", "o": "<c/7>"}], "paths": ["<p/ref>"], "size": 1}
     )
+
+
+def test_order_sidecar_cold_first_page(spark, tmp_path_factory):
+    """r12 (r11 verdict item 5): an ordered rule seen before persist
+    rides the artifact as an order-index sidecar (`order_0.arrow`), and
+    a fresh Engine's first ordered page for that rule is served FROM
+    the sidecar — proven structurally: the vec builder and the Python
+    twin's key source are both disabled, so only the sidecar can
+    answer — with zero Spark jobs; a corrupt sidecar degrades to the
+    lazy rebuild with identical results."""
+    import bikidata_spark.plans.local_tier as lt
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    path = str(tmp_path_factory.mktemp("ordstore") / "store")
+    write_graph(_mk_graph(spark), path)
+    opts = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "label", "dir": "desc"}],
+        "size": 5,
+        "use_cache": False,
+    }
+    warm = Engine(read_graph(spark, path))
+    want = warm.query(dict(opts))
+    assert warm.persist_tier(path) is not None
+    with open(os.path.join(path, "_tier", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta.get("orders"), "persist did not carry the seen order"
+    assert os.path.exists(os.path.join(path, "_tier", "order_0.arrow"))
+
+    cold = Engine(read_graph(spark, path))
+    tier = cold._local_tier()
+    assert tier is not None and tier._order_sidecars
+    orig_vec = lt.LocalTier._global_order_vec
+    orig_keys = lt.LocalTier._order_keys_cached
+
+    def boom(self, *a, **k):
+        raise AssertionError("order rebuilt instead of sidecar-served")
+
+    lt.LocalTier._global_order_vec = lambda self, *a, **k: None
+    lt.LocalTier._order_keys_cached = boom
+    sc = spark.sparkContext
+    sc.setJobGroup("order-sidecar", "probe")
+    try:
+        got = cold.query(dict(opts))
+        jobs = sc.statusTracker().getJobIdsForGroup("order-sidecar")
+    finally:
+        sc.setJobGroup(None, None)
+        lt.LocalTier._global_order_vec = orig_vec
+        lt.LocalTier._order_keys_cached = orig_keys
+    assert got == want
+    assert len(jobs) == 0, f"sidecar page scheduled Spark jobs: {jobs}"
+    assert not tier._order_sidecars  # consumed into _global_orders
+
+    # corruption degrades to the rebuild, never a wrong answer
+    sidecar = os.path.join(path, "_tier", "order_0.arrow")
+    with open(sidecar, "r+b") as f:
+        f.truncate(32)
+    broken = Engine(read_graph(spark, path))
+    assert broken.query(dict(opts)) == want
+
+
+def test_order_sidecar_mutation_footprint(spark, tmp_path_factory):
+    """Unloaded sidecars follow the same carry rules as loaded global
+    orders: a mutation outside the rule's footprint keeps the sidecar;
+    one touching the label property drops it (and the ordered page
+    stays correct either way)."""
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    path = str(tmp_path_factory.mktemp("ordmut") / "store")
+    write_graph(_mk_graph(spark), path)
+    opts = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "label"}],
+        "size": 5,
+        "use_cache": False,
+    }
+    warm = Engine(read_graph(spark, path))
+    warm.query(dict(opts))
+    assert warm.persist_tier(path) is not None
+
+    eng = Engine(read_graph(spark, path))
+    assert eng._local_tier()._order_sidecars
+    # non-label edge on an existing subject: footprint-disjoint, carried
+    r = eng.mutate("insert", [{"s": "<c/1>", "p": "<p/ref2>", "o": "<c/2>"}])
+    assert "error" not in r
+    assert eng._local_tier()._order_sidecars, "disjoint mutation dropped sidecar"
+    # label literal insert: in-footprint, dropped
+    label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    r = eng.mutate("insert", [{"s": "<c/1>", "p": label, "o": '"Zz new"'}])
+    assert "error" not in r
+    assert not eng._local_tier()._order_sidecars, "label mutation kept sidecar"
+    control = Engine(eng.graph, local_tier_rows=0)
+    assert eng.query(dict(opts)) == control.query(dict(opts))

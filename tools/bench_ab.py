@@ -1,19 +1,27 @@
-"""A/B a subset of bench.py sections between two checkouts (r10 verdict
-item: attribute q_boolean_filter +34% / q_property_hop +21% /
-q_build_index +14% to host state vs the r10 commits).
+"""A/B a subset of bench.py sections between two checkouts.
 
-Runs THE SAME three sections as bench.py (same opts, same warmup
-protocol, median of reps) against whichever repo root is given, in a
-fresh process, and prints one JSON line. Drive it alternately against
-HEAD and a worktree of the old commit on a quiet host:
+r10 verdict item: attribute q_boolean_filter +34% / q_property_hop
++21% / q_build_index +14% to host state vs the r10 commits. r12
+extends it to ARBITRARY bench sections (r11 verdict item 2: the
+pipeline sections q_text_analysis / q_events_sessionize /
+q_dedup_exact / q_ann_topk / q_dedup_minhash drifted +16-36% between
+r10 and r11 with no code change touching them — the discipline is
+A/B, not elimination arguments).
 
-    git worktree add /tmp/ab_r9 <r9-commit>
+Runs THE SAME sections as bench.py (same opts, same warmup protocol,
+median of reps) against whichever repo root is given, in a fresh
+process, and prints one JSON line. Drive it alternately against HEAD
+and a worktree of the old commit on a quiet host:
+
+    git worktree add /tmp/ab_r10 <r10-commit>
     for i in 1 2 3; do
-      python tools/bench_ab.py /tmp/ab_r9  >> /tmp/ab.jsonl
-      python tools/bench_ab.py /root/repo  >> /tmp/ab.jsonl
+      python tools/bench_ab.py /tmp/ab_r10 q_dedup_exact q_ann_topk >> /tmp/ab.jsonl
+      python tools/bench_ab.py /root/repo  q_dedup_exact q_ann_topk >> /tmp/ab.jsonl
     done
 
 Interleaving controls for host drift; each invocation is a fresh JVM.
+With no section arguments the original three RDF sections run
+(q_build_index, q_boolean_filter, q_property_hop).
 """
 
 from __future__ import annotations
@@ -24,12 +32,29 @@ import statistics
 import sys
 import time
 
+RDF_SECTIONS = ("q_build_index", "q_boolean_filter", "q_property_hop")
+PIPE_SECTIONS = (
+    "q_dedup_minhash",
+    "q_dedup_exact",
+    "q_ann_topk",
+    "q_ann_ivf",
+    "q_text_analysis",
+    "q_events_sessionize",
+)
+
 
 def main() -> None:
-    root = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else ".")
+    args = [a for a in sys.argv[1:]]
+    root = os.path.abspath(args[0]) if args else os.path.abspath(".")
+    sections = args[1:] or list(RDF_SECTIONS)
+    unknown = [s for s in sections if s not in RDF_SECTIONS + PIPE_SECTIONS]
+    if unknown:
+        raise SystemExit(f"unknown sections: {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sys.path.insert(0, root)
+
+    from pyspark.sql import functions as F
 
     from bikidata_spark import Engine, from_string_quads
     from bikidata_spark.session import get_spark
@@ -37,7 +62,10 @@ def main() -> None:
 
     spark = get_spark("bikidata-bench-ab")
     # bench.py's warmup protocol: touch footers, run one tiny end-to-end
-    for t in "region nation customer supplier part orders lineitem".split():
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
         except Exception:
@@ -72,29 +100,72 @@ def main() -> None:
         graph.triples.count()
         graph.terms.count()
 
-    timed("q_build_index", build)
-    eng = Engine(graph)
+    if any(s in RDF_SECTIONS for s in sections):
+        if "q_build_index" in sections:
+            timed("q_build_index", build)
+        else:
+            build()
+        eng = Engine(graph)
+        if "q_boolean_filter" in sections:
+            timed(
+                "q_boolean_filter",
+                lambda: eng.subjects_values(
+                    {
+                        "use_cache": False,
+                        "filters": [
+                            {"p": "<p/mktsegment>", "o": '"BUILDING"'},
+                            {"op": "must", "p": "<p/nation>", "o": "<e/nation/5>"},
+                            {"op": "not", "p": "<p/acctbal>", "o": '"0.00"'},
+                        ],
+                    }
+                ).count(),
+            )
+        if "q_property_hop" in sections:
+            timed(
+                "q_property_hop",
+                lambda: eng.subjects_values(
+                    {
+                        "filters": [{"p": "<p/nation> 1", "o": "<e/nation/5>"}],
+                        "use_cache": False,
+                    }
+                ).count(),
+            )
 
-    timed(
-        "q_boolean_filter",
-        lambda: eng.subjects_values(
-            {
-                "use_cache": False,
-                "filters": [
-                    {"p": "<p/mktsegment>", "o": '"BUILDING"'},
-                    {"op": "must", "p": "<p/nation>", "o": "<e/nation/5>"},
-                    {"op": "not", "p": "<p/acctbal>", "o": '"0.00"'},
-                ],
-            }
-        ).count(),
+    if any(s in PIPE_SECTIONS for s in sections):
+        import __spark_entry__ as entrymod
+        from bikidata_spark.functions.text import lang_id, quality_score
+        from bikidata_spark.operators import dedup as dd
+        from bikidata_spark.operators import events as ev
+        from bikidata_spark.operators import similarity as sim
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        events = entrymod.load_events(spark, sf_dir)
+        pipe_fns = {
+            "q_dedup_minhash": lambda: dd.minhash_lsh_pairs(
+                docs, "doc_id", "text"
+            ).count(),
+            "q_dedup_exact": lambda: dd.exact_dedup(docs, "doc_id", "text").count(),
+            "q_ann_topk": lambda: sim.cosine_topk(
+                embs, embs.filter(F.col("vec_id") < 5)
+            ).count(),
+            "q_ann_ivf": lambda: sim.ivf_ann_topk(
+                embs, embs.filter(F.col("vec_id") < 5)
+            ).count(),
+            "q_text_analysis": lambda: lang_id(docs, "doc_id", "text")
+            .join(quality_score(docs, "doc_id", "text"), "doc_id")
+            .count(),
+            "q_events_sessionize": lambda: ev.sessionize(events).count(),
+        }
+        for name in PIPE_SECTIONS:
+            if name in sections:
+                timed(name, pipe_fns[name])
+
+    print(
+        json.dumps(
+            {"root": root, "sf_dir": sf_dir, "times": times, "reps": rep_times}
+        )
     )
-    timed(
-        "q_property_hop",
-        lambda: eng.subjects_values(
-            {"filters": [{"p": "<p/nation> 1", "o": "<e/nation/5>"}], "use_cache": False}
-        ).count(),
-    )
-    print(json.dumps({"root": root, "sf_dir": sf_dir, "times": times, "reps": rep_times}))
 
 
 if __name__ == "__main__":
