@@ -163,6 +163,125 @@ def main() -> None:
     eng_ins = [r for r in eng_rows if r[0] in ins_subjects]
     replay_ok = rep_rows == eng_ins
 
+    # ---- vacuum / time-travel under concurrent load (r12, verdict
+    # item 8). The manifest protocol was pytest-gated at toy scale
+    # only; here the replayed sf-scale log store runs the full
+    # lifecycle with READERS IN FLIGHT:
+    #   v1..v3 committed across appended batches → a reader pinned to
+    #   the old-but-kept v2 loops full content-signature checks while
+    #   vacuum(keep_last=2) drops v1 → compact_store(force=True)
+    #   rewrites the log while a latest-state reader keeps reading
+    #   (transient file-miss reads are allowed during the swap; any
+    #   SUCCESSFUL read must equal the net state — compaction changes
+    #   layout, never content) → re-snapshot v4, vacuum(keep_last=1),
+    #   and the pinned-to-v4 read still matches.
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bikidata_spark.streaming.manifest import (
+        commit_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+    from bikidata_spark.streaming.mutations import compact_store, start_ingest
+
+    def jwrite(jdir: str, seq: int, recs: list[dict]) -> None:
+        tmp = os.path.join(jdir, f".m{seq:08d}.tmp")
+        with open(tmp, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(jdir, f"m{seq:08d}.json"))
+
+    def sig(triples) -> tuple:
+        row = triples.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(s, p, o, g))").alias("x"),
+        ).first()
+        return (int(row["n"]), int(row["x"] or 0))
+
+    # append through the SAME journal dir + replay checkpoint so batch
+    # ids continue monotonically — a fresh checkpoint would restart at
+    # batch=0 and overwrite the replayed store's early batch dirs
+    # (writer-owned coherence: one checkpoint per target store)
+    ck = f"{store}/_replay_checkpoint"
+    v1 = commit_snapshot(store)
+    jwrite(jdir, 90000000, [
+        {"action": "insert", "s": "<vt/1>", "p": "<p/vt>", "o": '"vacuum one"', "g": ""},
+    ])
+    start_ingest(spark, jdir, store, ck, max_files_per_trigger=1).awaitTermination()
+    v2 = commit_snapshot(store)
+    jwrite(jdir, 90000001, [
+        {"action": "insert", "s": "<vt/2>", "p": "<p/vt>", "o": '"vacuum two"', "g": ""},
+        {"action": "delete", "s": "<vt/1>", "p": "<p/vt>", "o": "", "g": ""},
+    ])
+    start_ingest(spark, jdir, store, ck, max_files_per_trigger=1).awaitTermination()
+    v3 = commit_snapshot(store)
+
+    pin_sig = sig(read_snapshot(spark, store, v2).triples)
+    net_sig = sig(read_snapshot(spark, store, v3).triples)
+
+    stop_pinned, stop_latest = threading.Event(), threading.Event()
+    reader_errors: list = []
+    counts = {"pinned": 0, "latest_ok": 0, "latest_transient": 0}
+
+    def pinned_reader() -> None:
+        while not stop_pinned.is_set():
+            try:
+                s_ = sig(read_snapshot(spark, store, v2).triples)
+            except Exception as e:  # a KEPT version must never fail
+                reader_errors.append(("pinned read failed", repr(e)[:200]))
+                return
+            if s_ != pin_sig:
+                reader_errors.append(("pinned diverged", s_, pin_sig))
+                return
+            counts["pinned"] += 1
+
+    def latest_reader() -> None:
+        while not stop_latest.is_set():
+            try:
+                s_ = sig(read_store(spark, store).triples)
+            except Exception:
+                counts["latest_transient"] += 1  # mid-swap file miss
+                time.sleep(0.1)
+                continue
+            if s_ != net_sig:
+                reader_errors.append(("latest read saw partial state", s_))
+                return
+            counts["latest_ok"] += 1
+
+    tp = threading.Thread(target=pinned_reader, daemon=True)
+    tl = threading.Thread(target=latest_reader, daemon=True)
+    tp.start(), tl.start()
+    while counts["pinned"] < 1 or counts["latest_ok"] < 1:
+        if reader_errors:
+            break
+        time.sleep(0.05)
+    vac1 = vacuum(store, keep_last=2)  # drops v1 while both readers loop
+    dropped_v1_unreadable = False
+    try:
+        read_snapshot(spark, store, v1)
+    except FileNotFoundError:
+        dropped_v1_unreadable = True
+    pinned_after_vacuum = counts["pinned"]
+    while counts["pinned"] < pinned_after_vacuum + 2 and not reader_errors:
+        time.sleep(0.05)
+    stop_pinned.set()
+    tp.join(timeout=120)
+    compact_store(spark, store, force=True)  # latest reader stays in flight
+    v4 = commit_snapshot(store)
+    vac2 = vacuum(store, keep_last=1)
+    stop_latest.set()
+    tl.join(timeout=120)
+    post_sig = sig(read_snapshot(spark, store, v4).triples)
+    vacuum_ok = (
+        not reader_errors
+        and dropped_v1_unreadable
+        and post_sig == net_sig
+        and counts["pinned"] >= 3
+        and counts["latest_ok"] >= 1
+    )
+
     out = {
         "sf_dir": sf_dir,
         "quads": plain.graph.triples.count(),
@@ -172,10 +291,20 @@ def main() -> None:
         "stores_equal": stores_equal,
         "battery_diverged": len(battery_diverged),
         "journal_replay_ok": replay_ok,
+        "vacuum_timetravel_ok": vacuum_ok,
+        "vacuum_reader_counts": counts,
+        "vacuum_dropped": [vac1["dropped_versions"], vac2["dropped_versions"]],
+        "vacuum_reader_errors": reader_errors[:3],
         "wall_s": round(time.perf_counter() - t_all, 1),
     }
     print(json.dumps(out))
-    ok = stores_equal and not mismatch and not battery_diverged and replay_ok
+    ok = (
+        stores_equal
+        and not mismatch
+        and not battery_diverged
+        and replay_ok
+        and vacuum_ok
+    )
     sys.exit(0 if ok else 1)
 
 
