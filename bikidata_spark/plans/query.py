@@ -143,6 +143,13 @@ _DRIVER_HOP = os.environ.get("BIKIDATA_SPARK_DRIVER_HOP", "auto")
 _DRIVER_HOP_MAX_EDGES = int(
     os.environ.get("BIKIDATA_SPARK_DRIVER_HOP_MAX_EDGES", "32000000")
 )
+# broadcast-hint ceiling for the hop-index build's IRI-term semi-join:
+# past this many IRI terms the broadcast table (~56 B/row of JVM
+# object overhead) stops fitting comfortably in a default driver heap,
+# and Catalyst's own join choice (shuffle) is the safe one-time cost
+_DRIVER_HOP_BCAST_TERMS = int(
+    os.environ.get("BIKIDATA_SPARK_DRIVER_HOP_BCAST_TERMS", "16000000")
+)
 # driver-walk bail-outs: frontier rows collected per request, and the
 # per-hop output row cap past which the walk falls back to the join
 _DRIVER_WALK_FRONTIER_MAX = int(
@@ -848,17 +855,18 @@ class Engine:
                     # is probed in place, never shuffled, which takes
                     # the one-time build from ~16 s to a couple of
                     # seconds at sf3 (the remaining shuffle is the
-                    # 33%-sized range repartition of the edges)
+                    # 33%-sized range repartition of the edges). Hint
+                    # gated on the term count (r12): past
+                    # _DRIVER_HOP_BCAST_TERMS the broadcast's JVM row
+                    # overhead outgrows a default driver heap, and
+                    # Catalyst's shuffle join is the safe choice.
+                    iri_terms = base.terms.filter(
+                        ~F.col("is_literal")
+                    ).select(F.col("hash").alias("o"))
+                    if iri_terms.count() <= _DRIVER_HOP_BCAST_TERMS:
+                        iri_terms = F.broadcast(iri_terms)
                     frame = (
-                        base.triples.join(
-                            F.broadcast(
-                                base.terms.filter(~F.col("is_literal")).select(
-                                    F.col("hash").alias("o")
-                                )
-                            ),
-                            "o",
-                            "left_semi",
-                        )
+                        base.triples.join(iri_terms, "o", "left_semi")
                         .select("s", "p", "o", "g")
                         .repartitionByRange("o")
                         .sortWithinPartitions("o")
@@ -917,18 +925,22 @@ class Engine:
             # direct build — NOT via the persisted _hop_edges frame:
             # the index needs neither the range re-partition nor the
             # executor-side cache, so the one-time cost is just the
-            # broadcast semi-join (IRI hashes ~8 B/term) + one Arrow
-            # collect of the two int64 columns
+            # semi-join (IRI hashes ~8 B/term) + one Arrow collect of
+            # the two int64 columns. The broadcast hint is gated on a
+            # cheap IRI-term count first (r12): sf10's 36M IRI terms
+            # broadcast to ~2 GB of JVM rows and OOM'd an 8 GB driver
+            # BEFORE the edge-row cap could reject the build — an
+            # over-cap corpus must learn it's over cap at bounded
+            # cost, so past the threshold Catalyst picks the join
+            # (shuffle at that size — paid once, never fatal).
+            iri_terms = base.terms.filter(~F.col("is_literal")).select(
+                F.col("hash").alias("o")
+            )
+            n_iri = iri_terms.count()
+            if n_iri <= _DRIVER_HOP_BCAST_TERMS:
+                iri_terms = F.broadcast(iri_terms)
             edges = (
-                base.triples.join(
-                    F.broadcast(
-                        base.terms.filter(~F.col("is_literal")).select(
-                            F.col("hash").alias("o")
-                        )
-                    ),
-                    "o",
-                    "left_semi",
-                )
+                base.triples.join(iri_terms, "o", "left_semi")
                 .select("s", "o")
                 .persist()
             )
