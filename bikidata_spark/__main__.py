@@ -196,10 +196,26 @@ def main(argv: list[str]) -> int:
             if tier is not None:
                 tier._global_order({"by": "label"})
                 tier._global_order({"by": "label", "dir": "desc"})
+            else:
+                # over-cap store (r13): seed the DRIVER order index for
+                # the default label rule instead (two sightings pass
+                # the churn gate), so persist_tier writes the
+                # store-level dorder sidecar and a cold engine's first
+                # ordered page mmap-loads it rather than paying the
+                # one-time corpus collect (~27 s at sf10)
+                for _ in range(2):
+                    eng._order_driver_index({"by": "label"})
         except Exception:
             pass
         meta = eng.persist_tier(argv[1])
         if meta is None:
+            n_orders = len(
+                [v for v in eng._order_idx_cache.values() if v != "over_cap"]
+            )
+            if n_orders:
+                print(json.dumps({"store": argv[1], "tier": "over_cap",
+                                  "driver_orders": n_orders}))
+                return 0
             print(json.dumps({"error": "graph is over the tier cap, nothing to persist"}))
             return 1
         print(json.dumps({"store": argv[1], **meta}))

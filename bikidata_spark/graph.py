@@ -448,7 +448,12 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
     tier_dir = None
     if "://" not in path or path.startswith("file:"):
         cand = os.path.join(path.split("://", 1)[-1], "_tier")
-        if os.path.isfile(os.path.join(cand, "meta.json")):
+        # a tier artifact (meta.json) OR the driver-order sidecars an
+        # over-cap warm leaves behind (dorder_meta.json, r13) — either
+        # makes the dir worth attaching; consumers validate per file
+        if os.path.isfile(os.path.join(cand, "meta.json")) or os.path.isfile(
+            os.path.join(cand, "dorder_meta.json")
+        ):
             tier_dir = cand
     return Graph(
         triples=spark.read.parquet(f"{path}/triples"),

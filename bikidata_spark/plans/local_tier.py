@@ -2064,10 +2064,17 @@ class LocalTier:
         if cache_key is not None:
             hit = self._global_orders.get(cache_key)
             if hit is not None:
+                with self._order_lock:
+                    # true-LRU touch: persist_tier keeps the last 4
+                    # entries, which must be most recently USED, not
+                    # most recently built
+                    if self._global_orders.get(cache_key) is hit:
+                        self._global_orders.pop(cache_key, None)
+                        self._global_orders[cache_key] = hit
                 return hit
             sc = self._order_sidecars.get(cache_key)
             if sc is not None:
-                out = _load_order_sidecar(*sc)
+                out = _load_order_sidecar(sc[0], sc[1], cache_key)
                 with self._order_lock:
                     self._order_sidecars.pop(cache_key, None)
                 if out is not None:
@@ -2277,11 +2284,19 @@ class LocalTier:
                 if ascii_mask.all():
                     expr_u = lowered
                 else:
-                    vals = lowered.to_pylist()
-                    raw = expr_u.to_pylist()
-                    for j in np.flatnonzero(~ascii_mask).tolist():
-                        vals[j] = raw[j].lower()
-                    expr_u = pa.array(vals, type=pa.large_string())
+                    # only the non-ASCII subset crosses into Python —
+                    # the ASCII majority stays zero-copy in Arrow
+                    # (a corpus-wide to_pylist here gave back most of
+                    # the vectorized build's win on real data)
+                    nonascii = ~ascii_mask
+                    sub = expr_u.take(pa.array(np.flatnonzero(nonascii)))
+                    sub_low = pa.array(
+                        [v.lower() for v in sub.to_pylist()],
+                        type=pa.large_string(),
+                    )
+                    expr_u = pc.replace_with_mask(
+                        lowered, pa.array(nonascii), sub_low
+                    )
 
         # dense expr rank: equality-preserving, order-preserving
         expr_rank_u = np.empty(0, dtype=np.int64)
@@ -2747,6 +2762,7 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
     import os
     import pyarrow as pa
 
+    orig_tier = tier  # the caller's live object — pointer fixes below
     fts_st = tier._fts_state
     lf = fts_st[1].fold() if fts_st is not None and fts_st[1] is not None else None
     if (
@@ -2852,10 +2868,29 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
     # orders ride along, so a fresh process's first ordered page for a
     # rule seen before persist is a file read (~0.3 s at sf1), not the
     # 2.4-3.3 s label-derivation pass. Same tmp+rename / meta-last
-    # discipline; the loader validates per-sidecar row counts and
-    # permutation bounds and degrades to the lazy rebuild on mismatch.
+    # discipline. Each sidecar embeds its (sig, dir, nulls) in the
+    # Arrow schema metadata (r13): every corpus-wide order has the
+    # SAME row count, so a count check alone cannot catch a stale
+    # meta/file pairing from a crash window or a rewritten file — the
+    # loader now requires the embedded identity to match the rule it
+    # was asked for. Unconsumed sidecar entries carried on the live
+    # tier are copied through (read into memory BEFORE any write, so
+    # persisting into the same store cannot clobber them mid-copy),
+    # and the live tier's pointers are repointed at the rewritten
+    # files so a consumed-then-persisted tier never mmaps a file whose
+    # contents changed under it.
+    picked = list(tier._global_orders.items())[-4:]
+    picked_keys = {ck for ck, _ in picked}
+    carried = []
+    for ck, sc in list(tier._order_sidecars.items()):
+        if len(picked) + len(carried) >= 4 or ck in picked_keys:
+            continue
+        ctbl = _read_order_sidecar(sc[0], sc[1], ck)
+        if ctbl is not None:
+            carried.append((ck, ctbl))
     orders_meta = []
-    for (sig, odir, onulls), ent in list(tier._global_orders.items())[-4:]:
+    new_ptrs = {}
+    for (sig, odir, onulls), ent in picked:
         g_subj, g_vals, _ss, perm = ent
         try:
             vals = pa.array(g_vals.tolist(), type=pa.large_string())
@@ -2872,6 +2907,12 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
                     "val": vals,
                     "perm": pa.array(perm, pa.int64()),
                 }
+            ).replace_schema_metadata(
+                {
+                    b"order_sig": sig.encode("utf-8"),
+                    b"order_dir": odir.encode("utf-8"),
+                    b"order_nulls": onulls.encode("utf-8"),
+                }
             ),
         )
         orders_meta.append(
@@ -2883,6 +2924,22 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
                 "n": int(g_subj.size),
             }
         )
+    for (sig, odir, onulls), ctbl in carried:
+        name = f"order_{len(orders_meta)}.arrow"
+        _write(name, ctbl)  # identity metadata rides along unchanged
+        orders_meta.append(
+            {
+                "file": name,
+                "sig": sig,
+                "dir": odir,
+                "nulls": onulls,
+                "n": int(ctbl.num_rows),
+            }
+        )
+        new_ptrs[(sig, odir, onulls)] = (
+            os.path.join(dir_path, name),
+            int(ctbl.num_rows),
+        )
     if orders_meta:
         meta["orders"] = orders_meta
     i = len(orders_meta)
@@ -2892,6 +2949,21 @@ def persist_tier(tier: LocalTier, dir_path: str) -> dict:
             break
         os.remove(stale)
         i += 1
+    # live-tier pointer hygiene: entries referencing files under this
+    # directory were just rewritten — repoint the carried ones, drop
+    # the rest (they rebuild lazily; stale mmaps would now be caught
+    # by the identity check anyway, this keeps the fast path fast)
+    absdir = os.path.abspath(dir_path)
+    for t in {id(x): x for x in (tier, orig_tier)}.values():
+        with t._order_lock:
+            for ck in list(t._order_sidecars):
+                if ck in new_ptrs:
+                    t._order_sidecars[ck] = new_ptrs[ck]
+                elif (
+                    os.path.dirname(os.path.abspath(t._order_sidecars[ck][0]))
+                    == absdir
+                ):
+                    t._order_sidecars.pop(ck)
     tmp = os.path.join(dir_path, ".meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -2926,17 +2998,55 @@ class _SidecarVals:
         return self.arr.to_pylist()
 
 
-def _load_order_sidecar(path: str, n: int):
+def _order_sidecar_identity_ok(tbl, key) -> bool:
+    """True iff the sidecar's embedded (sig, dir, nulls) schema
+    metadata matches ``key``. Every corpus-wide global order has the
+    SAME row count (all dictionary-resolvable subjects), so the row
+    count alone cannot distinguish rules or directions — without this
+    check a crash between the order_N.arrow writes and the meta.json
+    rename, or a persist that rewrote files a live tier still points
+    at, could silently serve e.g. desc for asc. Pre-r13 sidecars carry
+    no metadata and are rejected (they rebuild lazily — slower, never
+    wrong)."""
+    md = tbl.schema.metadata or {}
+    try:
+        return (
+            md.get(b"order_sig", b"").decode("utf-8") == key[0]
+            and md.get(b"order_dir", b"").decode("utf-8") == key[1]
+            and md.get(b"order_nulls", b"").decode("utf-8") == key[2]
+        )
+    except UnicodeDecodeError:
+        return False
+
+
+def _read_order_sidecar(path: str, n: int, key):
+    """Read one sidecar fully into memory for copy-through during
+    persist (the target write may clobber the source file, so no
+    mmap). Returns the validated table or None."""
+    import pyarrow as pa
+
+    try:
+        with pa.OSFile(path, "rb") as f:
+            tbl = pa.ipc.open_file(f).read_all().combine_chunks()
+        if tbl.num_rows != n or not _order_sidecar_identity_ok(tbl, key):
+            return None
+        return tbl
+    except (OSError, KeyError, ValueError, pa.ArrowInvalid):
+        return None
+
+
+def _load_order_sidecar(path: str, n: int, key):
     """mmap-read one persisted global-order sidecar back into the
     (g_subj, g_vals, subj_sorted, perm) tuple ``_global_order`` caches.
-    Any mismatch (crash-window stale meta, truncated file, nulls,
-    out-of-range permutation) returns None — the order rebuilds from
-    the tier arrays: slower, never wrong."""
+    Any mismatch (identity metadata vs the requested rule, crash-window
+    stale meta, truncated file, nulls, out-of-range or non-bijective
+    permutation) returns None — the order rebuilds from the tier
+    arrays: slower, never wrong."""
     import pyarrow as pa
 
     try:
         tbl = pa.ipc.open_file(pa.memory_map(path)).read_all().combine_chunks()
-        if tbl.num_rows != n:
+        if tbl.num_rows != n or not _order_sidecar_identity_ok(tbl, key):
             return None
         g_subj = (
             tbl.column("s")
@@ -2955,7 +3065,13 @@ def _load_order_sidecar(path: str, n: int):
             return None
         if perm.size and (perm.min() < 0 or perm.max() >= perm.size):
             return None
-        return (g_subj, _SidecarVals(vals_col), g_subj[perm], perm)
+        ss = g_subj[perm]
+        if ss.size > 1 and np.any(np.diff(ss) < 0):
+            # subjects are unique, so g_subj[perm] must be strictly
+            # increasing for a valid argsort permutation; a violation
+            # also catches duplicate perm entries (non-bijectivity)
+            return None
+        return (g_subj, _SidecarVals(vals_col), ss, perm)
     except (OSError, KeyError, ValueError, pa.ArrowInvalid):
         return None
 

@@ -510,3 +510,214 @@ def test_order_sidecar_mutation_footprint(spark, tmp_path_factory):
     assert not eng._local_tier()._order_sidecars, "label mutation kept sidecar"
     control = Engine(eng.graph, local_tier_rows=0)
     assert eng.query(dict(opts)) == control.query(dict(opts))
+
+def test_order_sidecar_identity_and_repersist(spark, tmp_path_factory):
+    """r13 (ADVICE high): sidecars embed (sig, dir, nulls) in their
+    Arrow schema metadata, so a stale pairing — swapped files, a
+    persist that rewrote files a live tier still points at — can never
+    serve a different rule's order. Also pins the persist lifecycle:
+    unconsumed sidecars are carried through a re-persist, and the live
+    tier's pointers are repointed at the rewritten files."""
+    import pyarrow as pa
+
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    path = str(tmp_path_factory.mktemp("ordsig") / "store")
+    write_graph(_mk_graph(spark), path)
+    asc = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "property", "prop": "<p/name>"}],
+        "size": 5,
+        "use_cache": False,
+    }
+    desc = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "property", "prop": "<p/name>", "dir": "desc"}],
+        "size": 5,
+        "use_cache": False,
+    }
+    warm = Engine(read_graph(spark, path))
+    want_asc = warm.query(dict(asc))
+    want_desc = warm.query(dict(desc))
+    assert want_asc != want_desc
+    assert warm.persist_tier(path) is not None
+    tdir = os.path.join(path, "_tier")
+    with open(os.path.join(tdir, "meta.json")) as f:
+        metas = {(m["sig"], m["dir"]) for m in json.load(f)["orders"]}
+    assert len(metas) == 2
+
+    # every sidecar's embedded identity matches its meta entry
+    with open(os.path.join(tdir, "meta.json")) as f:
+        for m in json.load(f)["orders"]:
+            md = pa.ipc.open_file(
+                os.path.join(tdir, m["file"])
+            ).schema.metadata
+            assert md[b"order_sig"].decode() == m["sig"]
+            assert md[b"order_dir"].decode() == m["dir"]
+
+    # the ADVICE scenario: consume ONE sidecar, re-persist into the
+    # same store, then serve the OTHER rule from the live tier
+    eng = Engine(read_graph(spark, path))
+    tier = eng._local_tier()
+    assert len(tier._order_sidecars) == 2
+    assert eng.query(dict(asc)) == want_asc  # consumes the asc sidecar
+    assert len(tier._order_sidecars) == 1
+    assert eng.persist_tier(path) is not None  # rewrites order_*.arrow
+    # live pointer was repointed at the carried copy, not the old file
+    (sc,) = tier._order_sidecars.values()
+    assert os.path.exists(sc[0])
+    assert eng.query(dict(desc)) == want_desc
+    # carry-through: the re-persisted artifact still holds BOTH rules
+    with open(os.path.join(tdir, "meta.json")) as f:
+        metas2 = {(m["sig"], m["dir"]) for m in json.load(f)["orders"]}
+    assert metas2 == metas
+
+    # swapped files (same row count, different rule) must be rejected
+    # by the identity check — a fresh engine rebuilds, never serves
+    # the wrong direction
+    f0 = os.path.join(tdir, "order_0.arrow")
+    f1 = os.path.join(tdir, "order_1.arrow")
+    tmp = os.path.join(tdir, "order_swap.tmp")
+    os.replace(f0, tmp)
+    os.replace(f1, f0)
+    os.replace(tmp, f1)
+    swapped = Engine(read_graph(spark, path))
+    assert swapped.query(dict(asc)) == want_asc
+    assert swapped.query(dict(desc)) == want_desc
+
+
+def test_order_sidecar_true_lru(spark, tmp_path_factory):
+    """r13 (ADVICE low): persist keeps the 4 most recently USED orders
+    — a hot order built early but touched on every hit must survive
+    persist over colder, later-built ones."""
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    path = str(tmp_path_factory.mktemp("ordlru") / "store")
+    write_graph(_mk_graph(spark), path)
+    eng = Engine(read_graph(spark, path))
+    rules = [
+        {"by": "label"},
+        {"by": "label", "dir": "desc"},
+        {"by": "property", "prop": "<p/num>"},
+        {"by": "property", "prop": "<p/num>", "dir": "desc"},
+        {"by": "property", "prop": "<p/num>", "natural": True},
+    ]
+    for r in rules:
+        eng.query(
+            {
+                "filters": [{"p": "<p/name>"}],
+                "order": [dict(r)],
+                "size": 3,
+                "use_cache": False,
+            }
+        )
+    # touch the FIRST rule again: with insertion-order-only semantics
+    # it would be evicted from the artifact as the oldest of 5
+    eng.query(
+        {
+            "filters": [{"p": "<p/name>"}],
+            "order": [dict(rules[0])],
+            "size": 3,
+            "use_cache": False,
+        }
+    )
+    assert eng.persist_tier(path) is not None
+    with open(os.path.join(path, "_tier", "meta.json")) as f:
+        kept = {(m["sig"], m["dir"]) for m in json.load(f)["orders"]}
+    assert len(kept) == 4
+    assert ('{"by": "label"}', "asc") in kept, kept
+    assert ('{"by": "label"}', "desc") not in kept, kept  # the cold one
+
+
+def test_driver_order_store_sidecar_and_notd_page(spark, tmp_path_factory, monkeypatch):
+    """r13: (1) over-cap engines persist resident driver order indexes
+    as store-level sidecars (dorder_*.arrow) even with NO tier to
+    persist; (2) a cold over-cap engine mmap-loads them — proven by
+    poisoning the order-key frame builder — and serves the ordered
+    page without the one-time corpus collect; (3) with the dictionary
+    also over budget, the TermDict-free driver page (one bounded value
+    probe) still matches the tier oracle."""
+    import bikidata_spark.plans.query as q
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    # the budget env is read per call, so the 1-byte tier budget below
+    # doesn't zero out the ledger budget the order index admits against
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    path = str(tmp_path_factory.mktemp("dorder") / "store")
+    write_graph(_mk_graph(spark), path)
+    opts = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "property", "prop": "<p/name>", "dir": "desc"}],
+        "size": 5,
+        "start": 2,
+        "use_cache": False,
+    }
+    oracle = Engine(read_graph(spark, path))
+    want = oracle.query(dict(opts))
+
+    warm = Engine(read_graph(spark, path), local_tier_bytes=1,
+                  term_cache_bytes=0)
+    assert warm._local_tier() is None
+    assert warm.query(dict(opts)) == want   # 1st sighting: distributed
+    assert warm.query(dict(opts)) == want   # 2nd: builds index, notd page
+    assert any(v != "over_cap" for v in warm._order_idx_cache.values())
+    assert warm.persist_tier(path) is None  # no tier — dorders only
+    tdir = os.path.join(path, "_tier")
+    assert os.path.isfile(os.path.join(tdir, "dorder_meta.json"))
+    assert os.path.isfile(os.path.join(tdir, "dorder_0.arrow"))
+
+    cold = Engine(read_graph(spark, path), local_tier_bytes=1,
+                  term_cache_bytes=0)
+    assert cold._local_tier() is None
+    orig = q.Engine._order_keys_cached
+
+    def boom(self, rule):
+        raise AssertionError("order index rebuilt instead of sidecar-loaded")
+
+    q.Engine._order_keys_cached = boom
+    try:
+        got = cold.query(dict(opts))
+    finally:
+        q.Engine._order_keys_cached = orig
+    assert got == want
+    assert any(
+        k.startswith("order_index:") for k in cold._residency_ledger
+    ), "sidecar load not charged to the residency ledger"
+
+    # a corrupt sidecar degrades to the rebuild, never a wrong answer
+    with open(os.path.join(tdir, "dorder_0.arrow"), "r+b") as f:
+        f.truncate(16)
+    broken = Engine(read_graph(spark, path), local_tier_bytes=1,
+                    term_cache_bytes=0)
+    assert broken._local_tier() is None
+    assert broken.query(dict(opts)) == want
+    assert broken.query(dict(opts)) == want
+
+
+def test_member_set_cache_roundtrip(spark):
+    """r13: steady-state repeats of a filter spec reuse the resident
+    member set (generation-keyed, ledger-charged); a mutation bumps
+    the generation and the stale set is unreachable."""
+    from bikidata_spark import Engine
+
+    g = _mk_graph(spark)
+    eng = Engine(g, local_tier_bytes=1)
+    opts = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "property", "prop": "<p/name>"}],
+        "size": 5,
+        "use_cache": False,
+    }
+    r1 = eng.query(dict(opts))
+    r2 = eng.query(dict(opts))
+    r3 = eng.query(dict(opts))
+    assert r1 == r2 == r3
+    assert eng._member_sets, "member set not cached"
+    assert any(k.startswith("member_set:") for k in eng._residency_ledger)
+    # mutation invalidates: results reflect the new member
+    r = eng.mutate("insert", [{"s": "<c/zzz>", "p": "<p/name>", "o": '"zzz"'}])
+    assert "error" not in r
+    r4 = eng.query(dict(opts))
+    assert r4["total"] == r1["total"] + 1
+    control = Engine(eng.graph, local_tier_rows=0)
+    assert r4 == control.query(dict(opts))
