@@ -872,12 +872,19 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     # adaptive IVF seed step — the SQL twin of similarity._seed_step:
-    # max(31, floor(sqrt(N))) over the seeding corpus, so the cell
-    # count scales as sqrt(N) at every sf instead of linearly (a fixed
-    # step made the broadcast assignment fold quadratic at sf1)
-    STEP_E = "(SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    # max(31, floor(sqrt(N)), ceil(N/4096)) over the seeding corpus, so
+    # the cell count scales as sqrt(N) at every sf instead of linearly
+    # (a fixed step made the broadcast assignment fold quadratic at
+    # sf1) and self-caps at 4096 cells past 16.7M vectors (r13: keeps
+    # the assignment fold and the cell-partitioned store write ~linear
+    # at 10^8+ vectors; integer ceil-div, bit-reproducible)
+    STEP_E = (
+        "(SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT),"
+        " (count(*) + 4095) // 4096) FROM e)"
+    )
     STEP_E_BASE = (
-        "(SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e WHERE vec_id % 97 != 3)"
+        "(SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT),"
+        " (count(*) + 4095) // 4096) FROM e WHERE vec_id % 97 != 3)"
     )
 
     o["rdf_filter_property_object"] = _with_quads(

@@ -39,17 +39,27 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+_MAX_CELLS = 4096
+
+
 def _seed_step(v: DataFrame) -> int:
-    """Adaptive centroid seed step: ``max(31, floor(sqrt(N)))``, giving
-    ~sqrt(N) cells — the classic IVF sizing. A FIXED step makes the
-    cell count grow linearly with the corpus, which turns the O(N·cells)
-    assignment fold quadratic at scale (measured: 10× data → 100× fold
-    work at step=31). floor(sqrt()) over an exact count is reproducible
-    bit-for-bit in any engine (`GREATEST(31, CAST(floor(sqrt(count(*)))
-    AS BIGINT))` in the DuckDB oracles)."""
+    """Adaptive centroid seed step: ``max(31, floor(sqrt(N)),
+    ceil(N/4096))``, giving ~sqrt(N) cells capped at 4096. A FIXED
+    step makes the cell count grow linearly with the corpus, which
+    turns the O(N·cells) assignment fold quadratic at scale (measured:
+    10× data → 100× fold work at step=31); an UNCAPPED sqrt keeps the
+    fold — and the store write that partitions by cell — growing
+    O(N·sqrt(N)) (measured ×37 per 100× vectors at sf10, r12). Past
+    16.7M vectors (4096²) the cell schedule self-caps, so assignment
+    and write stay ~linear without the caller reading BENCH_NOTES;
+    probe pruning still reads ≤ nprobe/4096 of the corpus. Every term
+    is exact-integer over an exact count, reproducible bit-for-bit in
+    any engine (`GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT),
+    (count(*) + 4095) // 4096)` in the DuckDB oracles)."""
     import math
 
-    return max(31, math.floor(math.sqrt(v.count())))
+    n = v.count()
+    return max(31, math.floor(math.sqrt(n)), -(-n // _MAX_CELLS))
 
 
 def cosine_topk(
@@ -246,6 +256,40 @@ def kmeans_refine(
     return cents
 
 
+def auto_nprobe(n_cells: int, recall_target: float = 0.9) -> int:
+    """nprobe for a recall@10 target, inverted from the measured r12
+    sf1 soft-clustered operating curve (docs/BENCH_NOTES.md §IVF
+    cells × nprobe): recall grew ~0.145 per doubling of the probed
+    fraction from 0.175 at 0.7% probed (141 cells, nprobe=1), so
+    below the curve's last measured point (recall 0.625)
+    p(target) = 0.007 · 2^((target − 0.175) / 0.145); past it —
+    where there is NO measured support — p interpolates linearly to
+    (recall 1.0, p 1.0), i.e. toward probing every cell (= brute
+    force within the layout). On genuinely soft-clustered data a 0.9
+    target therefore probes ~75% of cells: IVF cannot do better there,
+    and pretending otherwise silently under-delivers. An ESTIMATE
+    calibrated on the measured worst case; well-separated corpora
+    (the r5 clustered gate) reach ≥0.90 at the plain nprobe=2 default
+    — recall-sensitive callers on known-clustered data should keep an
+    explicit nprobe instead. Clamped to [2, n_cells]."""
+    import math
+
+    t = min(max(float(recall_target), 0.0), 1.0)
+    _T_KNEE = 0.625  # last measured point of the r12 curve
+    p_knee = 0.007 * 2.0 ** ((_T_KNEE - 0.175) / 0.145)
+    if t <= _T_KNEE:
+        p = 0.007 * 2.0 ** ((t - 0.175) / 0.145)
+    else:
+        p = p_knee + (t - _T_KNEE) / (1.0 - _T_KNEE) * (1.0 - p_knee)
+    return max(2, min(int(n_cells), math.ceil(p * n_cells)))
+
+
+def _resolve_nprobe(nprobe, n_cells: int, recall_target: float) -> int:
+    if nprobe == "auto":
+        return auto_nprobe(n_cells, recall_target)
+    return int(nprobe)
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -253,9 +297,10 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     k: int = 10,
     centroid_step: int | None = None,
-    nprobe: int = 2,
+    nprobe: int | str = 2,
     refine_iters: int = 0,
     quantize: int | None = None,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: (qid, neighbor, rank).
 
@@ -264,11 +309,24 @@ def ivf_ann_topk(
     cells and brute-forces within them. Centroids start as the
     deterministic seed set ``id % centroid_step == 0`` (reproducible
     anywhere, including in an oracle SQL string); the default step is
-    the adaptive ``_seed_step`` (~sqrt(N) cells, so the assignment
-    fold stays O(N·sqrt(N)) instead of quadratic); ``refine_iters > 0``
-    runs that many Lloyd iterations over them (``kmeans_refine``) for
-    data-adaptive cells at the cost of bit-exact external
-    reproducibility. Ties in the argmin break on centroid id.
+    the adaptive ``_seed_step`` (~sqrt(N) cells capped at 4096, so the
+    assignment fold stays subquadratic and the store write ~linear);
+    ``refine_iters > 0`` runs that many Lloyd iterations over them
+    (``kmeans_refine``) for data-adaptive cells at the cost of
+    bit-exact external reproducibility. Ties in the argmin break on
+    centroid id.
+
+    Expected recall — read before trusting the default: recall@10
+    depends on how clustered the corpus is. Measured (r12 sweep,
+    docs/BENCH_NOTES.md): **0.275 at the nprobe=2 default** on the
+    soft-clustered sf1 embeddings (√N=141 cells), where recall tracks
+    the probed fraction; ≥0.90 on well-separated clustered corpora
+    (the r5 gate). Recall-sensitive callers pass ``nprobe="auto"``
+    with a ``recall_target`` — nprobe is then derived from the
+    measured soft-clustered curve (``auto_nprobe``, a calibrated
+    estimate, not a guarantee) — or raise ``nprobe`` directly (linear
+    cost, the biggest single lever), or add ``refine_iters=2``
+    (+8–24 recall points measured).
 
     Scale path (100 TB): the centroid set rides along as ONE broadcast
     array row, and both the corpus assignment and the query probes are
@@ -298,6 +356,9 @@ def ivf_ann_topk(
         # release the cached copy immediately — no leak per call
         cents = _localized(kmeans_refine(v, cents, refine_iters, quantize=quantize))
 
+    if nprobe == "auto":
+        # one bounded count over the (tiny) seed/centroid frame
+        nprobe = auto_nprobe(cents.count(), recall_target)
     carr = _cent_arr(cents)
     assign = v.crossJoin(F.broadcast(carr)).select(
         "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
@@ -555,15 +616,25 @@ def ivf_store_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | str = 2,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Top-k against a persisted IVF store: probe cells are resolved
     driver-side from the (tiny, collected) centroid table — the same
     move the FTS store makes with token buckets — so the vector scan
     carries a STATIC ``cell IN (...)`` predicate and partition-prunes
-    to the probed directories before any executor reads a byte."""
+    to the probed directories before any executor reads a byte.
+
+    Expected recall mirrors ``ivf_ann_topk``: **0.275 at the nprobe=2
+    default** measured on soft-clustered sf1 embeddings, ≥0.90 on
+    well-separated corpora (docs/BENCH_NOTES.md, r12 sweep). Pass
+    ``nprobe="auto"`` with a ``recall_target`` to derive nprobe from
+    the measured curve (``auto_nprobe`` — calibrated estimate, not a
+    guarantee), or raise ``nprobe`` directly."""
     from pyspark.sql import Window
 
+    if nprobe == "auto":
+        nprobe = auto_nprobe(cents.count(), recall_target)
     q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
     carr = _cent_arr(cents)
     probes = q.crossJoin(F.broadcast(carr)).select(
