@@ -57,6 +57,23 @@ def main() -> None:
     results = {}
     # warmup pass (plans, codegen, derived caches)
     _serving_workload(eng, qvec, n=8, workers=8)
+    # record which mirrors actually serve the tier path (r13: the r12
+    # sf3 sweep conclusion assumed the semantic leg ran brute — make
+    # the engaged kinds part of the sweep record instead of a guess)
+    tier = eng._local_tier()
+    sem = tier._local_semantic(eng) if tier is not None else None
+    fts_st = getattr(tier, "_fts_state", None) if tier is not None else None
+    print(
+        json.dumps(
+            {
+                "tier_resident": tier is not None,
+                "semantic_mirror": None if sem is None else sem.kind,
+                "semantic_nprobe": None if sem is None else sem.nprobe,
+                "fts_mirror": bool(fts_st is not None and fts_st[1] is not None),
+            }
+        ),
+        flush=True,
+    )
     for w in workers_list:
         stats = _serving_workload(eng, qvec, n=clients, workers=w)
         results[w] = stats
