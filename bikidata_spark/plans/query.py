@@ -54,12 +54,15 @@ _HOP_BROADCAST_ROWS = int(os.environ.get("BIKIDATA_SPARK_HOP_BROADCAST_ROWS", "5
 # filters land at ~30k subjects and would otherwise pay the bounded
 # probe AND the distributed page
 _FAST_PAGE_ROWS = int(os.environ.get("BIKIDATA_SPARK_FAST_PAGE_ROWS", "50000"))
-# fast-page accept cap when a driver-resident dictionary serves the
-# sort (int64 rank argsort + page-only value decode — no per-member
-# Python strings), so the bound is just the bare-hash Arrow collect
-# (~8 B/row): 500k rows ≈ 4 MB
+# fast-page accept cap when a driver-resident dictionary OR order
+# index serves the sort (int64 rank argsort + page-only value decode —
+# no per-member Python strings), so the bound is just the bare-hash
+# Arrow collect (~8 B/row): 4M rows ≈ 32 MB transient, and the cached
+# member set charges the residency ledger (r13: raised from 500k —
+# sf10's 1.5M-member ordered page was cap-rejected into the
+# distributed path even with the order index resident)
 _FAST_PAGE_DICT_ROWS = int(
-    os.environ.get("BIKIDATA_SPARK_FAST_PAGE_DICT_ROWS", "500000")
+    os.environ.get("BIKIDATA_SPARK_FAST_PAGE_DICT_ROWS", "4000000")
 )
 # literal IN-list probes beat a broadcast join only while the list is
 # page-sized — building the expression costs ~0.5 ms/element over py4j

@@ -1,0 +1,64 @@
+"""r13 (r12 verdict item 5): run pipeline-shaped operators at sf10.
+
+Dedup/ANN levers were swept at sf1; nothing pipeline-shaped had
+touched the 10x documents table. Runs minhash-LSH near-dup pair
+generation and connected components (large/small-star variant, the
+heavy-skew-safe one) over testdata_sf10/documents.parquet, records
+wall times + result sizes + a mechanical plan audit (no cartesian /
+per-row python eval on either plan), prints one JSON line.
+
+    python tools/pipeline_sf10_probe.py [sf_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bikidata_spark.operators import dedup as dd
+from bikidata_spark.session import get_spark
+
+
+def _audit(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "cartesian": "CartesianProduct" in plan,
+        "bnl_join": "BroadcastNestedLoopJoin" in plan,
+        "python_eval": "BatchEvalPython" in plan,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf10"
+    spark = get_spark("pipe-sf10")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    out: dict = {"sf_dir": sf_dir, "docs": n_docs}
+
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text")
+    t0 = time.perf_counter()
+    n_pairs = pairs.count()
+    out["minhash_pairs_s"] = round(time.perf_counter() - t0, 3)
+    out["minhash_pairs"] = n_pairs
+    out["minhash_plan"] = _audit(pairs)
+
+    pairs_p = pairs.persist()
+    pairs_p.count()
+    comp = dd.connected_components_star(pairs_p)
+    t0 = time.perf_counter()
+    n_rows = comp.count()
+    out["components_star_s"] = round(time.perf_counter() - t0, 3)
+    n_comp = comp.select("component").distinct().count()
+    out["component_members"] = n_rows
+    out["components"] = n_comp
+    out["star_plan"] = _audit(comp)
+    pairs_p.unpersist()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
