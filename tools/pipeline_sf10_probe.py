@@ -48,8 +48,11 @@ def main() -> None:
 
     pairs_p = pairs.persist()
     pairs_p.count()
-    comp = dd.connected_components_star(pairs_p)
+    # time construction + action together: the star rounds run eager
+    # actions inside the builder (convergence checks), so timing only
+    # the final count would miss the actual work
     t0 = time.perf_counter()
+    comp = dd.connected_components_star(pairs_p)
     n_rows = comp.count()
     out["components_star_s"] = round(time.perf_counter() - t0, 3)
     n_comp = comp.select("component").distinct().count()
