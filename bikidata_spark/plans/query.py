@@ -460,6 +460,12 @@ class Engine:
     # s_by_o) | None). See _hop_driver_index.
     _hop_idx_state: tuple | None = field(default=None, repr=False)
     _hop_idx_last_base: object = field(default=None, repr=False)
+    # base currently being sized/collected by one thread (guarded by
+    # _cache_lock): concurrent hop requests fall back to the
+    # distributed walk instead of queueing behind the build (r13 —
+    # the build used to hold _cache_lock across its Spark collect,
+    # blocking every tier point query for its duration at sf10)
+    _hop_idx_building: object = field(default=None, repr=False)
     # driver-resident order-key indexes: {(gen, rule-sig): entry} +
     # the second-sighting set. See _order_driver_index.
     _order_idx_cache: dict = field(default_factory=dict, repr=False)
@@ -936,6 +942,19 @@ class Engine:
             hs = self._hop_idx_state
             if hs is not None and hs[0] is base:
                 return hs[1]
+            if self._hop_idx_building is base:
+                # another thread is sizing/collecting this base: take
+                # the distributed walk for this request rather than
+                # queueing behind a multi-second build
+                return None
+            self._hop_idx_building = base
+        # the Spark work runs OUTSIDE _cache_lock (r13): holding the
+        # lock across the sizing count + Arrow collect blocked every
+        # tier point query for the build's duration at sf10. Budget
+        # admission stays atomic via the same reservation protocol as
+        # the order index: priced bytes land in the ledger under the
+        # lock BEFORE the collect, replaced by measured after.
+        try:
             # direct build — NOT via the persisted _hop_edges frame:
             # the index needs neither the range re-partition nor the
             # executor-side cache, so the one-time cost is just the
@@ -960,31 +979,45 @@ class Engine:
             )
             try:
                 n = edges.count()
-                other = sum(
-                    v
-                    for k, v in self._residency_ledger.items()
-                    if k != "hop_index"
-                )
-                if (
-                    n > _DRIVER_HOP_MAX_EDGES
-                    or other + n * 16 > self._residency_budget()
-                ):
-                    self._hop_idx_state = (base, None)  # sized: too big
-                    self._residency_ledger.pop("hop_index", None)
-                    return None
-                pdf = edges.toPandas()
+                with self._cache_lock:
+                    other = sum(
+                        v
+                        for k, v in self._residency_ledger.items()
+                        if k != "hop_index"
+                    )
+                    if (
+                        n > _DRIVER_HOP_MAX_EDGES
+                        or other + n * 16 > self._residency_budget()
+                    ):
+                        self._hop_idx_state = (base, None)  # sized: too big
+                        self._residency_ledger.pop("hop_index", None)
+                        return None
+                    self._residency_ledger["hop_index"] = n * 16  # reserve
+                try:
+                    pdf = edges.toPandas()
+                    o = pdf["o"].to_numpy().astype(np.int64, copy=False)
+                    s = pdf["s"].to_numpy().astype(np.int64, copy=False)
+                    order = np.argsort(o, kind="stable")
+                    idx = (o[order], s[order])
+                except BaseException:
+                    with self._cache_lock:
+                        self._residency_ledger.pop("hop_index", None)
+                    raise
             finally:
                 try:
                     edges.unpersist()
                 except Exception:
                     pass
-            o = pdf["o"].to_numpy().astype(np.int64, copy=False)
-            s = pdf["s"].to_numpy().astype(np.int64, copy=False)
-            order = np.argsort(o, kind="stable")
-            idx = (o[order], s[order])
-            self._hop_idx_state = (base, idx)
-            self._residency_ledger["hop_index"] = idx[0].nbytes + idx[1].nbytes
+            with self._cache_lock:
+                self._hop_idx_state = (base, idx)
+                self._residency_ledger["hop_index"] = (
+                    idx[0].nbytes + idx[1].nbytes
+                )
             return idx
+        finally:
+            with self._cache_lock:
+                if self._hop_idx_building is base:
+                    self._hop_idx_building = None
 
     def _walk_up_driver(self, idx, pdf, hops: int, carry: tuple):
         """Vectorized n-hop walk over the resident edge index. Returns

@@ -932,3 +932,30 @@ def test_driver_hop_index_differential(spark, monkeypatch):
     # explosion bail: a row cap of 1 must fall back to the join walk
     monkeypatch.setattr(Q, "_DRIVER_WALK_ROW_MAX", 1)
     all_three(batt[0])
+
+
+def test_hop_build_in_progress_does_not_block(spark, monkeypatch):
+    """r13: the hop-index build no longer holds _cache_lock across its
+    Spark collect — a concurrent hop request while a build is in
+    flight (simulated via the _hop_idx_building flag) takes the
+    distributed walk immediately and returns the correct result;
+    clearing the flag lets the index build and serve identically."""
+    import bikidata_spark.plans.query as Q
+
+    monkeypatch.setattr(Q, "_DRIVER_HOP", "1")
+    eng = _mk_engine(spark, tier=False)
+    ref = _mk_engine(spark, tier=False)
+    monkeypatch.setattr(Q, "_DRIVER_HOP", "0")
+    opts = {"filters": [{"p": "<p/peer> 1", "o": "<m/20>"}], "size": 30,
+            "use_cache": False}
+    want = ref.query(dict(opts))
+
+    monkeypatch.setattr(Q, "_DRIVER_HOP", "1")
+    eng._hop_idx_building = eng.graph  # a build is "in flight"
+    assert eng._hop_driver_index() is None  # no queueing behind it
+    assert eng.query(dict(opts)) == want    # distributed walk serves
+    assert eng._hop_idx_state is None       # and nothing half-built
+    eng._hop_idx_building = None
+    assert eng._hop_driver_index() is not None  # now builds
+    assert eng.query(dict(opts)) == want
+    assert "hop_index" in eng._residency_ledger
