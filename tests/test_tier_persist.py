@@ -721,3 +721,49 @@ def test_member_set_cache_roundtrip(spark):
     assert r4["total"] == r1["total"] + 1
     control = Engine(eng.graph, local_tier_rows=0)
     assert r4 == control.query(dict(opts))
+
+
+def test_driver_order_sidecar_natural_rule(spark, tmp_path_factory, monkeypatch):
+    """The dorder sidecar's num/num_null columns (natural rules)
+    roundtrip: a cold over-cap engine serves the natural-ordered page
+    from the sidecar, matching the tier oracle."""
+    import bikidata_spark.plans.query as q
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    path = str(tmp_path_factory.mktemp("dordnat") / "store")
+    write_graph(_mk_graph(spark), path)
+    opts = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "property", "prop": "<p/num>", "natural": True,
+                   "dir": "desc"}],
+        "size": 6,
+        "start": 3,
+        "use_cache": False,
+    }
+    oracle = Engine(read_graph(spark, path))
+    want = oracle.query(dict(opts))
+
+    warm = Engine(read_graph(spark, path), local_tier_bytes=1,
+                  term_cache_bytes=0)
+    assert warm.query(dict(opts)) == want
+    assert warm.query(dict(opts)) == want
+    assert warm.persist_tier(path) is None
+    with open(os.path.join(path, "_tier", "dorder_meta.json")) as f:
+        metas = json.load(f)["orders"]
+    assert any("natural" in m["sig"] for m in metas)
+
+    cold = Engine(read_graph(spark, path), local_tier_bytes=1,
+                  term_cache_bytes=0)
+    assert cold._local_tier() is None
+    orig = q.Engine._order_keys_cached
+
+    def boom(self, rule):
+        raise AssertionError("rebuilt instead of sidecar-loaded")
+
+    q.Engine._order_keys_cached = boom
+    try:
+        got = cold.query(dict(opts))
+    finally:
+        q.Engine._order_keys_cached = orig
+    assert got == want
