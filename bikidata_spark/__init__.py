@@ -8,7 +8,14 @@ search, text analysis, multimodal plumbing).
 
 from .functions.embed import BatchedProvider, HttpEmbeddingClient
 from .functions.porter import porter_stem
-from .graph import Graph, build_from_iterator, from_string_quads, read_graph, write_graph
+from .graph import (
+    Graph,
+    build_from_iterator,
+    from_string_quads,
+    read_graph,
+    write_graph,
+    write_s_projection,
+)
 from .plans.query import Engine
 from .serving import Serving, TimeoutError
 
@@ -24,4 +31,5 @@ __all__ = [
     "porter_stem",
     "read_graph",
     "write_graph",
+    "write_s_projection",
 ]

@@ -207,14 +207,27 @@ def main(argv: list[str]) -> int:
                     eng._order_driver_index({"by": "label"})
         except Exception:
             pass
+        sproj_written = False
+        if eng._local_tier() is None and getattr(eng.graph, "s_projection", None) is None:
+            # over-cap store (r14): persist the s-clustered point-probe
+            # projection store-side too — otherwise every process pays
+            # a lazy corpus-wide clustering shuffle (~21 s / 7 jobs at
+            # sf10) the first time hydration probes a stable base
+            from .graph import write_s_projection
+
+            try:
+                sproj_written = write_s_projection(eng.graph, argv[1])
+            except Exception:
+                pass
         meta = eng.persist_tier(argv[1])
         if meta is None:
             n_orders = len(
                 [v for v in eng._order_idx_cache.values() if v != "over_cap"]
             )
-            if n_orders:
+            if n_orders or sproj_written:
                 print(json.dumps({"store": argv[1], "tier": "over_cap",
-                                  "driver_orders": n_orders}))
+                                  "driver_orders": n_orders,
+                                  "s_projection": sproj_written}))
                 return 0
             print(json.dumps({"error": "graph is over the tier cap, nothing to persist"}))
             return 1

@@ -306,8 +306,67 @@ def write_graph(
         )
 
 
+def write_s_projection(graph: Graph, path: str) -> bool:
+    """Seed an EXISTING store with the s-clustered projection
+    (``{path}/triples_by_s`` — the same layout ``write_graph(...,
+    projections=("s",))`` produces) without rewriting the store.
+
+    This is the store-side persistence for the point-probe axis (r14):
+    an over-cap engine otherwise builds the s-range-clustered hydration
+    frame lazily IN MEMORY, per process, on the second probe — a
+    corpus-wide shuffle (~21 s / 7 jobs at sf10) landing inside a
+    query. Run once at warm time (CLI ``warm``), every later process
+    reads the projection straight off the store with parquet row-group
+    pruning and zero build cost (Engine._point_probe_triples prefers
+    ``Graph.s_projection`` before any lazy build).
+
+    Coherence is writer-owned, like every sidecar: ``graph`` must be
+    the UNMUTATED content of ``path`` (callers pass a graph read from
+    the store itself); write_graph deletes the projection before any
+    rewrite. The write goes to a tmp dir + rename so a crash never
+    leaves a half-written dir that read_graph would attach. Returns
+    False (no-op) if the projection already exists."""
+    import os
+    import shutil
+
+    if "://" in path and not path.startswith("file:"):
+        # remote stores: write directly (Hadoop FS rename of a dir is
+        # cheap but the tmp+rename dance needs FS-specific handling;
+        # the parquet committer's _SUCCESS-guarded write is the
+        # standard durability story there)
+        sc = graph.spark.sparkContext
+        jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/triples_by_s")
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            return False
+        (
+            graph.triples.repartitionByRange("s")
+            .sortWithinPartitions("s", "p")
+            .write.mode("overwrite")
+            .parquet(f"{path}/triples_by_s")
+        )
+        return True
+    base = path.split("://", 1)[-1] if "://" in path else path
+    final = os.path.join(base, "triples_by_s")
+    if os.path.isdir(final):
+        return False
+    tmp = os.path.join(base, "triples_by_s.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        graph.triples.repartitionByRange("s")
+        .sortWithinPartitions("s", "p")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(tmp, final)
+    return True
+
+
 def _drop_store_sidecars(spark: SparkSession, path: str) -> None:
-    """Remove `_meta.json` and `_tier/` ahead of a store (re)write.
+    """Remove `_meta.json`, `_tier/` and a warm-written `triples_by_s/`
+    ahead of a store (re)write (a projection seeded by write_s_projection
+    describes the OLD triples; write_graph re-creates its own when asked).
     Local paths go through the OS; remote URIs through the Hadoop FS
     (same handle-acquisition guard as read_graph's log-store probe)."""
     import os
@@ -321,13 +380,14 @@ def _drop_store_sidecars(spark: SparkSession, path: str) -> None:
         except OSError:
             pass
         shutil.rmtree(os.path.join(base, "_tier"), ignore_errors=True)
+        shutil.rmtree(os.path.join(base, "triples_by_s"), ignore_errors=True)
         return
     try:
         sc = spark.sparkContext
         jvm, hconf = sc._jvm, sc._jsc.hadoopConfiguration()
     except Exception:
         return
-    for sub in ("_meta.json", "_tier"):
+    for sub in ("_meta.json", "_tier", "triples_by_s"):
         jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
         fs = jpath.getFileSystem(hconf)
         if fs.exists(jpath):

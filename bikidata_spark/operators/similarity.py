@@ -358,7 +358,9 @@ def ivf_ann_topk(
 
     if nprobe == "auto":
         # one bounded count over the (tiny) seed/centroid frame
-        nprobe = auto_nprobe(cents.count(), recall_target)
+        nprobe = _resolve_nprobe(nprobe, cents.count(), recall_target)
+    else:
+        nprobe = int(nprobe)
     carr = _cent_arr(cents)
     assign = v.crossJoin(F.broadcast(carr)).select(
         "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
@@ -634,7 +636,9 @@ def ivf_store_topk(
     from pyspark.sql import Window
 
     if nprobe == "auto":
-        nprobe = auto_nprobe(cents.count(), recall_target)
+        nprobe = _resolve_nprobe(nprobe, cents.count(), recall_target)
+    else:
+        nprobe = int(nprobe)
     q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
     carr = _cent_arr(cents)
     probes = q.crossJoin(F.broadcast(carr)).select(

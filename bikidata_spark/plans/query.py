@@ -980,6 +980,11 @@ class Engine:
             try:
                 n = edges.count()
                 with self._cache_lock:
+                    if self._hop_idx_building is not base:
+                        # a replace_graph + newer build raced past this
+                        # one: never clobber the newer base's committed
+                        # state/ledger with a stale result
+                        return None
                     other = sum(
                         v
                         for k, v in self._residency_ledger.items()
@@ -1009,6 +1014,11 @@ class Engine:
                 except Exception:
                     pass
             with self._cache_lock:
+                if self._hop_idx_building is not base:
+                    # stale build (newer base committed meanwhile):
+                    # discard rather than clobber — results stay
+                    # correct either way since state is base-keyed
+                    return idx
                 self._hop_idx_state = (base, idx)
                 self._residency_ledger["hop_index"] = (
                     idx[0].nbytes + idx[1].nbytes
@@ -2833,7 +2843,12 @@ class Engine:
                 tbl.num_rows > _DRIVER_ORDER_MAX_ROWS
                 or other + ent_bytes > self._residency_budget()
             ):
-                return None  # usable another time if budget frees
+                # over budget: serve the zero-copy mmap entry UNCACHED
+                # (the arrays are file-backed pages, not admitted driver
+                # heap) so a full ledger degrades to a per-request file
+                # map + validation instead of a distributed sort; it
+                # becomes cache-admitted the moment the budget frees
+                return ent
             while len(self._order_idx_cache) >= self._ORDER_IDX_MAX:
                 ek = next(iter(self._order_idx_cache))
                 self._order_idx_cache.pop(ek)
@@ -3027,6 +3042,8 @@ class Engine:
         if len(vals) != rhash.size:
             return None  # dictionary-contract violation / hash dup
         rvals = [vals[int(h)] for h in rhash.tolist()]
+        if any(v is None for v in rvals):
+            return None  # nullable terms.value: degrade to distributed page
         rrun = run_id[rpos]
         reorder = sorted(
             range(rpos.size), key=lambda i: (rrun[i], rvals[i])
@@ -4466,19 +4483,41 @@ class Engine:
         """(val, count) distinct-subject count per property
         (reference query.py:20-27). A resident local tier serves the
         (schema-bounded) result as a LocalRelation — one local-scan
-        task instead of a corpus-wide count_distinct shuffle."""
+        task instead of a corpus-wide count_distinct shuffle.
+
+        Like ``total()``, the result is a pure function of the graph
+        and property-vocabulary-sized (bounded by the schema, not the
+        data), so it memoizes per generation (r14): at sf10 the
+        corpus-wide count_distinct was the slowest steady-state API
+        cell (8.0–8.7 s/call) and serving traffic repeats it verbatim.
+        Second call per generation: zero Spark jobs (LocalRelation)."""
+        from ..graph import local_relation
+
+        gen = self._graph_generation
+        cached = getattr(self, "_properties_memo", None)
+        if cached is not None and cached[0] == gen:
+            return local_relation(
+                self.graph.spark, cached[1], "val string, count long"
+            )
         tier = self._local_tier()
         if tier is not None:
-            return self.graph.spark.createDataFrame(
-                tier.properties_rows(), "val string, count long"
-            )
-        t = self.graph.triples
-        g = t.groupBy("p").agg(F.count_distinct("s").alias("count"))
-        iris = self.graph.iris().select("hash", F.col("value").alias("val"))
-        # the grouped side is property-vocabulary-sized (bounded by the
-        # schema, not the data) — broadcast it so the corpus-sized iris
-        # side is probed in place instead of shuffled+sorted for an SMJ
-        return iris.join(F.broadcast(g), g.p == iris.hash).select("val", "count")
+            rows = tier.properties_rows()
+        else:
+            t = self.graph.triples
+            g = t.groupBy("p").agg(F.count_distinct("s").alias("count"))
+            iris = self.graph.iris().select("hash", F.col("value").alias("val"))
+            # the grouped side is property-vocabulary-sized — broadcast
+            # it so the corpus-sized iris side is probed in place
+            # instead of shuffled+sorted for an SMJ
+            rows = [
+                (r["val"], r["count"])
+                for r in iris.join(F.broadcast(g), g.p == iris.hash)
+                .select("val", "count")
+                .collect()
+            ]
+        rows = [tuple(r) for r in rows]
+        self._properties_memo = (gen, rows)
+        return local_relation(self.graph.spark, rows, "val string, count long")
 
     def count_by_property(self, prop: str) -> DataFrame:
         """object-value → distinct-subject count for one property

@@ -959,3 +959,60 @@ def test_hop_build_in_progress_does_not_block(spark, monkeypatch):
     assert eng._hop_driver_index() is not None  # now builds
     assert eng.query(dict(opts)) == want
     assert "hop_index" in eng._residency_ledger
+
+
+def test_hop_build_stale_commit_discarded(spark, monkeypatch):
+    """r14 (ADVICE): a hop-index build finishing AFTER a newer build
+    took over (_hop_idx_building moved off this base) must not clobber
+    the newer committed state/ledger — the stale result serves its own
+    request and is discarded."""
+    import bikidata_spark.plans.query as Q
+
+    monkeypatch.setattr(Q, "_DRIVER_HOP", "1")
+    eng = _mk_engine(spark, tier=False)
+    DataFrame = type(eng.graph.triples)  # the concrete (classic) class
+    sentinel = object()
+    orig = DataFrame.toPandas
+
+    def hijack(self):
+        # simulate: replace_graph + a newer build raced past this one
+        eng._hop_idx_building = sentinel
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "toPandas", hijack)
+    try:
+        idx = eng._hop_driver_index()
+    finally:
+        monkeypatch.setattr(DataFrame, "toPandas", orig)
+    assert idx is not None          # this request is still served
+    assert eng._hop_idx_state is None  # but the stale result is NOT committed
+
+    eng._hop_idx_building = None
+    assert eng._hop_driver_index() is not None  # clean rebuild commits
+    assert eng._hop_idx_state is not None
+    assert "hop_index" in eng._residency_ledger
+
+
+def test_properties_memoized_per_generation(spark):
+    """r14: properties() memoizes per generation like total() — the
+    corpus-wide count_distinct was the slowest steady-state API cell at
+    sf10. Second call: zero Spark jobs; a mutation bumps the generation
+    and the memo refreshes to include the new property."""
+    eng = _mk_engine(spark, tier=False)
+    first = {r["val"]: r["count"] for r in eng.properties().collect()}
+    assert "<p/type>" in first
+    sc = spark.sparkContext
+    sc.setJobGroup("props-memo-zero-jobs", "probe")
+    try:
+        again = {r["val"]: r["count"] for r in eng.properties().collect()}
+        jobs = sc.statusTracker().getJobIdsForGroup("props-memo-zero-jobs")
+    finally:
+        sc.setJobGroup(None, None)
+    assert again == first
+    assert list(jobs) == []
+
+    r = eng.mutate("insert", [{"s": "<z/1>", "p": "<p/brandnew>", "o": '"x"'}])
+    assert "error" not in r
+    mutated = {r["val"]: r["count"] for r in eng.properties().collect()}
+    assert mutated["<p/brandnew>"] == 1
+    assert mutated != first

@@ -1021,7 +1021,7 @@ def test_auto_nprobe_recall_target(spark):
         )
     )
     assert r_auto >= r_default, (r_auto, r_default)
-    assert r_auto >= 0.8, r_auto  # 22% of cells probed on soft clusters
+    assert r_auto >= 0.8, r_auto  # ~75% of cells probed at recall_target=0.9
     vectors.unpersist()
 
 

@@ -767,3 +767,150 @@ def test_driver_order_sidecar_natural_rule(spark, tmp_path_factory, monkeypatch)
     finally:
         q.Engine._order_keys_cached = orig
     assert got == want
+
+
+def test_notd_page_null_term_value_degrades(spark, monkeypatch):
+    """r14 (ADVICE): a None in _term_values (nullable terms.value in a
+    hand-built store) must degrade the TermDict-free driver page to the
+    distributed path (return None), not raise a TypeError mid-sort."""
+    from bikidata_spark import Engine
+
+    eng = Engine(_mk_graph(spark), local_tier_rows=0)
+    s_sorted = np.array([10, 20, 30], dtype=np.int64)
+    rank = np.zeros(3, dtype=np.int64)  # all ties: forces the value probe
+    oidx = (s_sorted, rank, None, None)
+    hs = np.array([10, 20, 30], dtype=np.int64)
+    rule = {"by": "label"}
+
+    monkeypatch.setattr(
+        eng, "_term_values",
+        lambda hashes: {int(h): (None if int(h) == 20 else f"v{h}") for h in hashes},
+    )
+    assert eng._order_page_driver_notd(oidx, hs, rule, 2, 0) is None
+
+    monkeypatch.setattr(
+        eng, "_term_values",
+        lambda hashes: {int(h): f"v{h}" for h in hashes},
+    )
+    page, total = eng._order_page_driver_notd(oidx, hs, rule, 2, 0)
+    assert total == 3 and [r["s"] for r in page] == [10, 20]
+
+
+def test_order_sidecar_over_budget_served_uncached(spark, tmp_path_factory, monkeypatch):
+    """r14 (ADVICE): when the residency budget is full, the store dorder
+    sidecar is still SERVED (zero-copy mmap, uncached) instead of being
+    rejected into the distributed page — and nothing lands in the cache
+    or the ledger."""
+    import bikidata_spark.plans.query as q
+    from bikidata_spark import Engine, read_graph, write_graph
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    path = str(tmp_path_factory.mktemp("dorderob") / "store")
+    write_graph(_mk_graph(spark), path)
+    opts = {
+        "filters": [{"p": "<p/name>"}],
+        "order": [{"by": "property", "prop": "<p/name>", "dir": "desc"}],
+        "size": 5,
+        "start": 2,
+        "use_cache": False,
+    }
+    oracle = Engine(read_graph(spark, path))
+    want = oracle.query(dict(opts))
+
+    warm = Engine(read_graph(spark, path), local_tier_bytes=1,
+                  term_cache_bytes=0)
+    assert warm.query(dict(opts)) == want
+    assert warm.query(dict(opts)) == want
+    assert warm.persist_tier(path) is None
+    assert os.path.isfile(os.path.join(path, "_tier", "dorder_meta.json"))
+
+    # budget too small to admit the index: the sidecar must still serve
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", "16")
+    cold = Engine(read_graph(spark, path), local_tier_bytes=1,
+                  term_cache_bytes=0)
+    assert cold._local_tier() is None
+    orig = q.Engine._order_keys_cached
+
+    def boom(self, rule):
+        raise AssertionError("distributed rebuild instead of uncached sidecar")
+
+    q.Engine._order_keys_cached = boom
+    try:
+        got = cold.query(dict(opts))
+        got2 = cold.query(dict(opts))
+    finally:
+        q.Engine._order_keys_cached = orig
+    assert got == want and got2 == want
+    assert not any(k.startswith("order_index:") for k in cold._residency_ledger)
+    assert not any(v for v in cold._order_idx_cache.values() if v != "over_cap")
+
+
+def test_s_projection_store_sidecar(spark, tmp_path_factory):
+    """r14: write_s_projection seeds an EXISTING store with the
+    s-clustered point-probe projection; a cold over-cap engine's
+    hydration path uses it directly (no lazy in-memory clustering
+    shuffle), results match the tier oracle; and a store rewrite drops
+    it (writer-owned coherence)."""
+    from bikidata_spark import (
+        Engine,
+        read_graph,
+        write_graph,
+        write_s_projection,
+    )
+
+    path = str(tmp_path_factory.mktemp("sproj") / "store")
+    write_graph(_mk_graph(spark), path)
+    g = read_graph(spark, path)
+    assert g.s_projection is None
+    assert write_s_projection(g, path) is True
+    assert write_s_projection(g, path) is False  # idempotent no-op
+    assert os.path.isdir(os.path.join(path, "triples_by_s"))
+
+    g2 = read_graph(spark, path)
+    assert g2.s_projection is not None
+    eng = Engine(g2, local_tier_bytes=1, term_cache_bytes=0)
+    assert eng._local_tier() is None
+    # the store projection is preferred outright — no lazy build, no
+    # second-sighting gate, zero extra state
+    assert eng._point_probe_triples() is g2.s_projection
+    assert eng._hyd_state is None
+
+    oracle = Engine(read_graph(spark, path))
+    opts = {"filters": [{"p": "<p/ref>"}], "size": 4, "start": 1,
+            "use_cache": False}
+    assert eng.query(dict(opts)) == oracle.query(dict(opts))
+
+    write_graph(_mk_graph(spark), path)  # rewrite: projection must go
+    assert not os.path.isdir(os.path.join(path, "triples_by_s"))
+    assert read_graph(spark, path).s_projection is None
+
+
+def test_cli_warm_overcap_writes_s_projection(spark, tmp_path_factory, monkeypatch, capsys):
+    """r14: CLI ``warm`` on an over-cap store persists the dorder
+    sidecars AND the s-clustered projection, so a cold engine pays
+    neither the order-index collect nor the lazy hydration shuffle."""
+    import bikidata_spark.__main__ as M
+    from bikidata_spark import Engine, read_graph, write_graph
+    from bikidata_spark.__main__ import main as cli
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    monkeypatch.setattr(
+        M,
+        "Engine",
+        lambda graph, **kw: Engine(
+            graph, local_tier_bytes=1, local_tier_rows=10,
+            term_cache_bytes=0, **kw
+        ),
+    )
+    path = str(tmp_path_factory.mktemp("warmsproj") / "store")
+    write_graph(_mk_graph(spark), path)
+    assert cli(["warm", path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("tier") == "over_cap"
+    assert out.get("s_projection") is True
+    assert os.path.isdir(os.path.join(path, "triples_by_s"))
+    assert read_graph(spark, path).s_projection is not None
+    # idempotent: second warm leaves it in place, reports no rewrite
+    assert cli(["warm", path]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2.get("s_projection") is False
