@@ -41,10 +41,14 @@ from bikidata_spark.sources.rdfize import string_quads
 
 def _serving_workload(
     engine: Engine, qvec: list[float], n: int = 24, workers: int = 8,
-    proc_workers: int = 0,
+    proc_workers: int = 0, with_order: bool = False,
 ) -> dict:
     """Drive ``Serving`` with ``n`` concurrent mixed queries and return
-    latency stats. Caches are off so every query does real work."""
+    latency stats. Caches are off so every query does real work.
+    ``with_order`` adds a 5th kind — label-ordered pages — so over-cap
+    sweeps exercise the lock-guarded driver order/member-set caches
+    under concurrency (r14 verdict item 3); off by default to keep the
+    4-kind mix comparable with earlier rounds' sweeps."""
     import asyncio
     import statistics
 
@@ -53,8 +57,18 @@ def _serving_workload(
     segs = ['"BUILDING"', '"AUTOMOBILE"', '"MACHINERY"', '"HOUSEHOLD"', '"FURNITURE"']
     opts_list = []
     for i in range(n):
-        kind = i % 4
-        if kind == 0:
+        kind = i % (5 if with_order else 4)
+        if kind == 4:
+            opts_list.append(
+                {
+                    "filters": [{"p": "<p/type>", "o": "<c/customer>"}],
+                    "order": [{"by": "label", "dir": "desc"}],
+                    "size": 25,
+                    "start": i,
+                    "use_cache": False,
+                }
+            )
+        elif kind == 0:
             opts_list.append(
                 {"filters": [{"p": "fts", "o": "customer"}], "size": 10, "start": i, "use_cache": False}
             )

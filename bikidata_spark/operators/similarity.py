@@ -56,9 +56,17 @@ def _seed_step(v: DataFrame) -> int:
     is exact-integer over an exact count, reproducible bit-for-bit in
     any engine (`GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT),
     (count(*) + 4095) // 4096)` in the DuckDB oracles)."""
+    return _cell_step(v.count())
+
+
+def _cell_step(n: int) -> int:
+    """The pure schedule formula behind ``_seed_step`` (split out so
+    the 16.7M-vector self-cap boundary is unit-testable without a
+    16.7M-row DataFrame): ``max(31, floor(sqrt(n)), ceil(n/4096))``.
+    Cells ≈ ceil(n/step): sqrt-growth until n = _MAX_CELLS², exactly
+    self-capping to ≤ _MAX_CELLS cells past it."""
     import math
 
-    n = v.count()
     return max(31, math.floor(math.sqrt(n)), -(-n // _MAX_CELLS))
 
 

@@ -480,6 +480,14 @@ class Engine:
     # not result-affecting: the cache is generation-keyed and byte-
     # charged to the residency ledger). See _member_set_get/_put.
     _member_sets: dict = field(default_factory=dict, repr=False)
+    # observability counters surfaced by driver_residency() (r14):
+    # order-index/member-set evictions, re-collects of a previously
+    # evicted order rule (the ~24-43 s miss cost at sf10), sidecar
+    # loads. Mutated under _cache_lock; never result-affecting.
+    _cache_stats: dict = field(default_factory=dict, repr=False)
+    # rule sigs whose resident order index was LRU-evicted this
+    # generation — distinguishes a churn re-collect from a first build
+    _order_idx_evicted: set = field(default_factory=set, repr=False)
     # measured bytes of every driver-resident structure, keyed by name —
     # one ledger, one budget (_residency_budget) bounds the driver's
     # total data residency. Guarded by _cache_lock.
@@ -555,6 +563,7 @@ class Engine:
             self._order_key_cache = {}
             self._order_idx_cache = {}
             self._order_idx_seen = set()
+            self._order_idx_evicted = set()  # generation-scoped, like the cache
             self._member_sets = {}
             for df in self._paths_edge_cache.values():
                 try:
@@ -2587,6 +2596,7 @@ class Engine:
                 old_k = next(iter(self._member_sets))
                 self._member_sets.pop(old_k)
                 self._residency_ledger.pop("member_set:" + old_k[1], None)
+                self._stat_bump("member_set_evictions")
             self._member_sets[k] = arr
             if arr.nbytes:
                 self._residency_ledger[lk] = int(arr.nbytes)
@@ -2745,6 +2755,14 @@ class Engine:
                 self._residency_ledger.pop(
                     "order_index:" + evicted_key[1], None
                 )
+                self._stat_bump("order_index_evictions")
+                self._order_idx_evicted.add(evicted_key[1])
+            if key[1] in self._order_idx_evicted:
+                # a hot-rule mix rotating past _ORDER_IDX_MAX re-pays
+                # the corpus collect per miss (~24-43 s at sf10) —
+                # surface it so operators size the cap deliberately
+                self._stat_bump("order_index_recollects_after_eviction")
+                self._order_idx_evicted.discard(key[1])
             self._order_idx_cache[key] = ent
             if ent_bytes:
                 self._residency_ledger[ledger_key] = ent_bytes
@@ -2848,12 +2866,16 @@ class Engine:
                 # heap) so a full ledger degrades to a per-request file
                 # map + validation instead of a distributed sort; it
                 # becomes cache-admitted the moment the budget frees
+                self._stat_bump("order_sidecar_uncached_serves")
                 return ent
             while len(self._order_idx_cache) >= self._ORDER_IDX_MAX:
                 ek = next(iter(self._order_idx_cache))
                 self._order_idx_cache.pop(ek)
                 self._residency_ledger.pop("order_index:" + ek[1], None)
+                self._stat_bump("order_index_evictions")
+                self._order_idx_evicted.add(ek[1])
             self._order_idx_cache[key] = ent
+            self._stat_bump("order_sidecar_loads")
             if ent_bytes:
                 self._residency_ledger[ledger_key] = ent_bytes
         return ent
@@ -3735,15 +3757,26 @@ class Engine:
         with self._cache_lock:
             return sum(self._residency_ledger.values())
 
+    def _stat_bump(self, name: str) -> None:
+        # caller holds _cache_lock at every site
+        self._cache_stats[name] = self._cache_stats.get(name, 0) + 1
+
     def driver_residency(self) -> dict:
         """Observability: measured bytes per driver-resident structure,
-        their total, and the one budget that bounds them."""
+        their total, the one budget that bounds them, and the cache
+        eviction/miss counters (r14) — ``order_index_recollects_after_
+        eviction`` > 0 means the serving mix rotates more sort rules
+        than ``_ORDER_IDX_MAX`` holds and re-pays the corpus order
+        collect per miss (~24-43 s at sf10): raise the cap or warm the
+        extra rules into store sidecars."""
         with self._cache_lock:
             ledger = dict(self._residency_ledger)
+            stats = dict(self._cache_stats)
         return {
             "structures": ledger,
             "total_bytes": sum(ledger.values()),
             "budget_bytes": self._residency_budget(),
+            "cache_stats": stats,
         }
 
     def _fts_mirror_rows(self, tier) -> int:

@@ -1038,3 +1038,32 @@ def test_ivf_store_topk_auto_nprobe(spark, embeddings, tmp_path):
     )
     rows = got.collect()
     assert rows and all(r["rank"] <= 5 for r in rows)
+
+
+def test_ivf_cell_schedule_self_cap_boundary():
+    """r14: the cell schedule self-caps at _MAX_CELLS exactly past
+    n = _MAX_CELLS² (16,777,216). cells = ceil(n/step): sqrt growth
+    below the boundary, ≤ _MAX_CELLS at and past it — so assignment
+    and store-write stay ~linear at 100 TB vector counts."""
+    import math
+
+    from bikidata_spark.operators.similarity import _MAX_CELLS, _cell_step
+
+    def cells(n):
+        return -(-n // _cell_step(n))
+
+    b = _MAX_CELLS * _MAX_CELLS  # 16,777,216
+    for n in (b - 1, b, b + 1):
+        assert _cell_step(n) == max(math.floor(math.sqrt(n)), -(-n // _MAX_CELLS))
+        assert cells(n) <= _MAX_CELLS
+    # the ceil(n/4096) term takes over AT the boundary (it already
+    # equals 4096 one vector before, where floor(sqrt) is still 4095)
+    assert _cell_step(b - 1) == 4096  # ceil((b-1)/4096), not sqrt's 4095
+    assert _cell_step(b) == 4096
+    assert _cell_step(b + 1) == 4097  # cap engaged: step grows, cells don't
+    # far past: cells pinned at the cap, step grows linearly
+    for n in (20_000_000, 100_000_000, 10**12):
+        assert cells(n) == _MAX_CELLS or cells(n) == _MAX_CELLS - 0  # exact cap
+        assert _cell_step(n) == -(-n // _MAX_CELLS)
+    # tiny corpora: the 31 floor holds
+    assert _cell_step(10) == 31

@@ -914,3 +914,35 @@ def test_cli_warm_overcap_writes_s_projection(spark, tmp_path_factory, monkeypat
     assert cli(["warm", path]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2.get("s_projection") is False
+
+
+def test_order_cache_eviction_counters(spark, monkeypatch):
+    """r14: driver_residency() surfaces order-index eviction and
+    re-collect counters so operators can size _ORDER_IDX_MAX against
+    their sort-rule mix (a rotation past the cap re-pays the corpus
+    collect per miss — ~24-43 s at sf10)."""
+    from bikidata_spark import Engine
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    eng = Engine(_mk_graph(spark), local_tier_bytes=1, term_cache_bytes=0)
+    assert eng._local_tier() is None
+    rules = [
+        {"by": "label"},
+        {"by": "property", "prop": "<p/name>"},
+        {"by": "property", "prop": "<p/num>"},
+        {"by": "property", "prop": "<p/num>", "natural": True},
+        {"by": "property", "prop": "<p/ref>"},
+    ]
+    base = {"filters": [{"p": "<p/name>"}], "size": 3, "use_cache": False}
+    for r in rules:  # 5 distinct sigs > _ORDER_IDX_MAX=4 -> eviction
+        for _ in range(2):  # second sighting builds the index
+            eng.query(dict(base, order=[dict(r)]))
+    stats = eng.driver_residency()["cache_stats"]
+    assert stats.get("order_index_evictions", 0) >= 1, stats
+    before = stats.get("order_index_recollects_after_eviction", 0)
+    # rule rotation comes back around: the re-build after eviction is
+    # counted as a recollect miss
+    for _ in range(2):
+        eng.query(dict(base, order=[dict(rules[0])]))
+    stats2 = eng.driver_residency()["cache_stats"]
+    assert stats2.get("order_index_recollects_after_eviction", 0) >= before + 1, stats2

@@ -366,12 +366,34 @@ def run_ours(parts: list[str], reps: int) -> dict:
     return out
 
 
+def _drop_page_cache() -> bool:
+    """Drop the OS page cache (needs root). The r13 runs showed
+    back-to-back head-to-heads hand the REFERENCE a warm-cache
+    advantage swing (its ~18 GB of DuckDB/tmp files from run A stay in
+    cache for run B: property_hop 6.91 -> 2.20 s reference-side while
+    ours stayed flat, moving the geomean ~0.2) — cache state, not
+    engine state. Dropping between engines makes both start cold."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default=str(REPO / "docs" / "BASELINE_MEASURED.json"))
     ap.add_argument("--keep", action="store_true", help="keep the workdir (dump + ref db)")
+    ap.add_argument("--drop-caches", action="store_true",
+                    help="drop the OS page cache before each engine (r14 protocol: "
+                         "removes the reference-side warmth a prior run leaves behind)")
+    ap.add_argument("--order", choices=["ours-first", "ref-first"], default="ours-first",
+                    help="engine execution order (alternate between runs as the "
+                         "cache-fairness lever when --drop-caches is unavailable)")
     args = ap.parse_args()
 
     sf_name = Path(args.sf).name
@@ -383,9 +405,23 @@ def main() -> None:
         raise SystemExit("no dump parts written")
     gc.collect()
 
-    ours = run_ours(parts, args.reps)
-    gc.collect()
-    ref = run_reference(parts, workdir, args.reps)
+    dropped = []
+    if args.order == "ours-first":
+        if args.drop_caches:
+            dropped.append(_drop_page_cache())
+        ours = run_ours(parts, args.reps)
+        gc.collect()
+        if args.drop_caches:
+            dropped.append(_drop_page_cache())
+        ref = run_reference(parts, workdir, args.reps)
+    else:
+        if args.drop_caches:
+            dropped.append(_drop_page_cache())
+        ref = run_reference(parts, workdir, args.reps)
+        gc.collect()
+        if args.drop_caches:
+            dropped.append(_drop_page_cache())
+        ours = run_ours(parts, args.reps)
 
     parity = {}
     for name in ref["signatures"]:
@@ -399,6 +435,11 @@ def main() -> None:
         "sf_dir": args.sf,
         "sf": sf_name,
         "generated_by": "tools/run_reference_baseline.py",
+        "protocol": {
+            "order": args.order,
+            "drop_caches": args.drop_caches,
+            "drop_caches_ok": all(dropped) if dropped else None,
+        },
         "reference": {k: v for k, v in ref.items() if k != "signatures"},
         "bikidata_spark": {k: v for k, v in ours.items() if k != "signatures"},
         "parity": parity,

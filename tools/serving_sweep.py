@@ -23,7 +23,7 @@ os.environ.setdefault("BIKIDATA_SPARK_SCHEDULER", "FAIR")
 from pyspark.sql import functions as F
 
 from bench import _serving_workload
-from bikidata_spark import Engine, from_string_quads
+from bikidata_spark import Engine, from_string_quads, read_graph
 from bikidata_spark.operators import similarity as sim
 from bikidata_spark.session import get_spark
 from bikidata_spark.sources.rdfize import string_quads
@@ -33,8 +33,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     workers_list = [int(w) for w in os.environ.get("SWEEP_WORKERS", "4,8,16,32").split(",")]
     clients = int(os.environ.get("SWEEP_CLIENTS", "48"))
+    # SWEEP_STORE: serve from a warmed on-disk store instead of an
+    # in-memory build — the over-cap (pure-distributed) deployment
+    # shape; dorder/s-projection sidecars then engage exactly as a
+    # production cold start would (r14 verdict item 3)
+    store_dir = os.environ.get("SWEEP_STORE")
+    with_order = os.environ.get("SWEEP_WITH_ORDER", "0") == "1"
     spark = get_spark("serving-sweep")
-    graph = from_string_quads(string_quads(spark, sf_dir)).cache()
+    if store_dir:
+        graph = read_graph(spark, store_dir).cache()
+    else:
+        graph = from_string_quads(string_quads(spark, sf_dir)).cache()
     graph.triples.count()
     graph.terms.count()
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -56,7 +65,8 @@ def main() -> None:
 
     results = {}
     # warmup pass (plans, codegen, derived caches)
-    _serving_workload(eng, qvec, n=8, workers=8)
+    _serving_workload(eng, qvec, n=10 if with_order else 8, workers=8,
+                      with_order=with_order)
     # record which mirrors actually serve the tier path (r13: the r12
     # sf3 sweep conclusion assumed the semantic leg ran brute — make
     # the engaged kinds part of the sweep record instead of a guess)
@@ -75,7 +85,8 @@ def main() -> None:
         flush=True,
     )
     for w in workers_list:
-        stats = _serving_workload(eng, qvec, n=clients, workers=w)
+        stats = _serving_workload(eng, qvec, n=clients, workers=w,
+                                  with_order=with_order)
         results[w] = stats
         print(json.dumps({"workers": w, **stats}), flush=True)
     best = max(results, key=lambda w: results[w]["qps"])
@@ -97,6 +108,8 @@ def main() -> None:
                 "clients": clients,
                 "scheduler": os.environ.get("BIKIDATA_SPARK_SCHEDULER"),
                 "sweep": results,
+                "store": store_dir,
+                "with_order": with_order,
                 "best_workers_by_qps": best,
                 "proc_sweep": proc_results,
             }
