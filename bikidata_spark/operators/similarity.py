@@ -210,6 +210,78 @@ def _nearest_cells(vec_col, cents_col, nprobe: int):
     return F.transform(top, lambda s: s["cid"])
 
 
+# below this many centroids the interpreted HOF fold is cheap enough
+# and stays the bit-exact mirror of the DuckDB oracle SQL; at/above it
+# (the self-capped high-cell regime) assignment switches to one numpy
+# matmul per Arrow batch — same argmax/tie semantics, ~2 orders of
+# magnitude less per-row work at 4096 cells
+_ASSIGN_MATMUL_MIN_CELLS = 256
+
+
+def _assign_cells(v: DataFrame, cents: DataFrame, n_cells: int | None = None) -> DataFrame:
+    """(nid, nv) → (nid, nv, cell): nearest-centroid assignment, the
+    single semantics every IVF surface shares (max cosine, ties → the
+    LOWEST cid — ``_nearest_cid``'s fold order). Two physical paths:
+
+    - **HOF fold** (< ``_ASSIGN_MATMUL_MIN_CELLS`` cells): one-row
+      broadcast centroid array + map-side ``F.aggregate`` — the
+      bit-exact mirror of the DuckDB oracle SQL, O(cells) interpreted
+      expression work per row. All sf0.01 oracles run here.
+    - **Arrow matmul** (≥ the gate): the centroid matrix (≤ 4096×d
+      doubles) is collected driver-side, L2-normalized once, shipped
+      via a Spark broadcast, and each Arrow batch computes
+      ``V_norm @ C_norm.T`` + ``argmax`` — BLAS instead of an
+      interpreted fold. ``np.argmax`` returns the FIRST maximum and
+      the matrix rows are cid-sorted, so ties break to the lowest cid
+      exactly like the fold. Scores differ only in float summation
+      order (both IEEE double) — an exact near-tie can assign a
+      different (equally-near) cell, which is why the oracle-scale
+      path keeps the fold. Zero-norm vectors/centroids are clamped to
+      norm 1 (sim 0) instead of inheriting the fold's NaN-comparison
+      edge semantics.
+
+    At the self-capped 4096 cells this is the difference between the
+    17.1M-vector 8-d store build finishing in 176 s vs NOT finishing
+    in 47 minutes of 29-core fold grinding (aborted; BENCH_NOTES
+    §Round-14, ivf_cap_engage A/B — ≥16× and in practice far more)."""
+    if n_cells is None:
+        n_cells = cents.count()
+    if n_cells < _ASSIGN_MATMUL_MIN_CELLS:
+        carr = _cent_arr(cents)
+        return v.crossJoin(F.broadcast(carr)).select(
+            "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
+        )
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        ((int(r["cid"]), np.asarray(r["cv"], dtype=np.float64)) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    cids = np.array([t[0] for t in rows], dtype=np.int64)
+    C = np.vstack([t[1] for t in rows])
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    CnT = np.ascontiguousarray((C / cn).T)
+    sc = v.sparkSession.sparkContext
+    bc = sc.broadcast((cids, CnT))
+
+    def _nearest_batch(nv):
+        b_cids, b_CnT = bc.value
+        V = np.vstack(nv.to_numpy())
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0.0] = 1.0
+        idx = ((V / vn) @ b_CnT).argmax(axis=1)
+        return pd.Series(b_cids[idx])
+
+    # annotate with the REAL types (pandas is a function-local import,
+    # so string hints would not resolve for pandas_udf's inference)
+    _nearest_batch.__annotations__ = {"nv": pd.Series, "return": pd.Series}
+    _nearest = F.pandas_udf(_nearest_batch, "long")
+
+    return v.select("nid", "nv", _nearest(F.col("nv")).alias("cell"))
+
+
 def kmeans_refine(
     v: DataFrame, cents: DataFrame, iters: int = 2, quantize: int | None = None
 ) -> DataFrame:
@@ -245,9 +317,8 @@ def kmeans_refine(
     # just recomputes instead of failing.
     prev = None
     for _ in range(iters):
-        carr = _cent_arr(cents)
-        assign = v.crossJoin(F.broadcast(carr)).select(
-            _nearest_cid(F.col("nv"), F.col("cents")).alias("cid"), "nv"
+        assign = _assign_cells(v, cents).select(
+            F.col("cell").alias("cid"), "nv"
         )
         cents = (
             assign.select("cid", F.posexplode("nv").alias("pos", "x"))
@@ -370,9 +441,7 @@ def ivf_ann_topk(
     else:
         nprobe = int(nprobe)
     carr = _cent_arr(cents)
-    assign = v.crossJoin(F.broadcast(carr)).select(
-        "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
-    )
+    assign = _assign_cells(v, cents)
     probes = (
         q.crossJoin(F.broadcast(carr))
         .select(
@@ -445,17 +514,22 @@ def write_ivf_store(
         )
     if refine_iters > 0:
         cents = kmeans_refine(v, cents, refine_iters, quantize=quantize)
-    carr = _cent_arr(cents)
-    assign = v.crossJoin(F.broadcast(carr)).select(
-        "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
-    )
+    # materialize the (tiny) centroid table FIRST so both the store
+    # write and the assignment read one small parquet scan instead of
+    # re-deriving the seed filter over the corpus
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    try:
+        cents.unpersist()  # kmeans_refine returns a persisted frame
+    except Exception:
+        pass
+    cents = vectors.sparkSession.read.parquet(f"{path}/centroids")
+    assign = _assign_cells(v, cents)
     (
         assign.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     for df in (v, cents):
         try:
             df.unpersist()
@@ -486,16 +560,13 @@ def append_ivf_store(
         ensure_parallelism(vectors).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
     )
-    carr = _cent_arr(cents)
     # persist the projected input across the count and the write so both
     # actions see the same rows even when the source plan is
     # nondeterministic (sample/limit/shuffle-dependent), and the scan
     # runs once instead of twice
     v = v.persist()
     try:
-        assign = v.crossJoin(F.broadcast(carr)).select(
-            "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
-        )
+        assign = _assign_cells(v, cents)
         n = v.count()
         (
             assign.repartition("cell")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _as_double, _cent_arr, _nearest_cid
+from ..operators.similarity import _as_double, _assign_cells
 
 
 def start_ivf_append(
@@ -44,15 +44,15 @@ def start_ivf_append(
     centroid table defines the cells). Returns the StreamingQuery."""
     spark = stream_df.sparkSession
     cents = spark.read.parquet(f"{store_dir}/centroids")
-    carr = _cent_arr(cents)
+    # the committed centroid table is tiny and immutable for the
+    # stream's lifetime: size the assignment strategy once up front
+    n_cells = cents.count()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         v = _as_double(
             batch.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")), "nv"
         )
-        assign = v.crossJoin(F.broadcast(carr)).select(
-            "nid", "nv", _nearest_cid(F.col("nv"), F.col("cents")).alias("cell")
-        )
+        assign = _assign_cells(v, cents, n_cells=n_cells)
         (
             assign.repartition("cell")
             .write.mode("overwrite")

