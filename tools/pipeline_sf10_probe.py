@@ -92,7 +92,7 @@ def main() -> None:
     q = embs.filter(F.col("vec_id") < 3)
     t0 = time.perf_counter()
     out["ivf_store_topk_rows"] = sim.ivf_store_topk(
-        spark, f"{ivf_dir}/ivf", q, k=10, nprobe=2
+        *sim.read_ivf_store(spark, f"{ivf_dir}/ivf"), q, k=10, nprobe=2
     ).count()
     out["ivf_store_topk_s"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(ivf_dir, ignore_errors=True)
