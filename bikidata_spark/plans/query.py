@@ -480,6 +480,12 @@ class Engine:
     # not result-affecting: the cache is generation-keyed and byte-
     # charged to the residency ledger). See _member_set_get/_put.
     _member_sets: dict = field(default_factory=dict, repr=False)
+    # (generation, filters-json) -> member count (r14): the distinct-
+    # member count job is the one corpus-proportional action a
+    # repeated hydrate/facet request still pays in steady serving.
+    # Pure function of (graph, filters) — same keying precedent as the
+    # member-set cache; ints only, LRU-bounded, no ledger charge.
+    _filter_totals: dict = field(default_factory=dict, repr=False)
     # observability counters surfaced by driver_residency() (r14):
     # order-index/member-set evictions, re-collects of a previously
     # evicted order rule (the ~24-43 s miss cost at sf10), sidecar
@@ -565,6 +571,7 @@ class Engine:
             self._order_idx_seen = set()
             self._order_idx_evicted = set()  # generation-scoped, like the cache
             self._member_sets = {}
+            self._filter_totals = {}
             for df in self._paths_edge_cache.values():
                 try:
                     df.unpersist()
@@ -4182,8 +4189,39 @@ class Engine:
         elif sv_rows is not None:
             total = len(sv_rows)
         elif s_results is not None:
-            with self._no_aqe():
-                total = s_results.count()
+            # steady-state repeats of a filter spec skip the member
+            # count job (r14): the count is a pure function of
+            # (generation, filters) — same keying as the member-set
+            # cache, whose resident set (if an ordered request already
+            # collected it) answers for free too
+            import json as _json
+
+            try:
+                tkey = (
+                    self._graph_generation,
+                    _json.dumps(opts.get("filters", []), sort_keys=True),
+                )
+            except (TypeError, ValueError):
+                tkey = None
+            total = None
+            if tkey is not None:
+                with self._cache_lock:
+                    total = self._filter_totals.get(tkey)
+                if total is None:
+                    ms = self._member_set_get(tkey[1])
+                    if ms is not None:
+                        total = int(ms.size)
+            if total is None:
+                with self._no_aqe():
+                    total = s_results.count()
+            if tkey is not None:
+                with self._cache_lock:
+                    self._filter_totals.pop(tkey, None)
+                    while len(self._filter_totals) >= 64:
+                        self._filter_totals.pop(
+                            next(iter(self._filter_totals))
+                        )
+                    self._filter_totals[tkey] = int(total)
         else:
             total = 0
         aggregates, aggs_truncated = {}, []

@@ -946,3 +946,44 @@ def test_order_cache_eviction_counters(spark, monkeypatch):
         eng.query(dict(base, order=[dict(rules[0])]))
     stats2 = eng.driver_residency()["cache_stats"]
     assert stats2.get("order_index_recollects_after_eviction", 0) >= before + 1, stats2
+
+
+def test_filter_total_memo(spark, monkeypatch):
+    """r14: repeats of a filter spec skip the distinct-member count job
+    (total memoized per (generation, filters) — the same keying the
+    subject/member-set caches already rely on); a mutation bumps the
+    generation and the total reflects the new member."""
+    import bikidata_spark.plans.query as q
+    from bikidata_spark import Engine
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    # push the 400-member set past the fast-page collect so the
+    # distributed count path (the one the memo covers) actually runs
+    monkeypatch.setattr(q, "_FAST_PAGE_ROWS", 10)
+    eng = Engine(_mk_graph(spark), local_tier_bytes=1, term_cache_bytes=0)
+    assert eng._local_tier() is None
+    opts = {"filters": [{"p": "<p/ref>"}], "size": 5, "use_cache": False}
+    sc = spark.sparkContext
+
+    def jobs_for(tag):
+        sc.setJobGroup(tag, tag)
+        r = eng.query(dict(opts))
+        n = len(sc.statusTracker().getJobIdsForGroup(tag))
+        sc.setJobGroup(None, None)
+        return r, n
+
+    r1, n1 = jobs_for("ftm-1")
+    # rep 2 pays the one-time second-sighting projection builds; rep 3
+    # is the steady state the memo targets
+    r2, _ = jobs_for("ftm-2")
+    r3, n3 = jobs_for("ftm-3")
+    assert r1 == r2 == r3
+    assert n3 < n1, (n1, n3)  # the count job is gone on the repeat
+    assert eng._filter_totals, "total not memoized"
+
+    r = eng.mutate("insert", [{"s": "<c/newref>", "p": "<p/ref>", "o": "<c/1>"}])
+    assert "error" not in r
+    r3 = eng.query(dict(opts))
+    assert r3["total"] == r1["total"] + 1
+    control = Engine(eng.graph, local_tier_rows=0)
+    assert r3 == control.query(dict(opts))
