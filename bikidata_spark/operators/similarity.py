@@ -158,17 +158,19 @@ def lsh_ann_topk(
     )
 
 
-def _localized(cents: DataFrame) -> DataFrame:
+def _localized(cents: DataFrame) -> tuple[DataFrame, int]:
     """Collect a persisted centroid frame to the driver, unpersist the
-    cached copy, and return it as a literal local DataFrame — for
-    consumers (lazy top-k plans) that have no post-action hook at which
-    to unpersist. Centroid sets are k rows by construction."""
+    cached copy, and return it as a literal local DataFrame plus its
+    EXACT row count (free at localization time — downstream strategy
+    gates must not pay another count job for it) — for consumers (lazy
+    top-k plans) that have no post-action hook at which to unpersist.
+    Centroid sets are k rows by construction."""
     rows = cents.collect()
     try:
         cents.unpersist()
     except Exception:
         pass
-    return cents.sparkSession.createDataFrame(rows, cents.schema)
+    return cents.sparkSession.createDataFrame(rows, cents.schema), len(rows)
 
 
 def _cent_arr(cents: DataFrame) -> DataFrame:
@@ -283,10 +285,17 @@ def _assign_cells(v: DataFrame, cents: DataFrame, n_cells: int | None = None) ->
 
 
 def kmeans_refine(
-    v: DataFrame, cents: DataFrame, iters: int = 2, quantize: int | None = None
+    v: DataFrame,
+    cents: DataFrame,
+    iters: int = 2,
+    quantize: int | None = None,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Lloyd refinement of an IVF centroid set. ``v`` is (nid, nv),
-    ``cents`` is (cid, cv); returns refined (cid, cv).
+    ``cents`` is (cid, cv); returns refined (cid, cv). ``n_cells`` is
+    the caller's (estimated) size of the INITIAL centroid set — it only
+    picks the first iteration's assignment strategy (fold vs matmul);
+    later iterations reuse their materialization count for free.
 
     Each iteration is (a) a shuffle-free assign — the centroid set rides
     along as one broadcast array row and every vector folds to its
@@ -317,7 +326,7 @@ def kmeans_refine(
     # just recomputes instead of failing.
     prev = None
     for _ in range(iters):
-        assign = _assign_cells(v, cents).select(
+        assign = _assign_cells(v, cents, n_cells=n_cells).select(
             F.col("cell").alias("cid"), "nv"
         )
         cents = (
@@ -328,7 +337,9 @@ def kmeans_refine(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
         ).persist()
-        cents.count()
+        # the materialization count doubles as the next iteration's
+        # strategy-gate input — no dedicated count job anywhere
+        n_cells = cents.count()
         if prev is not None:
             prev.unpersist()
         prev = cents
@@ -423,8 +434,16 @@ def ivf_ann_topk(
         "nv",
     )
     q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    # size the cell schedule AND the assignment-strategy gate from the
+    # same single corpus count: counting the seed FRAME instead would
+    # be a second full corpus pass per call (the gate only needs an
+    # estimate — ceil(n/step) is exact for dense ids and strategy-only
+    # for sparse ones, so results cannot change either way)
+    est_cells = None
     if centroid_step is None:
-        centroid_step = _seed_step(v)
+        n_v = v.count()
+        centroid_step = _cell_step(n_v)
+        est_cells = -(-n_v // centroid_step)
     cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
         F.col("nid").alias("cid"), F.col("nv").alias("cv")
     )
@@ -432,16 +451,20 @@ def ivf_ann_topk(
         # kmeans_refine returns a PERSISTED frame expecting the caller
         # to unpersist; a lazy top-k has no after-the-action hook, so
         # localize the (tiny, k-row) centroid set to the driver and
-        # release the cached copy immediately — no leak per call
-        cents = _localized(kmeans_refine(v, cents, refine_iters, quantize=quantize))
+        # release the cached copy immediately — no leak per call. The
+        # localization's row count is the exact post-refine cell count.
+        cents, est_cells = _localized(
+            kmeans_refine(v, cents, refine_iters, quantize=quantize, n_cells=est_cells)
+        )
 
     if nprobe == "auto":
-        # one bounded count over the (tiny) seed/centroid frame
-        nprobe = _resolve_nprobe(nprobe, cents.count(), recall_target)
+        nprobe = _resolve_nprobe(
+            nprobe, est_cells if est_cells is not None else cents.count(), recall_target
+        )
     else:
         nprobe = int(nprobe)
     carr = _cent_arr(cents)
-    assign = _assign_cells(v, cents)
+    assign = _assign_cells(v, cents, n_cells=est_cells)
     probes = (
         q.crossJoin(F.broadcast(carr))
         .select(
@@ -504,16 +527,23 @@ def write_ivf_store(
     # a sketch of the distribution, not the full table)
     if refine_iters > 0:
         v = v.persist()
+    est_cells = None
     if centroids is not None:
         cents = _as_double(centroids.select("cid", "cv"), "cv")
     else:
         if centroid_step is None:
-            centroid_step = _seed_step(v)
+            # one corpus count sizes BOTH the cell schedule and the
+            # assignment-strategy gate (ceil(n/step) — exact for dense
+            # ids, strategy-only for sparse ones)
+            n_v = v.count()
+            centroid_step = _cell_step(n_v)
+            est_cells = -(-n_v // centroid_step)
         cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
             F.col("nid").alias("cid"), F.col("nv").alias("cv")
         )
     if refine_iters > 0:
-        cents = kmeans_refine(v, cents, refine_iters, quantize=quantize)
+        cents = kmeans_refine(v, cents, refine_iters, quantize=quantize, n_cells=est_cells)
+        est_cells = None  # Lloyd can shrink k; re-derive from the tiny store below
     # materialize the (tiny) centroid table FIRST so both the store
     # write and the assignment read one small parquet scan instead of
     # re-deriving the seed filter over the corpus
@@ -523,7 +553,10 @@ def write_ivf_store(
     except Exception:
         pass
     cents = vectors.sparkSession.read.parquet(f"{path}/centroids")
-    assign = _assign_cells(v, cents)
+    # est_cells is None after a refine (k can shrink) or with caller
+    # centroids: _assign_cells then counts the tiny materialized
+    # parquet — one footer-metadata job, never a corpus pass
+    assign = _assign_cells(v, cents, n_cells=est_cells)
     (
         assign.repartition("cell")
         .write.mode("overwrite")

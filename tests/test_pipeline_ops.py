@@ -1133,3 +1133,33 @@ def test_write_ivf_store_matmul_path_roundtrip(spark, monkeypatch, tmp_path):
     cells_a = {(r["nid"], r["cell"]) for r in a.collect()}
     cells_b = {(r["nid"], r["cell"]) for r in b.collect()}
     assert cells_a == cells_b
+
+
+def test_ivf_ann_topk_gate_needs_no_extra_corpus_pass(spark, monkeypatch):
+    """r14: the fold-vs-matmul assignment gate is sized from the same
+    single corpus count that sizes the cell schedule — counting the
+    seed FRAME would be a second full corpus pass per call (measured
+    +3 Spark jobs / ~2x wall on q_ann_ivf at sf0.1). Pin: every
+    _assign_cells invocation inside ivf_ann_topk (plain and refined)
+    receives an explicit n_cells."""
+    import bikidata_spark.operators.similarity as S
+
+    seen = []
+    orig = S._assign_cells
+
+    def spy(v, cents, n_cells=None):
+        seen.append(n_cells)
+        return orig(v, cents, n_cells=n_cells)
+
+    monkeypatch.setattr(S, "_assign_cells", spy)
+    vecs = spark.createDataFrame(
+        [(i, [float(((i * 7 + d * 3) % 19) - 9) for d in range(6)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") < 2)
+    S.ivf_ann_topk(vecs, q, k=3).count()
+    S.ivf_ann_topk(vecs, q, k=3, refine_iters=2).count()
+    assert seen and all(n is not None for n in seen), seen
+    # dense ids: the schedule-derived estimate is the exact seed count
+    step = S._cell_step(200)
+    assert seen[0] == -(-200 // step)
