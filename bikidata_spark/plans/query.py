@@ -2608,6 +2608,26 @@ class Engine:
             if arr.nbytes:
                 self._residency_ledger[lk] = int(arr.nbytes)
 
+    def _known_filter_total(self, filters_key):
+        """Resident distinct-member count for a filter spec, or None.
+
+        Serves the fast-path accept/reject gates without a Spark job:
+        the (generation, filters) total memo and the member-set cache
+        both hold the exact distinct count, so a steady-state repeat of
+        an over-cap filter can skip the bounded probe collect that is
+        guaranteed to be rejected — probe rows >= distinct members >
+        cap, whichever frame (distinct, pre-distinct scan, or scored)
+        the probe would have read. A total at or under the cap never
+        skips, so an acceptable set still probes exactly as before."""
+        if filters_key is None:
+            return None
+        with self._cache_lock:
+            t = self._filter_totals.get((self._graph_generation, filters_key))
+        if t is not None:
+            return int(t)
+        ms = self._member_set_get(filters_key)
+        return int(ms.size) if ms is not None else None
+
     def _order_driver_index(self, rule: dict):
         """Driver-resident order-key index for ``rule``, or None.
 
@@ -3986,7 +4006,14 @@ class Engine:
                         # the resident member set — no per-request
                         # corpus-sized subject scan (r13)
                         hs_all = self._member_set_get(mkey)
-                if hs_all is None:
+                _kt = self._known_filter_total(mkey) if hs_all is None else None
+                if _kt is not None and _kt > _FAST_PAGE_DICT_ROWS:
+                    # r14: a memoized total past the accept cap proves
+                    # the bounded probe would be rejected — skip the
+                    # collect outright, go straight distributed
+                    with self._cache_lock:
+                        self._stat_bump("fast_probe_skips")
+                elif hs_all is None:
                     osrc = s_results
                     pre = (
                         getattr(s_results, "_pre_distinct_frame", None)
@@ -4075,42 +4102,52 @@ class Engine:
                     if td is not None
                     else None
                 )
-                mkey = None
-                if td is not None and dr is None:
-                    import json as _json
+                import json as _json
 
-                    try:
-                        mkey = _json.dumps(
-                            opts.get("filters", []), sort_keys=True
-                        )
-                    except (TypeError, ValueError):
-                        mkey = None
-                    if mkey is not None:
-                        cached_ms = self._member_set_get(mkey)
-                        if cached_ms is not None:
-                            dr = cached_ms  # resident set: no collect
+                try:
+                    mkey = _json.dumps(
+                        opts.get("filters", []), sort_keys=True
+                    )
+                except (TypeError, ValueError):
+                    mkey = None
+                if td is not None and dr is None and mkey is not None:
+                    cached_ms = self._member_set_get(mkey)
+                    if cached_ms is not None:
+                        dr = cached_ms  # resident set: no collect
                 pre = None
                 if dr is None:
                     cap = (
                         _FAST_PAGE_DICT_ROWS if td is not None else _FAST_PAGE_ROWS
                     )
-                    if td is not None and not opts.get("use_cache", True):
-                        # single plain filter: collect the MAP-ONLY
-                        # scan and np.unique driver-side instead of
-                        # paying the distinct's member-set shuffle
-                        pre = getattr(src, "_pre_distinct_frame", None)
-                    with self._no_aqe():
-                        # toPandas (Arrow) — Row-object deserialization
-                        # of a near-cap candidate set costs ~0.1 s that
-                        # an Arrow batch doesn't
-                        pdf = (pre if pre is not None else src).limit(
-                            cap + 1
-                        ).toPandas()
+                    _kt = self._known_filter_total(mkey)
+                    if _kt is not None and _kt > cap:
+                        # r14: a memoized total past the accept cap
+                        # proves the bounded probe would be rejected
+                        # (probe rows >= distinct members > cap) — skip
+                        # the collect, fall straight to the distributed
+                        # page; pdf=None fails both accept tests below
+                        pdf = None
+                        with self._cache_lock:
+                            self._stat_bump("fast_probe_skips")
+                    else:
+                        if td is not None and not opts.get("use_cache", True):
+                            # single plain filter: collect the MAP-ONLY
+                            # scan and np.unique driver-side instead of
+                            # paying the distinct's member-set shuffle
+                            pre = getattr(src, "_pre_distinct_frame", None)
+                        with self._no_aqe():
+                            # toPandas (Arrow) — Row-object
+                            # deserialization of a near-cap candidate
+                            # set costs ~0.1 s that an Arrow batch
+                            # doesn't
+                            pdf = (pre if pre is not None else src).limit(
+                                cap + 1
+                            ).toPandas()
                 else:
                     # driver-walked or cached member set: no collect
                     pdf, cap = None, 0
                 if td is not None and (
-                    dr is not None or len(pdf) <= cap
+                    dr is not None or (pdf is not None and len(pdf) <= cap)
                 ):
                     if dr is not None:
                         hs_all = dr
@@ -4155,7 +4192,7 @@ class Engine:
                         ]
                     else:
                         fast_page = []
-                elif len(pdf) <= _FAST_PAGE_ROWS:
+                elif pdf is not None and len(pdf) <= _FAST_PAGE_ROWS:
                     ss = pdf["s"].tolist()  # int64 -> Python ints
                     hv = self._term_values(ss)
                     # `in hv` mirrors the old inner join exactly: a

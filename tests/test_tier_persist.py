@@ -948,6 +948,42 @@ def test_order_cache_eviction_counters(spark, monkeypatch):
     assert stats2.get("order_index_recollects_after_eviction", 0) >= before + 1, stats2
 
 
+def test_fast_probe_skip_on_memoized_total(spark, monkeypatch):
+    """r14: a steady-state repeat of an over-cap filter skips the
+    guaranteed-rejected bounded fast-page probe — the memoized
+    (generation, filters) total proves rejection (probe rows >=
+    distinct members > cap) — dropping the probe's collect jobs from
+    every repeat; results stay bit-identical to the distributed path."""
+    import bikidata_spark.plans.query as q
+    from bikidata_spark import Engine
+
+    monkeypatch.setattr(q, "_FAST_PAGE_ROWS", 10)
+    eng = Engine(_mk_graph(spark), local_tier_bytes=1, term_cache_bytes=0)
+    assert eng._local_tier() is None
+    opts = {"filters": [{"p": "<p/ref>"}], "size": 5, "use_cache": False}
+    sc = spark.sparkContext
+
+    def jobs_for(tag):
+        sc.setJobGroup(tag, tag)
+        r = eng.query(dict(opts))
+        n = len(sc.statusTracker().getJobIdsForGroup(tag))
+        sc.setJobGroup(None, None)
+        return r, n
+
+    r1, n1 = jobs_for("fps-1")
+    # the first sighting has no memo: it pays the probe (and memoizes
+    # the distributed count it falls back to)
+    assert eng._cache_stats.get("fast_probe_skips", 0) == 0
+    r2, _ = jobs_for("fps-2")
+    r3, n3 = jobs_for("fps-3")
+    assert r1 == r2 == r3
+    skips = eng._cache_stats.get("fast_probe_skips", 0)
+    assert skips >= 2, skips  # reps 2 and 3 both skipped the probe
+    assert n3 < n1, (n1, n3)
+    control = Engine(eng.graph, local_tier_rows=0)
+    assert r1 == control.query(dict(opts))
+
+
 def test_filter_total_memo(spark, monkeypatch):
     """r14: repeats of a filter spec skip the distinct-member count job
     (total memoized per (generation, filters) — the same keying the
