@@ -67,6 +67,13 @@ _FAST_PAGE_DICT_ROWS = int(
 # literal IN-list probes beat a broadcast join only while the list is
 # page-sized — building the expression costs ~0.5 ms/element over py4j
 _ISIN_PROBE_MAX = 200
+# count_by_property memo (r14): rows cached per (generation, prop) when
+# the property's value vocabulary fits the cap; larger results cache a
+# rejection marker (None) so repeats skip the probe. Bound the driver
+# footprint at cap*max ≈ 800k small tuples worst case.
+_CBP_MEMO_CAP = int(os.environ.get("BIKIDATA_SPARK_CBP_MEMO_ROWS", "50000"))
+_CBP_MEMO_MAX = 16
+_CBP_UNSEEN = object()
 # Sentinel returned as the "scores" half of filter_subjects() when the
 # subject frame carries UN-aggregated (s, score) rows: _subjects_uncached
 # folds the per-subject max score (reference s_by_score, query.py:682-684)
@@ -4630,16 +4637,57 @@ class Engine:
     def count_by_property(self, prop: str) -> DataFrame:
         """object-value → distinct-subject count for one property
         (reference query.py:30-35). Tier-served as a LocalRelation when
-        the mirror is resident (see properties())."""
+        the mirror is resident (see properties()).
+
+        Over-cap (tier-less) engines memoize per ``(generation, prop)``
+        (r14): serving traffic repeats the same low-cardinality
+        properties verbatim, and each call was a corpus-wide
+        count_distinct shuffle (6.7 s at sf10). The first call collects
+        via a bounded ``limit(cap+1)`` probe — the probe IS the result
+        when the value vocabulary fits, so repeats serve driver rows at
+        zero Spark jobs. A property with more than ``_CBP_MEMO_CAP``
+        distinct values caches a rejection marker instead: its repeats
+        go straight to the distributed plan with no re-probe (collecting
+        millions of rows to memoize them would be the driver-OOM shape
+        §5 warns about). A mutation bumps the generation and drops the
+        memo, exactly like total()/properties()."""
         tier = self._local_tier()
         if tier is not None:
             return self.graph.spark.createDataFrame(
                 tier.count_by_property_rows(prop), "val string, count long"
             )
+        gen = self._graph_generation
+        memo = getattr(self, "_cbp_memo", None)
+        if memo is None or memo[0] != gen:
+            memo = (gen, {})
+            self._cbp_memo = memo
+        cached = memo[1].get(prop, _CBP_UNSEEN)
+        if cached is not _CBP_UNSEEN and cached is not None:
+            # local_relation → LocalRelation: zero Spark jobs on collect
+            # (round-trip fidelity for arbitrary literal text verified —
+            # backslash/quote escaping covers newlines, NULs, emoji)
+            from ..graph import local_relation
+
+            return local_relation(
+                self.graph.spark, list(cached), "val string, count long"
+            )
         t = self.graph.triples.filter(F.col("p") == H(prop))
         g = t.groupBy("o").agg(F.count_distinct("s").alias("count"))
         terms = self.graph.terms.select("hash", F.col("value").alias("val"))
-        return g.join(terms, g.o == terms.hash).select("val", "count")
+        joined = g.join(terms, g.o == terms.hash).select("val", "count")
+        if cached is None:  # known over-cap: skip the probe, stay distributed
+            return joined
+        probe = joined.limit(_CBP_MEMO_CAP + 1).collect()
+        if len(probe) <= _CBP_MEMO_CAP:
+            from ..graph import local_relation
+
+            rows = [(r["val"], r["count"]) for r in probe]
+            if len(memo[1]) >= _CBP_MEMO_MAX:
+                memo[1].pop(next(iter(memo[1])))
+            memo[1][prop] = tuple(rows)
+            return local_relation(self.graph.spark, rows, "val string, count long")
+        memo[1][prop] = None
+        return joined
 
     def spo(
         self,

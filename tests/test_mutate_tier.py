@@ -1016,3 +1016,40 @@ def test_properties_memoized_per_generation(spark):
     mutated = {r["val"]: r["count"] for r in eng.properties().collect()}
     assert mutated["<p/brandnew>"] == 1
     assert mutated != first
+
+def test_count_by_property_memoized_per_generation(spark, monkeypatch):
+    """r14: count_by_property() memoizes per (generation, prop) on
+    tier-less engines — serving repeats the same low-cardinality
+    properties verbatim and each call was a corpus-wide count_distinct.
+    Repeat: zero Spark jobs; over-cap properties cache a rejection
+    marker (no re-probe, still distributed, still correct); a mutation
+    bumps the generation and the memo refreshes."""
+    from bikidata_spark.plans import query as qmod
+
+    eng = _mk_engine(spark, tier=False)
+    first = {r["val"]: r["count"] for r in eng.count_by_property("<p/type>").collect()}
+    assert first
+    sc = spark.sparkContext
+    sc.setJobGroup("cbp-memo-zero-jobs", "probe")
+    try:
+        again = {r["val"]: r["count"] for r in eng.count_by_property("<p/type>").collect()}
+        jobs = sc.statusTracker().getJobIdsForGroup("cbp-memo-zero-jobs")
+    finally:
+        sc.setJobGroup(None, None)
+    assert again == first
+    assert list(jobs) == []
+
+    # over-cap: rejection marker, repeats stay distributed and correct
+    over = _mk_engine(spark, tier=False)
+    monkeypatch.setattr(qmod, "_CBP_MEMO_CAP", 1)
+    d1 = {r["val"]: r["count"] for r in over.count_by_property("<p/type>").collect()}
+    assert d1 == first
+    assert over._cbp_memo[1]["<p/type>"] is None
+    d2 = {r["val"]: r["count"] for r in over.count_by_property("<p/type>").collect()}
+    assert d2 == first
+
+    r = eng.mutate("insert", [{"s": "<z/9>", "p": "<p/type>", "o": "<t/brandnew>"}])
+    assert "error" not in r
+    mutated = {r["val"]: r["count"] for r in eng.count_by_property("<p/type>").collect()}
+    assert mutated["<t/brandnew>"] == 1
+    assert mutated != first

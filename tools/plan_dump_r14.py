@@ -26,6 +26,12 @@ Scenarios (one file pair per r14-touched query path):
   r13 folds a broadcast centroid array per row (interpreted HOF);
   r14 ships the centroid matrix once and runs an Arrow-batched numpy
   matmul (ArrowEvalPython node).
+- count_by_property — Engine.count_by_property(prop): before, every
+  call re-runs the corpus count_distinct aggregation; after, repeats
+  of an under-cap property serve memoized driver rows (LocalRelation,
+  zero jobs). Set PLAN_DUMP_ONLY=count_by_property to dump just this
+  pair (the others' before state is the r13 tree, this one's is the
+  mid-r14 tree).
 """
 
 from __future__ import annotations
@@ -80,6 +86,11 @@ def write(name: str, text: str) -> None:
     print(f"wrote {p} ({len(text)} bytes)")
 
 
+def _want(name: str) -> bool:
+    only = os.environ.get("PLAN_DUMP_ONLY")
+    return not only or only == name
+
+
 def jobs_for(spark, tag: str, fn):
     sc = spark.sparkContext
     sc.setJobGroup(tag, tag)
@@ -95,6 +106,21 @@ def main() -> None:
     graph.triples.count()
 
     # --- hydrate_point_probe -------------------------------------------
+    if _want("hydrate_point_probe"):
+        _dump_point_probe(spark, graph)
+    if _want("properties"):
+        _dump_properties(spark, graph)
+    if _want("filter_total"):
+        _dump_filter_total(spark, graph)
+    if _want("ivf_assign"):
+        _dump_ivf_assign(spark)
+    if _want("count_by_property"):
+        _dump_count_by_property(spark, graph)
+
+    spark.stop()
+
+
+def _dump_point_probe(spark, graph) -> None:
     store = tempfile.mkdtemp(prefix="plandump_store_")
     try:
         write_graph(graph, store)
@@ -119,7 +145,8 @@ def main() -> None:
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
-    # --- properties ----------------------------------------------------
+
+def _dump_properties(spark, graph) -> None:
     # wrap the whole call+collect: the r14 memo does its one corpus job
     # INSIDE properties() (then serves a LocalRelation), while the r13
     # code returns a lazy corpus aggregate that runs at collect time
@@ -139,7 +166,8 @@ def main() -> None:
         f"## first call\n{plan1}\n## second call (repeat, same generation)\n{plan2}",
     )
 
-    # --- filter_total ----------------------------------------------------
+
+def _dump_filter_total(spark, graph) -> None:
     # plan shape of the page itself is identical before/after; the r14 memo
     # removes the distinct-member count JOB on repeats — record job counts
     # across three identical requests (rep 2 pays one-time projection
@@ -170,7 +198,8 @@ def main() -> None:
         if old_fast is not None:
             qmod._FAST_PAGE_ROWS = old_fast
 
-    # --- ivf_assign ------------------------------------------------------
+
+def _dump_ivf_assign(spark) -> None:
     # 70k vectors -> step 264 -> ~266 cells: over the 256-cell gate in r14,
     # same fold as every smaller scale in r13
     n = 70_000
@@ -211,7 +240,27 @@ def main() -> None:
         + fmt_plan(assigned),
     )
 
-    spark.stop()
+
+def _dump_count_by_property(spark, graph) -> None:
+    # same shape as _dump_properties: the memo's one corpus probe runs
+    # INSIDE the first call; repeats of an under-cap property serve a
+    # LocalRelation at zero jobs. Before (mid-r14 tree): both calls are
+    # the lazy corpus aggregate, each collect pays the full job chain.
+    eng = Engine(graph, local_tier_rows=0)
+    df1, n1 = jobs_for(spark, "cbp-1", lambda: eng.count_by_property("<p/mktsegment>"))
+    _, c1 = jobs_for(spark, "cbp-1c", df1.collect)
+    n1 += c1
+    plan1 = fmt_plan(df1)
+    df2, n2 = jobs_for(spark, "cbp-2", lambda: eng.count_by_property("<p/mktsegment>"))
+    _, c2 = jobs_for(spark, "cbp-2c", df2.collect)
+    n2 += c2
+    plan2 = fmt_plan(df2)
+    write(
+        "count_by_property",
+        f"# Engine.count_by_property('<p/mktsegment>') ({SF_DIR}, tier-less engine)\n"
+        f"# code state: {MODE}; first call {n1} job(s), second call {n2} job(s)\n\n"
+        f"## first call\n{plan1}\n## second call (repeat, same generation)\n{plan2}",
+    )
 
 
 if __name__ == "__main__":
