@@ -4662,6 +4662,12 @@ class Engine:
             memo = (gen, {})
             self._cbp_memo = memo
         cached = memo[1].get(prop, _CBP_UNSEEN)
+        if cached is not _CBP_UNSEEN:
+            # true-LRU touch (dicts iterate in insertion order, so
+            # re-inserting moves this prop to the back of the eviction
+            # line) — rejection markers are touched too: a hot over-cap
+            # property's marker must not age out and re-pay the probe
+            memo[1][prop] = memo[1].pop(prop)
         if cached is not _CBP_UNSEEN and cached is not None:
             # local_relation → LocalRelation: zero Spark jobs on collect
             # (round-trip fidelity for arbitrary literal text verified —

@@ -1053,3 +1053,18 @@ def test_count_by_property_memoized_per_generation(spark, monkeypatch):
     mutated = {r["val"]: r["count"] for r in eng.count_by_property("<p/type>").collect()}
     assert mutated["<t/brandnew>"] == 1
     assert mutated != first
+
+def test_count_by_property_memo_lru_touch(spark, monkeypatch):
+    """A memo hit re-inserts the prop (true LRU): with cap 2, touching
+    the older entry before inserting a third evicts the untouched one,
+    not the least-recently-inserted."""
+    from bikidata_spark.plans import query as qmod
+
+    eng = _mk_engine(spark, tier=False)
+    monkeypatch.setattr(qmod, "_CBP_MEMO_MAX", 2)
+    eng.count_by_property("<p/type>").collect()
+    eng.count_by_property("<p/peer>").collect()
+    eng.count_by_property("<p/type>").collect()   # LRU touch
+    eng.count_by_property("<p/new>").collect()    # evicts <p/peer>, not <p/type>
+    assert "<p/type>" in eng._cbp_memo[1]
+    assert "<p/peer>" not in eng._cbp_memo[1]
