@@ -299,6 +299,30 @@ def _fold_norm2_vec(q: np.ndarray) -> float:
     return acc
 
 
+def probe_cells_fold(cids, cent_mat: np.ndarray, q: np.ndarray, nprobe: int) -> list:
+    """The ``nprobe`` nearest centroid ids for query vector ``q`` —
+    the driver-side mirror of ``operators.similarity._nearest_cells``:
+    cosine_sim = dot/sqrt(n2a*n2b) with the JVM fold's left-to-right
+    summation (``_fold_dot``/``_fold_norm2`` — bit-identical IEEE
+    rounding), sort by (negsim, cid), slice. Spark sorts NaN greater
+    than any double and all NaNs equal; Python's sort needs the
+    explicit key (NaN-flag first, NaNs collapsed so the tie falls to
+    cid, matching the struct comparison). Used by the tier's
+    ``_LocalSemantic`` AND by the distributed path's per-query probe
+    resolution (plans/query._semantic_filter) so both resolve the
+    exact same cells with zero Spark jobs."""
+    dots = _fold_dot(cent_mat, q)
+    n2c = _fold_norm2(cent_mat)
+    n2q = _fold_norm2_vec(q)
+    sims = dots / np.sqrt(n2c * n2q)
+    scored = [
+        (math.isnan(-s), -s if not math.isnan(s) else 0.0, cid)
+        for s, cid in zip(sims.tolist(), cids)
+    ]
+    scored.sort()
+    return sorted(cid for _, _, cid in scored[:nprobe])
+
+
 class _LocalSemantic:
     """Driver-side mirror of the semantic-filter scan sources: either
     the persisted IVF store's (cell, nid, nv) rows grouped by cell, or
@@ -316,21 +340,10 @@ class _LocalSemantic:
         self.nprobe = nprobe
 
     def probe_cells(self, q: np.ndarray) -> list:
-        """The nprobe nearest centroid ids — mirror of
-        operators.similarity._nearest_cells: cosine_sim =
-        dot/sqrt(n2a*n2b), sort by (negsim, cid), slice. Spark sorts
-        NaN greater than any double; Python's sort needs the explicit
-        key."""
-        dots = _fold_dot(self.cent_mat, q)
-        n2c = _fold_norm2(self.cent_mat)
-        n2q = _fold_norm2_vec(q)
-        sims = dots / np.sqrt(n2c * n2q)
-        scored = [
-            (math.isnan(-s), -s if not math.isnan(s) else 0.0, cid)
-            for s, cid in zip(sims.tolist(), self.cids)
-        ]
-        scored.sort()
-        return sorted(cid for _, _, cid in scored[: self.nprobe])
+        """The nprobe nearest centroid ids — see
+        :func:`probe_cells_fold` (shared with the distributed path's
+        driver-side probe resolution in plans/query._semantic_filter)."""
+        return probe_cells_fold(self.cids, self.cent_mat, q, self.nprobe)
 
     def scan(self, q: np.ndarray):
         """(ids, distance) for the filter's scan scope — probed cells

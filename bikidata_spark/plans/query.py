@@ -345,6 +345,13 @@ class Engine:
     # persisted cell-partitioned IVF layout for `semantic` filters:
     # (vectors_df, centroids_df, nprobe) — see load_ivf()
     _ivf: tuple | None = field(default=None, repr=False)
+    # driver-resident (cids, cent_mat) twin of the store's tiny static
+    # centroid table, collected ONCE at load_ivf: per-query probe-cell
+    # resolution is a k×d fold on the driver (local_tier.probe_cells_fold,
+    # bit-identical to the _nearest_cells HOF job it replaces), not a
+    # Spark job per request — measured half the steady sf0.1 semantic
+    # request (r14)
+    _ivf_probe: tuple | None = field(default=None, repr=False)
     # persisted subject-set cache keyed by the filter spec (the Spark
     # counterpart of the reference's Redis result cache, workers.py:89-107;
     # a persisted DataFrame is shared by every downstream action).
@@ -1557,6 +1564,25 @@ class Engine:
             raise ValueError("nprobe must be >= 1")
         vectors, cents = read_ivf_store(self.graph.spark, path)
         self._ivf = (vectors, cents, int(nprobe))
+        # collect the tiny static centroid table once (k ≤ 4096 rows by
+        # the cell-schedule cap) so per-query probe resolution is a
+        # driver-side fold instead of a Spark job per request; on any
+        # surprise (hand-built store with an odd schema) fall back to
+        # the per-query job path
+        try:
+            import numpy as np
+
+            crows = sorted(
+                (int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents.collect()
+            )
+            if not crows:
+                raise ValueError("empty centroid table")
+            self._ivf_probe = (
+                [cid for cid, _ in crows],
+                np.array([cv for _, cv in crows], dtype=np.float64),
+            )
+        except Exception:
+            self._ivf_probe = None
 
     # ---- single-filter compilation ------------------------------------
     def _walk_up(self, base: DataFrame, hops: int, carry: tuple = ()) -> DataFrame:
@@ -1844,24 +1870,42 @@ class Engine:
         spark = self.graph.spark
         qdf = spark.createDataFrame([([float(x) for x in qvec],)], "qvec array<double>")
         if self._ivf is not None:
-            from ..operators.similarity import _cent_arr, _nearest_cells
-
             vectors, cents, nprobe = self._ivf
             # probe cells resolved driver-side from the tiny centroid
             # table: the vector scan below then carries a STATIC
             # `cell IN (...)` predicate — pure partition pruning, no
-            # join needed to decide which directories to read
-            carr = _cent_arr(cents)
-            cells = sorted(
-                r["cell"]
-                for r in qdf.crossJoin(F.broadcast(carr))
-                .select(
-                    F.explode(
-                        _nearest_cells(F.col("qvec"), F.col("cents"), nprobe)
-                    ).alias("cell")
+            # join needed to decide which directories to read. With the
+            # load_ivf-collected centroid twin this is a k×d fold ON
+            # THE DRIVER (probe_cells_fold — the bit-exact mirror of
+            # the _nearest_cells HOF expression, shared with the tier's
+            # _LocalSemantic): zero Spark jobs to pick the cells, which
+            # was half the steady request at sf0.1 (r14)
+            if self._ivf_probe is not None:
+                import numpy as np
+
+                from .local_tier import probe_cells_fold
+
+                cids, cent_mat = self._ivf_probe
+                cells = probe_cells_fold(
+                    cids,
+                    cent_mat,
+                    np.array([float(x) for x in qvec], dtype=np.float64),
+                    nprobe,
                 )
-                .collect()
-            )
+            else:
+                from ..operators.similarity import _cent_arr, _nearest_cells
+
+                carr = _cent_arr(cents)
+                cells = sorted(
+                    r["cell"]
+                    for r in qdf.crossJoin(F.broadcast(carr))
+                    .select(
+                        F.explode(
+                            _nearest_cells(F.col("qvec"), F.col("cents"), nprobe)
+                        ).alias("cell")
+                    )
+                    .collect()
+                )
             emb = (
                 vectors.filter(F.col("cell").isin(cells))
                 .select(F.col("nid").alias("s"), F.col("nv").alias("vec"))

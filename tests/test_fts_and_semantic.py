@@ -750,3 +750,80 @@ def test_stem_gate_identity_split_is_exact(spark):
     assert gated == brute
     # the collision row really merged: doc 1 has 12, 12, 12s -> tf 3
     assert (1, "12", 3) in gated
+
+
+def test_ivf_probe_cells_driver_matches_spark_job(spark, tmp_path):
+    """r14: load_ivf collects the tiny centroid table once and
+    _semantic_filter resolves probe cells DRIVER-SIDE
+    (local_tier.probe_cells_fold) instead of running a Spark job per
+    query. The resolution must be bit-identical to the _nearest_cells
+    HOF job it replaces — fuzzed over random vectors plus the edge
+    shapes (exact centroid hit, exact two-centroid tie). Zero-norm
+    rows are NOT a reachable store state: ANSI mode makes the
+    assignment fold raise DIVIDE_BY_ZERO at write_ivf_store time (and
+    a zero-norm QUERY vector still raises at action time on the new
+    path — pinned below)."""
+    import numpy as np
+
+    from bikidata_spark.operators.similarity import (
+        _cent_arr,
+        _nearest_cells,
+        write_ivf_store,
+    )
+    from bikidata_spark.plans.local_tier import probe_cells_fold
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "s long, vec array<double>")
+    cent_rows = [(int(i), v) for i, v in vecs[:7]]
+    cents = spark.createDataFrame(cent_rows, "cid long, cv array<double>")
+    path = str(tmp_path / "probe_ivf")
+    write_ivf_store(emb, path, "s", "vec", centroids=cents)
+
+    g = from_string_quads(
+        spark.createDataFrame(
+            [("<e/1>", "<label>", '"x"', "")], "s string, p string, o string, g string"
+        )
+    )
+    eng = Engine(g, embeddings=emb)
+    eng.load_ivf(path, nprobe=3)
+    vectors, store_cents, nprobe = eng._ivf
+    assert eng._ivf_probe is not None
+    cids, cent_mat = eng._ivf_probe
+
+    queries = [v for _, v in vecs[:5]]
+    queries.append(cent_rows[2][1])  # exact centroid hit
+    # exact tie between two centroids: their midpoint (equal cosine)
+    a, b = np.array(cent_rows[0][1]), np.array(cent_rows[1][1])
+    queries.append([float(x) for x in (a / np.linalg.norm(a) + b / np.linalg.norm(b))])
+    queries.extend([[float(x) for x in rng.normal(size=6)] for _ in range(10)])
+
+    carr = _cent_arr(store_cents)
+    for q in queries:
+        qdf = spark.createDataFrame([(q,)], "qvec array<double>")
+        spark_cells = sorted(
+            r["cell"]
+            for r in qdf.crossJoin(F.broadcast(carr))
+            .select(
+                F.explode(_nearest_cells(F.col("qvec"), F.col("cents"), nprobe)).alias(
+                    "cell"
+                )
+            )
+            .collect()
+        )
+        driver_cells = probe_cells_fold(
+            cids, cent_mat, np.array(q, dtype=np.float64), nprobe
+        )
+        assert driver_cells == spark_cells, (q, driver_cells, spark_cells)
+
+    # a zero-norm query vector still surfaces the ANSI DIVIDE_BY_ZERO
+    # at action time (the scored-frame cosine), as the old probe-job
+    # path did — the driver-side resolution must not swallow it into a
+    # silent wrong answer
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    subj, _ = eng._semantic_filter({"vector": [0.0] * 6}, "", None)
+    with _pytest.raises(ArithmeticException):
+        subj.count()
+    eng._ivf = None

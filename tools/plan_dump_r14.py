@@ -32,6 +32,14 @@ Scenarios (one file pair per r14-touched query path):
   zero jobs). Set PLAN_DUMP_ONLY=count_by_property to dump just this
   pair (the others' before state is the r13 tree, this one's is the
   mid-r14 tree).
+- semantic_probe — Engine._semantic_filter with a loaded IVF store:
+  before, every query runs a Spark job (one-row crossJoin over the
+  broadcast centroid array) just to resolve its nprobe cells; after,
+  load_ivf collects the tiny centroid table once and resolution is a
+  driver-side fold (local_tier.probe_cells_fold) — the whole probe
+  job disappears from every request. Set
+  PLAN_DUMP_ONLY=semantic_probe to dump just this pair (its before
+  state is the late-r14 tree at 2daf20e).
 """
 
 from __future__ import annotations
@@ -116,6 +124,8 @@ def main() -> None:
         _dump_ivf_assign(spark)
     if _want("count_by_property"):
         _dump_count_by_property(spark, graph)
+    if _want("semantic_probe"):
+        _dump_semantic_probe(spark, graph)
 
     spark.stop()
 
@@ -261,6 +271,60 @@ def _dump_count_by_property(spark, graph) -> None:
         f"# code state: {MODE}; first call {n1} job(s), second call {n2} job(s)\n\n"
         f"## first call\n{plan1}\n## second call (repeat, same generation)\n{plan2}",
     )
+
+
+def _dump_semantic_probe(spark, graph) -> None:
+    # bench-shaped IVF store over the sf embeddings; the steady request
+    # is _semantic_filter(...)[0].count(). Before: resolving the probe
+    # cells is its own Spark job per request (one-row crossJoin over
+    # the broadcast centroid array — plan below). After: load_ivf
+    # collected (cids, cent_mat) once and the resolution is a
+    # driver-side fold; only the pruned count job remains.
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sem_emb = emb.select(
+        F.xxhash64(
+            F.concat(F.lit("<e/documents/"), F.col("vec_id").cast("string"), F.lit(">"))
+        ).alias("s"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    cents = emb.filter(F.col("vec_id") % sim._seed_step(emb) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    sstore = tempfile.mkdtemp(prefix="plandump_semivf_")
+    try:
+        sim.write_ivf_store(sem_emb, f"{sstore}/ivf", "s", "vec", centroids=cents)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        eng = Engine(graph, embeddings=sem_emb, local_tier_rows=0)
+        eng.load_ivf(f"{sstore}/ivf", nprobe=2)
+        eng._semantic_filter({"vector": qvec}, "", None)[0].count()  # warm
+        _, njobs = jobs_for(
+            spark,
+            "sem-steady",
+            lambda: eng._semantic_filter({"vector": qvec}, "", None)[0].count(),
+        )
+        subj, _ = eng._semantic_filter({"vector": qvec}, "", None)
+        driver_side = getattr(eng, "_ivf_probe", None) is not None
+        # the probe-resolution frame the BEFORE code runs as a job
+        from bikidata_spark.operators.similarity import _cent_arr, _nearest_cells
+
+        vectors, store_cents, nprobe = eng._ivf
+        qdf = spark.createDataFrame([(qvec,)], "qvec array<double>")
+        probe_frame = qdf.crossJoin(F.broadcast(_cent_arr(store_cents))).select(
+            F.explode(_nearest_cells(F.col("qvec"), F.col("cents"), nprobe)).alias("cell")
+        )
+        write(
+            "semantic_probe",
+            f"# Engine._semantic_filter steady request with a loaded IVF store "
+            f"({SF_DIR})\n"
+            f"# code state: {MODE}; steady request ran {njobs} Spark job(s); "
+            f"probe cells resolved driver-side: {driver_side}\n\n"
+            f"## probe-cell resolution frame (runs as a Spark job per request "
+            f"before; never executed after)\n{fmt_plan(probe_frame)}\n"
+            f"## subject frame (the remaining pruned count — identical "
+            f"before/after)\n{fmt_plan(subj)}",
+        )
+    finally:
+        shutil.rmtree(sstore, ignore_errors=True)
 
 
 if __name__ == "__main__":
