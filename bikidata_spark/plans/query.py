@@ -345,12 +345,16 @@ class Engine:
     # persisted cell-partitioned IVF layout for `semantic` filters:
     # (vectors_df, centroids_df, nprobe) — see load_ivf()
     _ivf: tuple | None = field(default=None, repr=False)
-    # driver-resident (cids, cent_mat) twin of the store's tiny static
-    # centroid table, collected ONCE at load_ivf: per-query probe-cell
-    # resolution is a k×d fold on the driver (local_tier.probe_cells_fold,
-    # bit-identical to the _nearest_cells HOF job it replaces), not a
-    # Spark job per request — measured half the steady sf0.1 semantic
-    # request (r14)
+    # driver-resident (cents_df, cids, cent_mat) twin of the store's tiny
+    # static centroid table, collected ONCE at load_ivf: per-query
+    # probe-cell resolution is a k×d fold on the driver
+    # (local_tier.probe_cells_fold, bit-identical to the _nearest_cells
+    # HOF job it replaces), not a Spark job per request — measured half
+    # the steady sf0.1 semantic request (r14). The leading cents_df
+    # IDENTITY ties the twin to one load_ivf generation: a reader that
+    # catches a concurrent re-load mid-request sees the mismatch and
+    # falls back to the per-query job (correct either way, never a
+    # new-centroids-on-old-store pairing)
     _ivf_probe: tuple | None = field(default=None, repr=False)
     # persisted subject-set cache keyed by the filter spec (the Spark
     # counterpart of the reference's Redis result cache, workers.py:89-107;
@@ -1563,12 +1567,14 @@ class Engine:
         if nprobe < 1:
             raise ValueError("nprobe must be >= 1")
         vectors, cents = read_ivf_store(self.graph.spark, path)
-        self._ivf = (vectors, cents, int(nprobe))
         # collect the tiny static centroid table once (k ≤ 4096 rows by
         # the cell-schedule cap) so per-query probe resolution is a
         # driver-side fold instead of a Spark job per request; on any
         # surprise (hand-built store with an odd schema) fall back to
-        # the per-query job path
+        # the per-query job path. The twin is keyed by the cents frame's
+        # identity and published BEFORE _ivf, so a concurrent reader can
+        # never pair this load's centroids with another load's store —
+        # a torn read fails the identity check and takes the job path
         try:
             import numpy as np
 
@@ -1578,11 +1584,13 @@ class Engine:
             if not crows:
                 raise ValueError("empty centroid table")
             self._ivf_probe = (
+                cents,
                 [cid for cid, _ in crows],
                 np.array([cv for _, cv in crows], dtype=np.float64),
             )
         except Exception:
             self._ivf_probe = None
+        self._ivf = (vectors, cents, int(nprobe))
 
     # ---- single-filter compilation ------------------------------------
     def _walk_up(self, base: DataFrame, hops: int, carry: tuple = ()) -> DataFrame:
@@ -1880,12 +1888,13 @@ class Engine:
             # the _nearest_cells HOF expression, shared with the tier's
             # _LocalSemantic): zero Spark jobs to pick the cells, which
             # was half the steady request at sf0.1 (r14)
-            if self._ivf_probe is not None:
+            probe_twin = self._ivf_probe
+            if probe_twin is not None and probe_twin[0] is cents:
                 import numpy as np
 
                 from .local_tier import probe_cells_fold
 
-                cids, cent_mat = self._ivf_probe
+                _, cids, cent_mat = probe_twin
                 cells = probe_cells_fold(
                     cids,
                     cent_mat,

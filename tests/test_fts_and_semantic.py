@@ -789,7 +789,10 @@ def test_ivf_probe_cells_driver_matches_spark_job(spark, tmp_path):
     eng.load_ivf(path, nprobe=3)
     vectors, store_cents, nprobe = eng._ivf
     assert eng._ivf_probe is not None
-    cids, cent_mat = eng._ivf_probe
+    # the twin is identity-keyed to THIS load's centroid frame (a torn
+    # concurrent re-load must fail the check and take the job path)
+    assert eng._ivf_probe[0] is store_cents
+    _, cids, cent_mat = eng._ivf_probe
 
     queries = [v for _, v in vecs[:5]]
     queries.append(cent_rows[2][1])  # exact centroid hit
