@@ -12,8 +12,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _fanout_bytes() -> int:
+    """Bytes of (optimizer-estimated) input per fan-out partition.
+
+    Env-tunable so deployments can match it to their operators'
+    compute density; the default is sized for the expression-heavy
+    operators that call :func:`ensure_parallelism` (shingling,
+    hashing, vector math — 10-100x work amplification per input
+    byte), measured at the knee of the r14 fan-out sweep
+    (docs/BENCH_NOTES.md)."""
+    return max(1, int(os.environ.get("BIKIDATA_SPARK_FANOUT_BYTES", str(256 << 10))))
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
-    """Fan a tiny input out to the session's parallelism.
+    """Fan a tiny input out toward the session's parallelism, sized by
+    the DATA rather than the core count (guide §2.2/§6).
 
     A small parquet table arrives as ONE split, which would serialize
     every expression-heavy operator downstream (shingling, hashing,
@@ -21,16 +34,42 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     hundreds of splits and this is a no-op — we never repartition DOWN,
     so no shuffle is added where the source is already parallel.
 
+    The fan-out TARGET is one partition per ``BIKIDATA_SPARK_FANOUT_BYTES``
+    of the optimizer's size estimate, capped at the session's
+    ``defaultParallelism`` (r14; was unconditionally
+    ``defaultParallelism``). The old constant round-robined a 0.6 MB
+    table into 32 partitions on a 32-core session, and every
+    downstream stage then paid 32 task launches for kilobytes of work
+    per task — the bench's fan-out-heavy sections measured ~3x slower
+    at local[32] than local[8] on identical sf0.1 data. Deriving the
+    width from the estimated bytes keeps the fan-out identical at
+    every core count below the cap (scaling runs measure the engine,
+    not a fan-out constant) and converges to exactly the old behavior
+    wherever the input is big enough to use every core — so cluster
+    deployments see no change. An unavailable or unparseable estimate
+    falls back to the core count (the pre-r14 width, never narrower).
+
     Partition-count introspection goes through the JVM query execution
     (no ``df.rdd``, which would build a Python RDD wrapper and force a
     plan conversion per call); anything unavailable — e.g. under Spark
     Connect, where there is no SparkContext — degrades to returning the
     DataFrame untouched rather than failing."""
     try:
-        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        qe = df._jdf.queryExecution()
+        n = qe.toRdd().getNumPartitions()
     except Exception:  # Spark Connect / remote session: no JVM handle
         return df if min_partitions is None else df.repartition(min_partitions)
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        target = cores
+        try:
+            est = int(str(qe.optimizedPlan().stats().sizeInBytes()))
+            if est > 0:
+                target = min(cores, -(-est // _fanout_bytes()))
+        except Exception:
+            pass  # no estimate: keep the conservative full-width fan-out
     if n < target:
         return df.repartition(target)
     return df

@@ -32,6 +32,14 @@ Scenarios (one file pair per r14-touched query path):
   zero jobs). Set PLAN_DUMP_ONLY=count_by_property to dump just this
   pair (the others' before state is the r13 tree, this one's is the
   mid-r14 tree).
+- fanout — session.ensure_parallelism width: before, every fan-out
+  consumer repartitions a tiny input to defaultParallelism
+  unconditionally (RoundRobinPartitioning(32) on a 0.6 MB table);
+  after, the width derives from the optimizer's size estimate (one
+  partition per BIKIDATA_SPARK_FANOUT_BYTES, capped at cores). Run
+  with SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and
+  PLAN_DUMP_ONLY=fanout (the before state is the pre-change r14 tree
+  at 5f93ae8).
 - semantic_probe — Engine._semantic_filter with a loaded IVF store:
   before, every query runs a Spark job (one-row crossJoin over the
   broadcast centroid array) just to resolve its nprobe cells; after,
@@ -110,8 +118,19 @@ def jobs_for(spark, tag: str, fn):
 
 def main() -> None:
     spark = get_spark("plan-dump-r14")
-    graph = from_string_quads(string_quads(spark, SF_DIR)).cache()
-    graph.triples.count()
+    graph = None
+    if any(
+        _want(n)
+        for n in (
+            "hydrate_point_probe",
+            "properties",
+            "filter_total",
+            "count_by_property",
+            "semantic_probe",
+        )
+    ):
+        graph = from_string_quads(string_quads(spark, SF_DIR)).cache()
+        graph.triples.count()
 
     # --- hydrate_point_probe -------------------------------------------
     if _want("hydrate_point_probe"):
@@ -126,6 +145,8 @@ def main() -> None:
         _dump_count_by_property(spark, graph)
     if _want("semantic_probe"):
         _dump_semantic_probe(spark, graph)
+    if _want("fanout"):
+        _dump_fanout(spark)
 
     spark.stop()
 
@@ -325,6 +346,39 @@ def _dump_semantic_probe(spark, graph) -> None:
         )
     finally:
         shutil.rmtree(sstore, ignore_errors=True)
+
+
+def _dump_fanout(spark) -> None:
+    # r14 size-adaptive fan-out: ensure_parallelism derives its width
+    # from the optimizer's size estimate (one partition per
+    # BIKIDATA_SPARK_FANOUT_BYTES, capped at defaultParallelism)
+    # instead of repartitioning every small input to the core count.
+    # The visible diff is the RoundRobinPartitioning width on the
+    # Exchange feeding each fan-out consumer (32 -> 3 for the 0.6 MB
+    # sf0.1 documents table) and the task counts of every downstream
+    # stage. Representative consumer: the minhash-LSH pair join.
+    from bikidata_spark.operators import dedup as dd
+    from bikidata_spark.session import ensure_parallelism
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fanned = ensure_parallelism(docs)
+    width = fanned._jdf.queryExecution().toRdd().getNumPartitions()
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text")
+    import time
+
+    pairs.count()  # untimed warmup: the bench's steady shape, not JVM cold-start
+    t0 = time.perf_counter()
+    _, njobs = jobs_for(spark, "fanout-mh", pairs.count)
+    dt = time.perf_counter() - t0
+    write(
+        "dedup_fanout",
+        f"# operators.dedup.minhash_lsh_pairs(documents).count() ({SF_DIR}, "
+        f"local[{spark.sparkContext.defaultParallelism}])\n"
+        f"# code state: {MODE}; ensure_parallelism width = {width}; "
+        f"warm count ran {njobs} Spark job(s) in {dt:.2f}s (single sample; "
+        f"the interleaved A/B in BENCH_NOTES is the timing evidence)\n\n"
+        + fmt_plan(pairs),
+    )
 
 
 if __name__ == "__main__":
