@@ -42,6 +42,17 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
 _MAX_CELLS = 4096
 
 
+def _probe_local_rows() -> int:
+    """Row cap for localizing a store-query's probe rows on the driver
+    (``ivf_store_topk``): |queries|·nprobe rows of (qid, qv, cell).
+    Past the cap the probe stays fully distributed (the pre-r14 plan).
+    65536 rows ≈ a few MB at typical dims — driver-trivial, far past
+    any interactive query batch."""
+    import os
+
+    return max(0, int(os.environ.get("BIKIDATA_SPARK_PROBE_LOCAL_ROWS", "65536")))
+
+
 def _seed_step(v: DataFrame) -> int:
     """Adaptive centroid seed step: ``max(31, floor(sqrt(N)),
     ceil(N/4096))``, giving ~sqrt(N) cells capped at 4096. A FIXED
@@ -756,7 +767,23 @@ def ivf_store_topk(
     probes = q.crossJoin(F.broadcast(carr)).select(
         "qid", "qv", F.explode(_nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell")
     )
-    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # ONE bounded collect localizes the (qid, qv, cell) probe rows
+    # (r14): the distinct probed-cell list then falls out driver-side —
+    # no distinct Exchange + its AQE job chain per call (measured 4 of
+    # the steady call's 10 Spark jobs at sf0.1) — and the scored join's
+    # broadcast build side becomes a LocalRelation instead of re-running
+    # the centroid aggregation and the per-query HOF fold. Collected
+    # doubles round-trip exactly through Arrow, so the scored rows are
+    # bit-identical to the distributed-probe shape. A query batch past
+    # the cap (rows = |q|·nprobe, env-tunable) keeps exactly the old
+    # plan — collecting an unbounded query table to the driver is the
+    # guide-§5 OOM shape, not an optimization.
+    probe_rows = probes.limit(_probe_local_rows() + 1).collect()
+    if len(probe_rows) <= _probe_local_rows():
+        cells = sorted({r["cell"] for r in probe_rows})
+        probes = queries.sparkSession.createDataFrame(probe_rows, probes.schema)
+    else:
+        cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     pruned = vectors.filter(F.col("cell").isin(cells))
     scored = (
         pruned.join(F.broadcast(probes), "cell")

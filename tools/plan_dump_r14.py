@@ -40,6 +40,16 @@ Scenarios (one file pair per r14-touched query path):
   with SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and
   PLAN_DUMP_ONLY=fanout (the before state is the pre-change r14 tree
   at 5f93ae8).
+- ivf_store_probe — operators.similarity.ivf_store_topk: before, every
+  call runs a distinct-collect job chain over the distributed probes
+  frame (queries × one-row centroid array, HOF fold, distinct
+  Exchange) just to learn its pruned cells, and the scored join's
+  broadcast side re-runs the same subtree; after, one bounded collect
+  localizes the (qid, qv, cell) probe rows — cells fall out
+  driver-side and the broadcast side is the collected rows. The
+  "before" file is produced by forcing the fallback arm
+  (BIKIDATA_SPARK_PROBE_LOCAL_ROWS=0), which IS the pre-change plan
+  verbatim (the code keeps it as the over-cap path).
 - semantic_probe — Engine._semantic_filter with a loaded IVF store:
   before, every query runs a Spark job (one-row crossJoin over the
   broadcast centroid array) just to resolve its nprobe cells; after,
@@ -147,6 +157,8 @@ def main() -> None:
         _dump_semantic_probe(spark, graph)
     if _want("fanout"):
         _dump_fanout(spark)
+    if _want("ivf_store_probe"):
+        _dump_ivf_store_probe(spark)
 
     spark.stop()
 
@@ -379,6 +391,38 @@ def _dump_fanout(spark) -> None:
         f"the interleaved A/B in BENCH_NOTES is the timing evidence)\n\n"
         + fmt_plan(pairs),
     )
+
+
+def _dump_ivf_store_probe(spark) -> None:
+    # MODE=before forces the fallback arm (cap 0) — the pre-change plan
+    # verbatim; MODE=after uses the default localized probe.
+    import time
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    store = tempfile.mkdtemp(prefix="plandump_ivfstore_") + "/ivf"
+    try:
+        sim.write_ivf_store(emb, store, refine_iters=2)
+        vectors, cents = sim.read_ivf_store(spark, store)
+        queries = emb.filter(F.col("vec_id") < 5)
+        if MODE == "before":
+            os.environ["BIKIDATA_SPARK_PROBE_LOCAL_ROWS"] = "0"
+        try:
+            sim.ivf_store_topk(vectors, cents, queries).count()  # warm
+            t0 = time.perf_counter()
+            topk = sim.ivf_store_topk(vectors, cents, queries)
+            _, njobs = jobs_for(spark, "ivfstore-probe", topk.count)
+            dt = time.perf_counter() - t0
+            write(
+                "ivf_store_probe",
+                f"# similarity.ivf_store_topk(store, 5 queries).count() ({SF_DIR})\n"
+                f"# code state: {MODE}; warm call ran {njobs} Spark job(s) in "
+                f"{dt:.2f}s (single sample; the interleaved A/B in BENCH_NOTES "
+                f"is the timing evidence)\n\n" + fmt_plan(topk),
+            )
+        finally:
+            os.environ.pop("BIKIDATA_SPARK_PROBE_LOCAL_ROWS", None)
+    finally:
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
 
 
 if __name__ == "__main__":
