@@ -452,7 +452,12 @@ def ivf_ann_topk(
     # for sparse ones, so results cannot change either way)
     est_cells = None
     if centroid_step is None:
-        n_v = v.count()
+        # count the RAW input, not the fanned-out projection: the value
+        # is identical (select/repartition preserve cardinality) but the
+        # raw count is answered from scan statistics in one job, where
+        # counting v re-executes the fan-out Exchange (measured 3 jobs
+        # per call at sf0.1, r14)
+        n_v = vectors.count()
         centroid_step = _cell_step(n_v)
         est_cells = -(-n_v // centroid_step)
     cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
@@ -484,6 +489,12 @@ def ivf_ann_topk(
             F.explode(_nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell"),
         )
     )
+    # NOTE (r14): localizing the probe rows here, as ivf_store_topk
+    # does, measured NO win (interleaved A/B medians 1.93 vs 2.08 s at
+    # sf0.1, overlapping reps — BENCH_NOTES §session-5): without a
+    # store there is no distinct-collect chain to delete, the assign
+    # fold dominates the scored job, and the extra collect round-trip
+    # cancels the lighter broadcast. Kept distributed on purpose.
     scored = (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("nid") != F.col("qid"))
@@ -545,8 +556,12 @@ def write_ivf_store(
         if centroid_step is None:
             # one corpus count sizes BOTH the cell schedule and the
             # assignment-strategy gate (ceil(n/step) — exact for dense
-            # ids, strategy-only for sparse ones)
-            n_v = v.count()
+            # ids, strategy-only for sparse ones). Count the RAW input:
+            # identical value, answered from scan statistics, where
+            # counting v would execute the fan-out Exchange just to
+            # count it (r14; the persisted refine path re-materializes
+            # v on its first real pass either way)
+            n_v = vectors.count()
             centroid_step = _cell_step(n_v)
             est_cells = -(-n_v // centroid_step)
         cents = v.filter(F.pmod(F.col("nid"), F.lit(centroid_step)) == 0).select(
