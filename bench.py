@@ -1,5 +1,11 @@
-"""Headline benchmark. Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""Headline benchmark. The FINAL stdout line is one compact JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+ "cpus": N, "parallelism": N, "headline_r2_keys": N, "nt_parity": bool,
+ "host_noise": N}
+preceded by one detail JSON line (reps, per-section noise, serving
+percentiles) — the driver's tail capture parses the last line, and the
+r13 single combined line grew past its capture window (r15 contract fix;
+timing methodology unchanged).
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. The graph build is timed as its own entry
@@ -540,24 +546,39 @@ def main() -> None:
         for k, v in rep_times.items()
     }
     host_noise = round(statistics.median(noise.values()), 3) if noise else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "bikidata_spark_headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "headline_r2_keys": comparable,
-                "nt_parity": nt_parity,
-                "serving": serving_stats,
-                "bench_reps": reps_default,
-                "reps": rep_times,
-                "host_noise": host_noise,
-                "section_noise": noise,
-            }
-        )
-    )
+    # Output contract (r15): the FINAL stdout line is a COMPACT headline
+    # JSON — the driver captures a bounded tail of stdout and parses the
+    # last line, and r13's ever-growing single line overflowed that
+    # capture (PERF_r14 lost the whole round-over-round comparison).
+    # Reps / per-section noise / serving percentiles move to a DETAIL
+    # line printed immediately before it; both are one-line JSON, so any
+    # consumer of the old combined format finds every key on one of the
+    # two lines. `cpus` and `parallelism` are in the compact line so the
+    # driver's core-scaling check can verify the session honored
+    # $SPARK_GRAFT_CPUS instead of heuristically guessing (r14's
+    # suspect_cpus_ignored false positive). Timing methodology, section
+    # set, reps and env semantics are unchanged.
+    detail = {
+        "metric": "bikidata_spark_headline_detail",
+        "serving": serving_stats,
+        "bench_reps": reps_default,
+        "reps": rep_times,
+        "section_noise": noise,
+    }
+    compact = {
+        "metric": "bikidata_spark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "headline_r2_keys": comparable,
+        "nt_parity": nt_parity,
+        "host_noise": host_noise,
+    }
+    print(json.dumps(detail))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
