@@ -102,6 +102,21 @@ class Graph:
     # paying the one-time collect. Only attached by read_graph when the
     # artifact is driver-local (mmap needs a local file).
     tier_dir: str | None = None
+    # the store's local root (read_graph, local paths only): lets the
+    # engine CREATE sidecars next to the store — eviction-time order
+    # warming writes `{store_dir}/_tier/dorder_*.arrow` even when no
+    # tier artifact existed at read time (tier_dir stays None until an
+    # artifact exists — the stale-proofing invariant). Derived graphs
+    # (mutations) drop it by construction, like the other sidecars.
+    store_dir: str | None = None
+    # identity of the store content THIS graph was read from: the
+    # manifest file's (mtime_ns, size) at read time. Sidecars written
+    # by this engine embed it, and the sidecar loader rejects a stamp
+    # that does not match its own graph's — so an engine that keeps
+    # serving across an external store rewrite can never leave a
+    # sidecar describing the OLD content that a post-rewrite reader
+    # would trust. None (legacy store, no manifest) skips the check.
+    store_stamp: tuple | None = None
 
     @property
     def spark(self) -> SparkSession:
@@ -146,6 +161,8 @@ class Graph:
             s_projection=self.s_projection,  # same row bag, kept
             store_meta=self.store_meta,  # same content, sizing still valid
             tier_dir=self.tier_dir,
+            store_dir=self.store_dir,
+            store_stamp=self.store_stamp,
         )
 
     def unpersist(self) -> None:
@@ -506,8 +523,11 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
     # instead of a collect. Both only ever attached here, so every
     # derived graph (mutations) drops them by construction.
     tier_dir = None
+    store_dir = None
+    store_stamp = None
     if "://" not in path or path.startswith("file:"):
-        cand = os.path.join(path.split("://", 1)[-1], "_tier")
+        store_dir = path.split("://", 1)[-1]
+        cand = os.path.join(store_dir, "_tier")
         # a tier artifact (meta.json) OR the driver-order sidecars an
         # over-cap warm leaves behind (dorder_meta.json, r13) — either
         # makes the dir worth attaching; consumers validate per file
@@ -515,10 +535,17 @@ def read_graph(spark: SparkSession, path: str) -> Graph:
             os.path.join(cand, "dorder_meta.json")
         ):
             tier_dir = cand
+        try:
+            st = os.stat(os.path.join(store_dir, "_meta.json"))
+            store_stamp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
     return Graph(
         triples=spark.read.parquet(f"{path}/triples"),
         terms=spark.read.parquet(f"{path}/terms"),
         s_projection=sproj,
         store_meta=read_store_manifest(path),
         tier_dir=tier_dir,
+        store_dir=store_dir,
+        store_stamp=store_stamp,
     )

@@ -512,6 +512,9 @@ class Engine:
     # rule sigs whose resident order index was LRU-evicted this
     # generation — distinguishes a churn re-collect from a first build
     _order_idx_evicted: set = field(default_factory=set, repr=False)
+    # serializes read-modify-write of the store dorder sidecar meta
+    # (persist_driver_orders and eviction-time warming share it)
+    _dorder_file_lock: object = field(default_factory=threading.Lock, repr=False)
     # measured bytes of every driver-resident structure, keyed by name —
     # one ledger, one budget (_residency_budget) bounds the driver's
     # total data residency. Guarded by _cache_lock.
@@ -2830,6 +2833,7 @@ class Engine:
                 )
             ent = (s_arr[perm], rank[perm], num, num_null)
         ent_bytes = sum(a.nbytes for a in ent if a is not None)
+        evicted_ents = []
         with self._cache_lock:
             if key[0] != self._graph_generation:
                 # graph swapped mid-build: usable, not cached — release
@@ -2838,12 +2842,14 @@ class Engine:
                 return ent
             while len(self._order_idx_cache) >= self._ORDER_IDX_MAX:
                 evicted_key = next(iter(self._order_idx_cache))
-                self._order_idx_cache.pop(evicted_key)
+                ev_ent = self._order_idx_cache.pop(evicted_key)
                 self._residency_ledger.pop(
                     "order_index:" + evicted_key[1], None
                 )
                 self._stat_bump("order_index_evictions")
                 self._order_idx_evicted.add(evicted_key[1])
+                if ev_ent != "over_cap":
+                    evicted_ents.append((evicted_key[1], ev_ent))
             if key[1] in self._order_idx_evicted:
                 # a hot-rule mix rotating past _ORDER_IDX_MAX re-pays
                 # the corpus collect per miss (~24-43 s at sf10) —
@@ -2855,7 +2861,8 @@ class Engine:
                 self._residency_ledger[ledger_key] = ent_bytes
             else:
                 self._residency_ledger.pop(ledger_key, None)
-            return ent
+        self._warm_evicted_orders(evicted_ents)
+        return ent
 
     def _order_sidecar_load(self, key):
         """mmap-load a store-persisted driver order index for ``key``
@@ -2869,7 +2876,7 @@ class Engine:
         metadata (same row count cannot distinguish rules), and the
         searchsorted contract (s strictly ascending). Admission is
         atomic against the residency ledger."""
-        tdir = getattr(self.graph, "tier_dir", None)
+        tdir = self._dorder_dir()
         if not tdir or self._graph_generation != 0:
             return None
         import json
@@ -2879,6 +2886,15 @@ class Engine:
             with open(os.path.join(tdir, "dorder_meta.json")) as f:
                 dmeta = json.load(f)
         except (OSError, ValueError):
+            return None
+        # store-stamp check (r15): a sidecar stamped for OTHER content
+        # (written by an engine that outlived a store rewrite) must not
+        # serve — ranks describing the old labels would silently order
+        # pages wrong. Either side missing a stamp = legacy store,
+        # keep the pre-r15 behavior.
+        gstamp = getattr(self.graph, "store_stamp", None)
+        mstamp = dmeta.get("store_stamp")
+        if gstamp is not None and mstamp is not None and list(gstamp) != mstamp:
             return None
         ent_meta = next(
             (
@@ -2955,16 +2971,20 @@ class Engine:
                 # becomes cache-admitted the moment the budget frees
                 self._stat_bump("order_sidecar_uncached_serves")
                 return ent
+            evicted_ents = []
             while len(self._order_idx_cache) >= self._ORDER_IDX_MAX:
                 ek = next(iter(self._order_idx_cache))
-                self._order_idx_cache.pop(ek)
+                ev_ent = self._order_idx_cache.pop(ek)
                 self._residency_ledger.pop("order_index:" + ek[1], None)
                 self._stat_bump("order_index_evictions")
                 self._order_idx_evicted.add(ek[1])
+                if ev_ent != "over_cap":
+                    evicted_ents.append((ek[1], ev_ent))
             self._order_idx_cache[key] = ent
             self._stat_bump("order_sidecar_loads")
             if ent_bytes:
                 self._residency_ledger[ledger_key] = ent_bytes
+        self._warm_evicted_orders(evicted_ents)
         return ent
 
     def persist_driver_orders(self, dir_path: str) -> int:
@@ -2976,56 +2996,135 @@ class Engine:
         the point. Same tmp+rename / meta-last discipline as the tier
         artifact; each file embeds its rule sig in the Arrow schema
         metadata. Returns the number persisted (0 on a mutated engine:
-        the sidecars must describe exactly the store's content)."""
-        import json
-        import pyarrow as pa
+        the sidecars must describe exactly the store's content).
 
+        Entries MERGE with any already-persisted sidecar (r15): rule
+        sigs warmed earlier — by a previous persist or by eviction-time
+        warming (_warm_evicted_orders) — are kept, so warming
+        accumulates across the store's lifetime instead of the last
+        persist clobbering the set."""
         if self._graph_generation != 0:
             return 0
         with self._cache_lock:
             entries = [
-                (k, v)
+                (k[1], v)
                 for k, v in self._order_idx_cache.items()
                 if k[0] == 0 and v != "over_cap"
             ][-self._ORDER_IDX_MAX :]
         if not entries:
             return 0
-        os.makedirs(dir_path, exist_ok=True)
-        orders = []
-        for (_gen, sigj), ent in entries:
-            s_sorted, rank, num, num_null = ent
-            cols = {
-                "s": pa.array(s_sorted, pa.int64()),
-                "rank": pa.array(rank, pa.int64()),
-            }
-            if num is not None:
-                cols["num"] = pa.array(num, pa.int64())
-                cols["num_null"] = pa.array(
-                    num_null.astype(np.int8), pa.int8()
+        return self._dorder_persist_merge(dir_path, entries)
+
+    def _dorder_dir(self) -> str | None:
+        """Where this engine's store-level dorder sidecars live:
+        ``tier_dir`` when an artifact already exists, else
+        ``{store_dir}/_tier`` for store-read graphs — eviction-time
+        warming can CREATE the sidecar dir on a fresh store, and the
+        loader then finds what warming wrote within the same process.
+        None for non-store graphs (nothing durable to warm into)."""
+        tdir = getattr(self.graph, "tier_dir", None)
+        if tdir:
+            return tdir
+        sdir = getattr(self.graph, "store_dir", None)
+        return os.path.join(sdir, "_tier") if sdir else None
+
+    def _warm_evicted_orders(self, items) -> None:
+        """Persist just-evicted order-index entries as store dorder
+        sidecars (r15, VERDICT item 7): a serving mix rotating more
+        sort rules than ``_ORDER_IDX_MAX`` used to re-pay the corpus
+        order collect per miss (~24-43 s at sf10); persisting the
+        evicted entry turns the next miss into an mmap sidecar load
+        (_order_sidecar_load). Only store-backed, unmutated engines
+        warm (the sidecar must describe exactly the store's content —
+        the same gate the sidecar loader applies); the write is file
+        I/O over the already-resident arrays (no Spark job, ~tens of
+        ms for the sf10 57 MB/rule entry vs the multi-second collect
+        the caller just paid). Failures are swallowed: warming is an
+        optimization, never load-bearing."""
+        if not items:
+            return
+        tdir = self._dorder_dir()
+        if not tdir or self._graph_generation != 0:
+            return
+        try:
+            n = self._dorder_persist_merge(tdir, items)
+        except Exception:
+            return
+        if n:
+            with self._cache_lock:
+                self._cache_stats["order_warm_persists"] = (
+                    self._cache_stats.get("order_warm_persists", 0) + n
                 )
-            tbl = pa.table(cols).replace_schema_metadata(
-                {b"dorder_sig": sigj.encode("utf-8")}
-            )
-            name = f"dorder_{len(orders)}.arrow"
-            tmp = os.path.join(dir_path, f".{name}.tmp")
-            with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, tbl.schema) as w:
-                w.write_table(tbl)
-            os.replace(tmp, os.path.join(dir_path, name))
-            orders.append(
-                {"file": name, "sig": sigj, "n": int(s_sorted.size)}
-            )
-        i = len(orders)
-        while True:  # drop stale files a previous persist left behind
-            stale = os.path.join(dir_path, f"dorder_{i}.arrow")
-            if not os.path.exists(stale):
-                break
-            os.remove(stale)
-            i += 1
-        tmp = os.path.join(dir_path, ".dorder_meta.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"orders": orders}, f)
-        os.replace(tmp, os.path.join(dir_path, "dorder_meta.json"))
-        return len(orders)
+
+    def _dorder_persist_merge(self, dir_path: str, items) -> int:
+        """Merge ``(rule-sig, entry)`` pairs into the dorder sidecar at
+        ``dir_path``: read the current meta, append entries whose sig
+        is not yet persisted (same-store generation-0 entries for one
+        sig are identical, so skipping is safe), tmp+rename each file
+        then the meta last. ``_dorder_file_lock`` serializes the
+        read-modify-write within this process. The meta embeds the
+        graph's store stamp; a pre-existing meta carrying a DIFFERENT
+        stamp describes other content (the store was rewritten around
+        us) — its entries are discarded, never merged with. Returns
+        how many new entries were written."""
+        import json
+        import pyarrow as pa
+
+        os.makedirs(dir_path, exist_ok=True)
+        written = 0
+        stamp = getattr(self.graph, "store_stamp", None)
+        stamp = list(stamp) if stamp else None
+        with self._dorder_file_lock:
+            try:
+                with open(os.path.join(dir_path, "dorder_meta.json")) as f:
+                    meta = json.load(f)
+                orders = list(meta.get("orders", []))
+                old_stamp = meta.get("store_stamp")
+                if stamp is not None and old_stamp is not None and old_stamp != stamp:
+                    orders = []  # stale sidecar for other content: replace
+            except (OSError, ValueError):
+                orders = []
+            have = {m.get("sig") for m in orders}
+            used = {m.get("file") for m in orders}
+            nxt = 0
+            for sigj, ent in items:
+                if sigj in have:
+                    continue
+                s_sorted, rank, num, num_null = ent
+                cols = {
+                    "s": pa.array(s_sorted, pa.int64()),
+                    "rank": pa.array(rank, pa.int64()),
+                }
+                if num is not None:
+                    cols["num"] = pa.array(num, pa.int64())
+                    cols["num_null"] = pa.array(
+                        num_null.astype(np.int8), pa.int8()
+                    )
+                tbl = pa.table(cols).replace_schema_metadata(
+                    {b"dorder_sig": sigj.encode("utf-8")}
+                )
+                while f"dorder_{nxt}.arrow" in used:
+                    nxt += 1
+                name = f"dorder_{nxt}.arrow"
+                used.add(name)
+                tmp = os.path.join(dir_path, f".{name}.tmp")
+                with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, tbl.schema) as w:
+                    w.write_table(tbl)
+                os.replace(tmp, os.path.join(dir_path, name))
+                orders.append(
+                    {"file": name, "sig": sigj, "n": int(s_sorted.size)}
+                )
+                have.add(sigj)
+                written += 1
+            if written:
+                out = {"orders": orders}
+                if stamp is not None:
+                    out["store_stamp"] = stamp
+                tmp = os.path.join(dir_path, ".dorder_meta.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(out, f)
+                os.replace(tmp, os.path.join(dir_path, "dorder_meta.json"))
+        return written
 
     def _order_page_driver(
         self, oidx, td, hs_all: np.ndarray, rule: dict, size: int, start: int
@@ -4301,7 +4400,16 @@ class Engine:
             except (TypeError, ValueError):
                 tkey = None
             total = None
-            if tkey is not None:
+            # r15 (VERDICT item 6): the memo READ honors use_cache —
+            # a "caches off" request recomputes its total (the bench's
+            # declared policy: every timed query does the real work).
+            # The WRITE below stays unconditional: populating the memo
+            # never affects this request, only future cache-allowed
+            # ones. The fast-probe gates (_known_filter_total) are
+            # separate and unchanged — they never serve a memoized
+            # VALUE, they only skip a probe job whose rejection the
+            # memo proves, then compute everything distributed.
+            if tkey is not None and opts.get("use_cache", True):
                 with self._cache_lock:
                     total = self._filter_totals.get(tkey)
                 if total is None:
