@@ -44,6 +44,26 @@ class TimeoutError(Exception):
 CACHE_TTL_S = 60 * 60 * 24 * 7  # reference workers.py:105: ex=7 days
 
 
+def _parse_mem(s: str) -> int:
+    """'8g' / '512m' / '1024k' / plain bytes → bytes (JVM -Xmx syntax,
+    the format spark.driver.memory takes)."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(s[-1:], 1)
+    digits = s[:-1] if s[-1:] in "kmgt" else s
+    return int(float(digits)) * mult
+
+
+# Fraction of the corpus's optimizer size estimate one concurrent
+# distributed query is budgeted to hold in execution memory (shuffle /
+# sort / join buffers) at peak. Calibrated against the r14 sf10 over-cap
+# sweep: >=8 concurrent distributed queries over a 111M-quad corpus
+# exhausted an 8 GiB JVM (UNABLE_TO_ACQUIRE_MEMORY) — usable execution
+# memory ~0.6*(8g-300m) ≈ 4.6 GiB over ~7 safe queries ≈ 0.66 GiB each,
+# ~1/10 of the corpus's in-memory estimate. Overridable per deployment
+# via BIKIDATA_SPARK_DIST_QUERY_FRACTION.
+_DIST_QUERY_EST_FRACTION = 10
+
+
 class Serving:
     """Async serving facade over an :class:`Engine`.
 
@@ -212,6 +232,21 @@ class Serving:
         # pre-mutation graph must not enter the cache after the swap's
         # clear(), or it would serve stale results for up to the TTL
         self._generation = 0
+        # admission control for DISTRIBUTED queries (r15, guide §5):
+        # on an over-cap engine (no resident tier) every query runs
+        # Spark jobs whose shuffle/sort buffers co-reside in executor
+        # memory; unbounded concurrency exhausts it
+        # (UNABLE_TO_ACQUIRE_MEMORY at >=8 concurrent sf10 queries on
+        # an 8 GiB JVM — r14 sweep). A semaphore bounds in-flight
+        # distributed queries to what the memory budget supports;
+        # excess queries queue (latency, never an error). Sized lazily
+        # on the first gated query from the corpus size estimate — see
+        # _dist_permits; BIKIDATA_SPARK_DIST_PERMITS=N overrides, 0
+        # disables. Tier-resident engines are not gated: their queries
+        # are driver-side numpy with no executor memory footprint.
+        self._dist_sem = None  # "off" | threading.BoundedSemaphore
+        self._dist_permits_n = 0
+        self._dist_gate_waits = 0
         # mutations swap the engine's graph: one at a time, and no
         # queries observe a half-swapped graph because the swap is a
         # single reference assignment of an immutable Graph
@@ -265,7 +300,18 @@ class Serving:
             # worker failure — the in-process path below covers both
             result = pool.query(opts)
         if result is None:
-            result = self.engine.query(opts)
+            sem = self._dist_gate()
+            if sem is not None:
+                if not sem.acquire(blocking=False):
+                    with self._cache_lock:
+                        self._dist_gate_waits += 1
+                    sem.acquire()
+                try:
+                    result = self.engine.query(opts)
+                finally:
+                    sem.release()
+            else:
+                result = self.engine.query(opts)
         # reference workers.py:101-103: timing metadata on fresh results
         # (cache hits return the original timings, as with Redis)
         result["msg_received_time"] = received
@@ -280,6 +326,75 @@ class Serving:
                 if self._generation == generation:  # no swap mid-query
                     self._cache[query_hash] = (time.time() + CACHE_TTL_S, payload)
         return result
+
+    def _dist_gate(self):
+        """The admission semaphore for distributed queries, or None
+        when the engine serves from a resident tier (zero executor
+        memory per query — gating would only serialize numpy work).
+        Sized once, lazily, on the first gated query; a retier that
+        changes the engine's regime later keeps the size (permits are
+        a memory bound, not a scheduling policy — re-sizing mid-flight
+        would race the in-flight holders)."""
+        st = self.engine._local_tier_state
+        if st is None or st[1] is not None:
+            return None  # tier unknown-yet or resident: not the gated regime
+        sem = self._dist_sem
+        if sem is None:
+            with self._cache_lock:
+                if self._dist_sem is None:
+                    n = self._dist_permits()
+                    self._dist_permits_n = n
+                    self._dist_sem = (
+                        threading.BoundedSemaphore(n) if n > 0 else "off"
+                    )
+                sem = self._dist_sem
+        return None if sem == "off" else sem
+
+    def _dist_permits(self) -> int:
+        """How many distributed queries may run concurrently (guide §5:
+        bound co-resident shuffle/sort buffers by execution memory, not
+        by a memory knob). ``BIKIDATA_SPARK_DIST_PERMITS`` overrides
+        (0 disables the gate). Otherwise: usable execution memory —
+        ``spark.memory.fraction`` (0.6) of the JVM heap minus the 300 MB
+        reserve — divided by a per-query footprint estimated as a
+        measured fraction (``BIKIDATA_SPARK_DIST_QUERY_FRACTION``,
+        default 1/10 — calibrated on the r14 sf10 over-cap sweep where
+        ~7 concurrent 111M-quad queries saturated a 4.6 GiB budget) of
+        the corpus's optimizer size estimate, clamped to
+        [64 MB, 4 GB]. Clamped to [1, num_workers]."""
+        import os
+
+        env = os.environ.get("BIKIDATA_SPARK_DIST_PERMITS", "").strip()
+        if env:
+            return int(env)
+        heap = _parse_mem(os.environ.get("BIKIDATA_SPARK_DRIVER_MEM", "8g"))
+        try:
+            heap = _parse_mem(
+                self.engine.graph.spark.conf.get("spark.driver.memory")
+            )
+        except Exception:
+            pass
+        usable = int(0.6 * max(heap - (300 << 20), heap // 2))
+        est = 0
+        try:
+            est = int(
+                str(
+                    self.engine.graph.triples._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            pass
+        frac = int(
+            os.environ.get(
+                "BIKIDATA_SPARK_DIST_QUERY_FRACTION",
+                str(_DIST_QUERY_EST_FRACTION),
+            )
+        )
+        per_q = min(max(est // max(frac, 1), 64 << 20), 4 << 30)
+        return max(1, min(self._num_workers, usable // per_q))
 
     async def query_async(self, opts: dict, timeout: int = 60) -> dict:
         loop = asyncio.get_running_loop()
@@ -581,6 +696,11 @@ class Serving:
                     if self._proc_pool is not None
                     else {"state": self._proc_pool_state}
                 ),
+                "dist_admission": {
+                    "engaged": self._dist_sem not in (None, "off"),
+                    "permits": self._dist_permits_n,
+                    "waits": self._dist_gate_waits,
+                },
                 "result_cache": {
                     "entries": len(self._cache),
                     "live_entries": live,

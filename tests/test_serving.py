@@ -237,3 +237,66 @@ def test_status_endpoint(serving):
         assert tier["queries_served"] >= 1
     else:
         assert sc["entries"] >= 1 and sc["misses"] >= 1
+
+
+def test_dist_admission_control(spark, monkeypatch):
+    """r15 (guide §5): on an over-cap engine every served query runs
+    distributed Spark jobs whose shuffle/sort buffers co-reside in
+    executor memory; the admission semaphore bounds how many execute
+    at once (excess queries queue — latency, never an error). Pin:
+    peak in-engine concurrency <= permits, all results correct,
+    status() surfaces the gate."""
+    from bikidata_spark import Engine, Serving, build_from_iterator
+    import threading
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DIST_PERMITS", "2")
+    graph = build_from_iterator(spark, TRIPLES).cache()
+    eng = Engine(graph, local_tier_bytes=1, term_cache_bytes=0)
+    assert eng._local_tier() is None  # over-cap: the gated regime
+    srv = Serving(eng, num_workers=8)
+
+    peak = {"now": 0, "max": 0}
+    lock = threading.Lock()
+    inner = Engine.query
+
+    def tracked(self, opts):
+        with lock:
+            peak["now"] += 1
+            peak["max"] = max(peak["max"], peak["now"])
+        try:
+            return inner(self, opts)
+        finally:
+            with lock:
+                peak["now"] -= 1
+
+    monkeypatch.setattr(Engine, "query", tracked)
+
+    async def go():
+        tasks = [
+            srv.query_async(
+                {"filters": [{"p": "<p/name>"}], "size": 2, "start": i,
+                 "use_cache": False},
+                timeout=120,
+            )
+            for i in range(8)
+        ]
+        return await asyncio.gather(*tasks)
+
+    rs = asyncio.run(go())
+    assert all(r["total"] == 3 for r in rs)
+    assert peak["max"] <= 2, peak
+    st = srv.status()["dist_admission"]
+    assert st["engaged"] and st["permits"] == 2
+    assert st["waits"] >= 1  # 8 clients through 2 permits had to queue
+    srv.close()
+
+    # permits=0 disables the gate outright
+    monkeypatch.setenv("BIKIDATA_SPARK_DIST_PERMITS", "0")
+    eng2 = Engine(graph, local_tier_bytes=1, term_cache_bytes=0)
+    assert eng2._local_tier() is None
+    srv2 = Serving(eng2, num_workers=4)
+    assert asyncio.run(
+        srv2.query_async({"filters": [{"p": "<p/name>"}], "size": 1})
+    )["total"] == 3
+    assert srv2.status()["dist_admission"]["engaged"] is False
+    srv2.close()
