@@ -257,22 +257,37 @@ def ngram_jaccard_pairs(
     caps the join at |docs|·max_df while barely moving Jaccard for
     true near-dups, whose overlap is dominated by rare shingles. The
     Jaccard denominator still uses FULL per-doc shingle counts, so
-    scores are conservative (never inflated) under the cap."""
-    sh = shingles(df, id_col, text_col, n).persist()
+    scores are conservative (never inflated) under the cap.
+
+    The inverted index carries ``xxhash64(shingle)`` instead of the
+    shingle STRING (r15, guide §2.3 — shuffle fewer bytes): the df
+    aggregation, the semi-join and the candidate equi-join all shuffle
+    and compare an 8-byte long where they previously moved a ~n-token
+    text key; row counts per doc (the Jaccard denominator) are
+    unchanged because hashing is applied AFTER the per-doc distinct.
+    Collision exposure is the same envelope :func:`minhash_lsh_pairs`'
+    verification already accepts (odds ~|shingle universe|²/2⁶⁵, and
+    the hash never crosses the oracle boundary — the oracle computes
+    the same overlap on strings)."""
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .select("id", F.xxhash64("s").alias("h"))
+        .persist()
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     postings = sh
     if max_df is not None:
         rare = (
-            sh.groupBy("s")
+            sh.groupBy("h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("s")
+            .select("h")
         )
-        postings = sh.join(rare, "s", "left_semi")
-    a = postings.select(F.col("id").alias("id_a"), "s")
-    b = postings.select(F.col("id").alias("id_b"), "s")
+        postings = sh.join(rare, "h", "left_semi")
+    a = postings.select(F.col("id").alias("id_a"), "h")
+    b = postings.select(F.col("id").alias("id_b"), "h")
     inter = (
-        a.join(b, "s")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))

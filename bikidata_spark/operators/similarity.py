@@ -773,31 +773,57 @@ def ivf_store_topk(
     guarantee), or raise ``nprobe`` directly."""
     from pyspark.sql import Window
 
+    q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
+    # Probe-cell resolution is DRIVER-SIDE when the query batch is
+    # bounded (r15, extending r14's localization): one bounded collect
+    # of the QUERY rows (qcap = cap // nprobe, so localized probe rows
+    # still respect the cap) plus the tiny centroid table (<= 4096 rows
+    # by the schedule's self-cap), then `probe_cells_fold` — the
+    # pinned bit-exact driver mirror of the `_nearest_cells` JVM fold
+    # (same left-to-right IEEE summation, same NaN-greatest ordering,
+    # shared with plans/query._semantic_filter since r14) — picks each
+    # query's cells. The distinct probed-cell list and the scored
+    # join's broadcast LocalRelation fall out with zero extra Spark
+    # jobs, and the over-cap gate no longer pays a wasted cap+1-row
+    # collect before falling back (r14 ADVICE): the bounded collect IS
+    # the gate, and it carries at most qcap+1 query rows. Collected
+    # doubles round-trip exactly through pickle (IEEE bytes), so the
+    # scored rows are bit-identical either way. A batch past the cap
+    # keeps exactly the pre-r14 fully-distributed plan — collecting an
+    # unbounded query table to the driver is the guide-§5 OOM shape.
+    cent_rows = None
     if nprobe == "auto":
-        nprobe = _resolve_nprobe(nprobe, cents.count(), recall_target)
+        cent_rows = cents.select("cid", "cv").collect()
+        nprobe = _resolve_nprobe(nprobe, len(cent_rows), recall_target)
     else:
         nprobe = int(nprobe)
-    q = _as_double(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv")
-    carr = _cent_arr(cents)
-    probes = q.crossJoin(F.broadcast(carr)).select(
-        "qid", "qv", F.explode(_nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell")
-    )
-    # ONE bounded collect localizes the (qid, qv, cell) probe rows
-    # (r14): the distinct probed-cell list then falls out driver-side —
-    # no distinct Exchange + its AQE job chain per call (measured 4 of
-    # the steady call's 10 Spark jobs at sf0.1) — and the scored join's
-    # broadcast build side becomes a LocalRelation instead of re-running
-    # the centroid aggregation and the per-query HOF fold. Collected
-    # doubles round-trip exactly through Arrow, so the scored rows are
-    # bit-identical to the distributed-probe shape. A query batch past
-    # the cap (rows = |q|·nprobe, env-tunable) keeps exactly the old
-    # plan — collecting an unbounded query table to the driver is the
-    # guide-§5 OOM shape, not an optimization.
-    probe_rows = probes.limit(_probe_local_rows() + 1).collect()
-    if len(probe_rows) <= _probe_local_rows():
-        cells = sorted({r["cell"] for r in probe_rows})
-        probes = queries.sparkSession.createDataFrame(probe_rows, probes.schema)
+    qcap = _probe_local_rows() // max(1, nprobe)
+    q_rows = q.limit(qcap + 1).collect() if qcap else []
+    if qcap and len(q_rows) <= qcap:
+        import numpy as np
+
+        from ..plans.local_tier import probe_cells_fold
+
+        if cent_rows is None:
+            cent_rows = cents.select("cid", "cv").collect()
+        cids = [int(r["cid"]) for r in cent_rows]
+        cent_mat = np.asarray([r["cv"] for r in cent_rows], dtype=np.float64)
+        probe_rows = [
+            (r["qid"], r["qv"], c)
+            for r in q_rows
+            for c in probe_cells_fold(
+                cids, cent_mat, np.asarray(r["qv"], dtype=np.float64), nprobe
+            )
+        ]
+        cells = sorted({c for (_, _, c) in probe_rows})
+        probes = queries.sparkSession.createDataFrame(
+            probe_rows, q.schema.add("cell", "long")
+        )
     else:
+        carr = _cent_arr(cents)
+        probes = q.crossJoin(F.broadcast(carr)).select(
+            "qid", "qv", F.explode(_nearest_cells(F.col("qv"), F.col("cents"), nprobe)).alias("cell")
+        )
         cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     pruned = vectors.filter(F.col("cell").isin(cells))
     scored = (

@@ -659,45 +659,43 @@ def test_ivf_store_pruned_matches_inmemory(spark, embeddings, tmp_path):
     assert m, plan[:2000]
 
 
-def test_ivf_store_probe_localization_equal_and_engaged(spark, embeddings, tmp_path):
-    """r14: ivf_store_topk localizes the (qid, qv, cell) probe rows on
-    the driver (LocalRelation broadcast side, distinct cells computed
-    driver-side) when |q|*nprobe fits the cap; cap 0 forces the
-    pre-r14 fully-distributed probe. Both paths must return identical
-    rows, and the localized plan must actually engage (no HOF
-    centroid fold in the executed scored plan's broadcast side)."""
-    import os
-
+def test_ivf_store_probe_localization_equal_and_engaged(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """r14/r15: ivf_store_topk resolves the (qid, qv, cell) probe rows
+    on the driver (bounded query collect + tiny centroid collect +
+    the pinned probe_cells_fold mirror; LocalRelation broadcast side,
+    distinct cells driver-side) when |q|*nprobe fits the cap; cap 0
+    forces the pre-r14 fully-distributed probe. Both paths must
+    return identical rows, and the localized plan must actually
+    engage (no HOF centroid fold in the executed scored plan's
+    broadcast side)."""
     q = embeddings.filter(F.col("vec_id") < 5)
     sim.write_ivf_store(embeddings, str(tmp_path / "ivf"), refine_iters=2, quantize=6)
     vectors, cents = sim.read_ivf_store(spark, str(tmp_path / "ivf"))
-    try:
-        os.environ["BIKIDATA_SPARK_PROBE_LOCAL_ROWS"] = "0"
-        dist = sim.ivf_store_topk(vectors, cents, q)
-        dist_rows = sorted(map(tuple, dist.collect()))
-        dist_plan = dist._jdf.queryExecution().executedPlan().toString()
-        # the probes build side runs in-plan: one-row centroid-array
-        # crossJoin under the scored join's broadcast
-        assert "BroadcastNestedLoopJoin" in dist_plan
-    finally:
-        os.environ.pop("BIKIDATA_SPARK_PROBE_LOCAL_ROWS", None)
+    monkeypatch.setenv("BIKIDATA_SPARK_PROBE_LOCAL_ROWS", "0")
+    dist = sim.ivf_store_topk(vectors, cents, q)
+    dist_rows = sorted(map(tuple, dist.collect()))
+    dist_plan = dist._jdf.queryExecution().executedPlan().toString()
+    # the probes build side runs in-plan: one-row centroid-array
+    # crossJoin under the scored join's broadcast
+    assert "BroadcastNestedLoopJoin" in dist_plan
+    monkeypatch.delenv("BIKIDATA_SPARK_PROBE_LOCAL_ROWS")
     loc = sim.ivf_store_topk(vectors, cents, q)
     loc_rows = sorted(map(tuple, loc.collect()))
     loc_plan = loc._jdf.queryExecution().executedPlan().toString()
     assert loc_rows == dist_rows and len(loc_rows) == 50
-    # the localized scored plan broadcasts the collected rows (a local
-    # ExistingRDD scan); the centroid-array crossJoin + per-query fold
-    # subtree is gone (the only remaining aggregate HOF is cosine_sim's
-    # own scoring fold, present in both plans)
+    # the localized scored plan broadcasts the driver-resolved rows (a
+    # local ExistingRDD scan); the centroid-array crossJoin + per-query
+    # fold subtree is gone (the only remaining aggregate HOF is
+    # cosine_sim's own scoring fold, present in both plans)
     assert ("Scan ExistingRDD" in loc_plan or "LocalTableScan" in loc_plan)
     assert "BroadcastNestedLoopJoin" not in loc_plan
     # over-cap batches fall back to the distributed probe untruncated:
-    # rows = |q|*nprobe = 10 > cap 9
-    try:
-        os.environ["BIKIDATA_SPARK_PROBE_LOCAL_ROWS"] = "9"
-        over = sorted(map(tuple, sim.ivf_store_topk(vectors, cents, q).collect()))
-    finally:
-        os.environ.pop("BIKIDATA_SPARK_PROBE_LOCAL_ROWS", None)
+    # qcap = 9 // nprobe(2) = 4 < |q| = 5
+    monkeypatch.setenv("BIKIDATA_SPARK_PROBE_LOCAL_ROWS", "9")
+    over = sorted(map(tuple, sim.ivf_store_topk(vectors, cents, q).collect()))
+    monkeypatch.delenv("BIKIDATA_SPARK_PROBE_LOCAL_ROWS")
     assert over == dist_rows
 
 
