@@ -24,7 +24,7 @@ def _fanout_bytes() -> int:
     return max(1, int(os.environ.get("BIKIDATA_SPARK_FANOUT_BYTES", str(256 << 10))))
 
 
-def ensure_parallelism(df, min_partitions: int | None = None):
+def ensure_parallelism(df, min_partitions: int | None = None, density: int = 1):
     """Fan a tiny input out toward the session's parallelism, sized by
     the DATA rather than the core count (guide §2.2/§6).
 
@@ -49,11 +49,28 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     deployments see no change. An unavailable or unparseable estimate
     falls back to the core count (the pre-r14 width, never narrower).
 
+    ``density`` (r15) is the per-operator compute-density hint: an
+    operator doing ``density``× the default work per input byte
+    divides the byte target by it, widening ITS fan-out without
+    moving the global default (one knob cannot fit operators with
+    10-100× different work per byte — VERDICT r14 item 2; the
+    interleaved q_ann_ivf A/B measured the 256 KiB default costing
+    the IVF assignment fold ~15% vs full width, while the sweep knee
+    for the cheap operators sits exactly at 256 KiB). The
+    ``defaultParallelism`` cap still binds, so cluster-scale behavior
+    is unchanged.
+
     Partition-count introspection goes through the JVM query execution
     (no ``df.rdd``, which would build a Python RDD wrapper and force a
     plan conversion per call); anything unavailable — e.g. under Spark
     Connect, where there is no SparkContext — degrades to returning the
     DataFrame untouched rather than failing."""
+    if min_partitions is not None and min_partitions < 1:
+        # 0 used to mean "full width" via `or defaultParallelism`; the
+        # r14 `is not None` check silently changed it to "never
+        # repartition". No caller passes it — reject instead of
+        # guessing which meaning was intended (ADVICE r14).
+        raise ValueError(f"min_partitions must be >= 1, got {min_partitions}")
     try:
         cores = df.sparkSession.sparkContext.defaultParallelism
         qe = df._jdf.queryExecution()
@@ -67,7 +84,8 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         try:
             est = int(str(qe.optimizedPlan().stats().sizeInBytes()))
             if est > 0:
-                target = min(cores, -(-est // _fanout_bytes()))
+                per_part = max(1, _fanout_bytes() // max(1, density))
+                target = min(cores, -(-est // per_part))
         except Exception:
             pass  # no estimate: keep the conservative full-width fan-out
     if n < target:

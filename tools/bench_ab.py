@@ -41,13 +41,23 @@ PIPE_SECTIONS = (
     "q_text_analysis",
     "q_events_sessionize",
 )
+# r15 additions, for re-pinning the five r14 bench deltas the VERDICT
+# flagged (interleaved r13-worktree vs HEAD): the IVF store pair, the
+# N-Triples ingest pair, and serving-shaped workloads (mutation cycle
+# + a 24-query mixed thread-pool run on the default session — the
+# bench's FAIR-restart protocol is not reproduced here; what matters
+# for an A/B is that both arms run the identical shape).
+STORE_SECTIONS = ("q_ann_store_write", "q_ann_store_topk")
+NT_SECTIONS = ("q_nt_ingest", "q_nt_ingest_bz2")
+SERVE_SECTIONS = ("q_serving_mutations", "q_serving_mixed")
 
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     root = os.path.abspath(args[0]) if args else os.path.abspath(".")
     sections = args[1:] or list(RDF_SECTIONS)
-    unknown = [s for s in sections if s not in RDF_SECTIONS + PIPE_SECTIONS]
+    known = RDF_SECTIONS + PIPE_SECTIONS + STORE_SECTIONS + NT_SECTIONS + SERVE_SECTIONS
+    unknown = [s for s in sections if s not in known]
     if unknown:
         raise SystemExit(f"unknown sections: {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +170,116 @@ def main() -> None:
         for name in PIPE_SECTIONS:
             if name in sections:
                 timed(name, pipe_fns[name])
+
+    if any(s in STORE_SECTIONS for s in sections):
+        import shutil
+        import tempfile
+
+        from bikidata_spark.operators import similarity as sim
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        astore = tempfile.mkdtemp(prefix="ab_ivf_")
+        try:
+            write = lambda: sim.write_ivf_store(embs, f"{astore}/ivf", refine_iters=2)
+            if "q_ann_store_write" in sections:
+                timed("q_ann_store_write", write)
+            else:
+                write()
+            if "q_ann_store_topk" in sections:
+                timed(
+                    "q_ann_store_topk",
+                    lambda: sim.ivf_store_topk(
+                        *sim.read_ivf_store(spark, f"{astore}/ivf"),
+                        embs.filter(F.col("vec_id") < 5),
+                    ).count(),
+                )
+        finally:
+            shutil.rmtree(astore, ignore_errors=True)
+
+    if any(s in NT_SECTIONS for s in sections):
+        import shutil
+        import tempfile
+
+        from bikidata_spark.sources.ntriples import read_nt
+
+        quads = string_quads(spark, sf_dir)
+        ntdir = tempfile.mkdtemp(prefix="ab_nt_")
+        try:
+            lines = quads.select(
+                F.concat(F.concat_ws(" ", "s", "p", "o"), F.lit(" .")).alias("value")
+            )
+
+            def ingest(src):
+                parsed = read_nt(spark, src).persist()
+                g = from_string_quads(parsed)
+                g.triples.count()
+                g.terms.count()
+                parsed.unpersist()
+
+            if "q_nt_ingest" in sections:
+                lines.write.option("compression", "gzip").mode("overwrite").text(
+                    f"{ntdir}/dump.nt"
+                )
+                timed("q_nt_ingest", lambda: ingest(f"{ntdir}/dump.nt"))
+            if "q_nt_ingest_bz2" in sections:
+                lines.coalesce(1).write.option("compression", "bzip2").mode(
+                    "overwrite"
+                ).text(f"{ntdir}/dump_bz2.nt")
+                timed("q_nt_ingest_bz2", lambda: ingest(f"{ntdir}/dump_bz2.nt"))
+        finally:
+            shutil.rmtree(ntdir, ignore_errors=True)
+
+    if any(s in SERVE_SECTIONS for s in sections):
+        import asyncio
+
+        from bikidata_spark import Engine as _Eng
+        from bikidata_spark.serving import Serving
+
+        if graph is None:
+            build()
+        seng = _Eng(graph)
+        seng.fts  # untimed index build, like bench.py
+        seng.query({"filters": [{"p": "fts", "o": "customer"}], "size": 1})
+
+        if "q_serving_mutations" in sections:
+
+            def mut_cycle():
+                for i in range(8):
+                    r1 = seng.mutate(
+                        "insert",
+                        [{"s": f"<ab/m{i}>", "p": "<ab/p>", "o": f'"ab value {i}"'}],
+                    )
+                    r2 = seng.query(
+                        {"filters": [{"p": "<ab/p>", "o": f'"ab value {i}"'}],
+                         "size": 2, "use_cache": False}
+                    )
+                    r3 = seng.mutate("delete", [{"s": f"<ab/m{i}>", "p": "<ab/p>"}])
+                    assert "error" not in r1 and "error" not in r3 and r2["total"] == 1
+
+            timed("q_serving_mutations", mut_cycle)
+
+        if "q_serving_mixed" in sections:
+            segs = ['"BUILDING"', '"AUTOMOBILE"', '"MACHINERY"', '"HOUSEHOLD"', '"FURNITURE"']
+            opts_list = []
+            for i in range(24):
+                kind = i % 3  # fts / facet / paths (no semantic store here)
+                if kind == 0:
+                    opts_list.append({"filters": [{"p": "fts", "o": "customer"}], "size": 10, "start": i, "use_cache": False})
+                elif kind == 1:
+                    opts_list.append({"size": 0, "filters": [{"p": "<p/mktsegment>", "o": segs[i % 5]}], "aggregates": ["<p/nation>"], "use_cache": False})
+                else:
+                    opts_list.append({"filters": [{"p": "id", "o": f"<e/customer/{i + 1}>"}], "paths": ["<p/parent>"], "size": 1, "use_cache": False})
+
+            def mixed():
+                srv = Serving(seng, num_workers=8)
+
+                async def run_all():
+                    await asyncio.gather(*(srv.query_async(o, timeout=600) for o in opts_list))
+
+                asyncio.run(run_all())
+                srv.close()
+
+            timed("q_serving_mixed", mixed)
 
     print(
         json.dumps(
