@@ -259,35 +259,31 @@ def ngram_jaccard_pairs(
     Jaccard denominator still uses FULL per-doc shingle counts, so
     scores are conservative (never inflated) under the cap.
 
-    The inverted index carries ``xxhash64(shingle)`` instead of the
-    shingle STRING (r15, guide §2.3 — shuffle fewer bytes): the df
-    aggregation, the semi-join and the candidate equi-join all shuffle
-    and compare an 8-byte long where they previously moved a ~n-token
-    text key; row counts per doc (the Jaccard denominator) are
-    unchanged because hashing is applied AFTER the per-doc distinct.
-    Collision exposure is the same envelope :func:`minhash_lsh_pairs`'
-    verification already accepts (odds ~|shingle universe|²/2⁶⁵, and
-    the hash never crosses the oracle boundary — the oracle computes
-    the same overlap on strings)."""
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .select("id", F.xxhash64("s").alias("h"))
-        .persist()
-    )
+    NEGATIVE RESULT (r15, recorded so later rounds do not retry):
+    joining the inverted index on ``xxhash64(shingle)`` longs instead
+    of the shingle strings — the guide-§2.3 narrower-key move —
+    measured NO wall win at sf10/max_df=50 (interleaved fresh-process
+    A/B, string arm 163–266 s vs hash arm 194–200 s on the same host,
+    identical 30,428 pairs; docs/baseline/ab_ngram_sf10_r15.jsonl).
+    The join is aggregation-bound, not key-width-bound: candidate rows
+    flow straight into a map-side-combined count whose shuffle carries
+    only (id_a, id_b) pairs either way. Reverted; the string key keeps
+    the operator collision-free for the oracle hash."""
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     postings = sh
     if max_df is not None:
         rare = (
-            sh.groupBy("h")
+            sh.groupBy("s")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("h")
+            .select("s")
         )
-        postings = sh.join(rare, "h", "left_semi")
-    a = postings.select(F.col("id").alias("id_a"), "h")
-    b = postings.select(F.col("id").alias("id_b"), "h")
+        postings = sh.join(rare, "s", "left_semi")
+    a = postings.select(F.col("id").alias("id_a"), "s")
+    b = postings.select(F.col("id").alias("id_b"), "s")
     inter = (
-        a.join(b, "h")
+        a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))

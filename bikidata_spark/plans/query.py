@@ -3268,6 +3268,7 @@ class Engine:
         opts: dict,
         _subjects: tuple | None = None,
         _known_rows: int | None = None,
+        _observe=None,
     ) -> DataFrame:
         """Ordered page of subjects: (pos, s, s_value). Deterministic:
         ties always break on the subject's lexical form (the reference
@@ -3278,14 +3279,33 @@ class Engine:
 
         ``_subjects`` lets ``query()`` pass an already-materialized
         (s_results, s_by_score) pair so the filter algebra runs once per
-        request instead of once per phase (total / page / aggregates)."""
+        request instead of once per phase (total / page / aggregates).
+
+        ``_observe`` (r15): an ``Observation`` that rides the page job
+        to count the member rows — query() folds the total count into
+        the page collect instead of running a separate count job. The
+        metrics node sits on the sv branch only (the keys/probe branch
+        reuses s_results without it, so rows are never double-counted),
+        below the sort, and TakeOrderedAndProject scans every input
+        row, so the observed count is exactly |sv| = |s_results| (the
+        dictionary-completeness invariant the fast page's total already
+        leans on)."""
         size, start = _parse_size_start(opts)
         s_results, s_by_score = (
             _subjects if _subjects is not None else self.subjects(opts)
         )
         if s_results is None:
             return self.graph.spark.createDataFrame([], "pos int, s long, s_value string")
-        sv = self._subject_values(s_results, _known_rows)
+        # ONE canonical member projection feeds every probe branch (r15,
+        # guide §2.4): the sv values join and the ordered branch's keys
+        # probe previously broadcast two differently-projected copies of
+        # the member frame, so Spark built two BroadcastExchanges — two
+        # broadcast-build jobs each re-scanning the member set. With an
+        # identical child plan, ReuseExchange folds them into one build.
+        member_probe = s_results.select("s")
+        sv = self._subject_values(member_probe, _known_rows)
+        if _observe is not None:
+            sv = sv.observe(_observe, F.count(F.lit(1)).alias("n"))
         order_rules = _normalize_order_rules(opts.get("order"))
         if order_rules:
             rule = order_rules[0]
@@ -3297,7 +3317,7 @@ class Engine:
                 # sort-index path: probe the persisted full-corpus key
                 # frame with the (broadcast-small) subject set — map-only
                 keys = keys_full.join(
-                    self._probe_side(s_results.select("s"), _known_rows), "s"
+                    self._probe_side(member_probe, _known_rows), "s"
                 )
             else:
                 keys = self._order_key_frame(s_results, rule, _known_rows)
@@ -4380,6 +4400,9 @@ class Engine:
                         sv_rows = [
                             {"s": s, "s_value": hv[s]} for s in ss if s in hv
                         ]
+        page_observation = None  # r15: count folded into the page job
+        total_hint = None  # plan-shaping stand-in while the fold is live
+        tkey = None
         if fast_total is not None:
             total = fast_total
         elif sv_rows is not None:
@@ -4417,9 +4440,37 @@ class Engine:
                     if ms is not None:
                         total = int(ms.size)
             if total is None:
-                with self._no_aqe():
-                    total = s_results.count()
-            if tkey is not None:
+                # r15 (VERDICT item 4): when the distributed page job
+                # is certain to run (size > 0, no fast path served) and
+                # a resident count already shapes the plan, the member
+                # count RIDES the page collect as an Observation metric
+                # instead of running its own count job (+ its AQE stage
+                # job) — the response total is still computed fresh by
+                # this request's own scan (caches-off honesty holds:
+                # the memoized value is a broadcast-strategy hint, the
+                # served number comes from the page job's metrics). A
+                # first sighting (no resident count) keeps the separate
+                # count: the hint doubles as the broadcast gate, and
+                # guessing it wrong would reshape the plan.
+                _hint = (
+                    self._known_filter_total(tkey[1])
+                    if tkey is not None
+                    else None
+                )
+                if (
+                    _hint is not None
+                    and size > 0
+                    and fast_page is None
+                    and sv_rows is None
+                ):
+                    from pyspark.sql import Observation
+
+                    page_observation = Observation()
+                    total_hint = int(_hint)
+                else:
+                    with self._no_aqe():
+                        total = s_results.count()
+            if tkey is not None and total is not None:
                 with self._cache_lock:
                     self._filter_totals.pop(tkey, None)
                     while len(self._filter_totals) >= 64:
@@ -4431,6 +4482,8 @@ class Engine:
             total = 0
         aggregates, aggs_truncated = {}, []
         known = total if s_results is not None else None
+        if known is None and page_observation is not None:
+            known = total_hint  # same integer the count would return
         small = known is not None and known <= _HOP_BROADCAST_ROWS
         # every requested facet in ONE fused job (see _facets_fused);
         # property facets over an unfiltered corpus are skipped like the
@@ -4504,8 +4557,25 @@ class Engine:
             else:
                 with self._no_aqe() if small else contextlib.nullcontext():
                     page = self.page(
-                        opts, _subjects=(s_results, s_by_score), _known_rows=known
+                        opts,
+                        _subjects=(s_results, s_by_score),
+                        _known_rows=known,
+                        _observe=page_observation,
                     ).collect()
+                if page_observation is not None:
+                    # the page job counted the members as it scanned
+                    # them (Observation metrics block only until the
+                    # finished action above reports) — this request's
+                    # own fresh number, one job instead of two
+                    total = int(page_observation.get["n"])
+                    if tkey is not None:
+                        with self._cache_lock:
+                            self._filter_totals.pop(tkey, None)
+                            while len(self._filter_totals) >= 64:
+                                self._filter_totals.pop(
+                                    next(iter(self._filter_totals))
+                                )
+                            self._filter_totals[tkey] = total
             page_hashes = [r["s"] for r in page]
             hash_to_val = {r["s"]: r["s_value"] for r in page}
             if page_hashes:

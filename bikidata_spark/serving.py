@@ -58,10 +58,13 @@ def _parse_mem(s: str) -> int:
 # sort / join buffers) at peak. Calibrated against the r14 sf10 over-cap
 # sweep: >=8 concurrent distributed queries over a 111M-quad corpus
 # exhausted an 8 GiB JVM (UNABLE_TO_ACQUIRE_MEMORY) — usable execution
-# memory ~0.6*(8g-300m) ≈ 4.6 GiB over ~7 safe queries ≈ 0.66 GiB each,
-# ~1/10 of the corpus's in-memory estimate. Overridable per deployment
-# via BIKIDATA_SPARK_DIST_QUERY_FRACTION.
-_DIST_QUERY_EST_FRACTION = 10
+# memory ~0.6*(8g-300m) ≈ 4.6 GiB over ~7 safe queries ≈ 0.66 GiB each.
+# The estimate a store-read graph exposes is the COMPRESSED parquet
+# scan size (measured 1.22 GB for that corpus — ~5x under its
+# in-memory footprint), so the calibrated divisor is 2: per-query
+# footprint ≈ est/2 ⇒ 4.6/0.61 ≈ 7 permits at the measured knee.
+# Overridable per deployment via BIKIDATA_SPARK_DIST_QUERY_FRACTION.
+_DIST_QUERY_EST_FRACTION = 2
 
 
 class Serving:

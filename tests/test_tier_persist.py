@@ -1000,6 +1000,44 @@ def test_order_eviction_warms_store_sidecar(spark, tmp_path_factory, monkeypatch
         q.Engine._order_keys_cached = orig
 
 
+def test_total_count_folds_into_page_job(spark, monkeypatch):
+    """r15 (VERDICT item 4): when a caches-off request's distributed
+    page job is certain to run and a resident count already shapes the
+    plan, the member total rides the page collect as an Observation
+    metric instead of a separate count job (+ its AQE stage job) —
+    fewer jobs per steady request, response total computed fresh by
+    the request's own scan, results identical to a fold-free engine."""
+    import bikidata_spark.plans.query as q
+    from bikidata_spark import Engine
+
+    monkeypatch.setenv("BIKIDATA_SPARK_DRIVER_RESIDENCY_BYTES", str(1 << 30))
+    # defeat the fast page so the distributed page path actually runs
+    monkeypatch.setattr(q, "_FAST_PAGE_ROWS", 10)
+    monkeypatch.setattr(q, "_FAST_PAGE_DICT_ROWS", 10)
+    eng = Engine(_mk_graph(spark), local_tier_bytes=1, term_cache_bytes=0)
+    assert eng._local_tier() is None
+    opts = {"filters": [{"p": "<p/ref>"}], "size": 5, "use_cache": False}
+    sc = spark.sparkContext
+
+    def jobs_for(tag):
+        sc.setJobGroup(tag, tag)
+        r = eng.query(dict(opts))
+        n = len(sc.statusTracker().getJobIdsForGroup(tag))
+        sc.setJobGroup(None, None)
+        return r, n
+
+    r1, n1 = jobs_for("fold-1")  # first sighting: separate count job
+    r2, _ = jobs_for("fold-2")   # second-sighting projection builds
+    r3, n3 = jobs_for("fold-3")  # steady: count folded into the page
+    assert r1 == r2 == r3
+    assert r3["total"] == 400
+    assert n3 < n1, (n1, n3)
+    # the fold is live (not a memo hit): a fold-free control engine
+    # returns the identical response
+    control = Engine(eng.graph, local_tier_rows=0)
+    assert r3 == control.query(dict(opts))
+
+
 def test_order_warm_stale_stamp_rejected(spark, tmp_path_factory, monkeypatch):
     """r15: an engine that keeps serving across an EXTERNAL store
     rewrite must not leave (or serve) order sidecars describing the
@@ -1138,13 +1176,21 @@ def test_filter_total_memo(spark, monkeypatch):
     assert n3 < n1, (n1, n3)  # the count job is gone on the repeat
     assert eng._filter_totals, "total not memoized"
 
-    # caches-off requests never serve the memoized total: with the memo
-    # populated, a use_cache=False repeat still runs its own count job
+    # caches-off requests never SERVE the memoized total (r15 policy):
+    # poison the memo — a use_cache=True repeat serves the poisoned
+    # value (that is what the cache mode means), a use_cache=False
+    # repeat computes the real total fresh (count job or the page-job
+    # Observation fold) and repairs the memo on its way out
+    gen = eng._graph_generation
+    key = next(k for k in list(eng._filter_totals) if k[0] == gen)
+    with eng._cache_lock:
+        eng._filter_totals[key] = 999_999
+    assert eng.query(dict(opts))["total"] == 999_999  # memo served
     nc_opts = {"filters": [{"p": "<p/ref>"}], "size": 5, "use_cache": False}
-    rn1, m1 = jobs_for("ftm-nc1", nc_opts)
-    rn2, m2 = jobs_for("ftm-nc2", nc_opts)
-    assert rn1 == rn2 == r1
-    assert m2 >= m1 > n3, (m1, m2, n3)  # repeats keep paying real work
+    rn1, _ = jobs_for("ftm-nc1", nc_opts)
+    assert rn1 == r1  # fresh computation, poison ignored
+    with eng._cache_lock:
+        assert eng._filter_totals[key] == r1["total"]  # memo repaired
 
     r = eng.mutate("insert", [{"s": "<c/newref>", "p": "<p/ref>", "o": "<c/1>"}])
     assert "error" not in r
