@@ -53,18 +53,22 @@ def _parse_mem(s: str) -> int:
     return int(float(digits)) * mult
 
 
-# Fraction of the corpus's optimizer size estimate one concurrent
-# distributed query is budgeted to hold in execution memory (shuffle /
-# sort / join buffers) at peak. Calibrated against the r14 sf10 over-cap
-# sweep: >=8 concurrent distributed queries over a 111M-quad corpus
-# exhausted an 8 GiB JVM (UNABLE_TO_ACQUIRE_MEMORY) — usable execution
-# memory ~0.6*(8g-300m) ≈ 4.6 GiB over ~7 safe queries ≈ 0.66 GiB each.
-# The estimate a store-read graph exposes is the COMPRESSED parquet
-# scan size (measured 1.22 GB for that corpus — ~5x under its
-# in-memory footprint), so the calibrated divisor is 2: per-query
-# footprint ≈ est/2 ⇒ 4.6/0.61 ≈ 7 permits at the measured knee.
-# Overridable per deployment via BIKIDATA_SPARK_DIST_QUERY_FRACTION.
-_DIST_QUERY_EST_FRACTION = 2
+# Divisor turning the corpus's optimizer size estimate into one
+# concurrent distributed query's peak execution-memory budget (shuffle /
+# sort / join buffers). Calibrated against the sf10 over-cap sweeps
+# (111M-quad corpus, 8 GiB JVM, usable execution ~0.6*(8g-300m) ≈
+# 4.6 GiB): r14 found >=8 concurrent queries exhaust it
+# (UNABLE_TO_ACQUIRE_MEMORY); an r15 re-run at 8 permits STILL died at
+# the 16/32-worker points — the cached corpus competes for the same
+# unified region, so the static execution share overstates what is
+# actually free. The estimate a store-read graph exposes is the
+# COMPRESSED parquet scan size (measured 1.22 GB for that corpus); a
+# divisor of 1 (per-query budget ≈ the full compressed estimate ⇒ 3
+# permits there) survived the full 48-client sweep at default memory.
+# Conservative by design: an over-admitted query ERRORS, an
+# under-admitted one just queues. Overridable per deployment via
+# BIKIDATA_SPARK_DIST_QUERY_FRACTION.
+_DIST_QUERY_EST_FRACTION = 1
 
 
 class Serving:

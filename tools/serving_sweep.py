@@ -96,6 +96,13 @@ def main() -> None:
     proc_list = [
         int(p) for p in os.environ.get("SWEEP_PROCS", "2,4,8,16").split(",") if int(p)
     ]
+    if tier is None:
+        # over-cap engine: there is no tier to fork — TierProcPool
+        # refuses and Serving degrades to thread-only, so each "proc"
+        # point would just repeat the 32-thread distributed run (r15:
+        # the repeats pushed the 8 GiB default JVM, already holding
+        # the cached corpus, into heap OOM after the thread curve)
+        proc_list = []
     proc_results = {}
     for p in proc_list:
         stats = _serving_workload(eng, qvec, n=clients, workers=32, proc_workers=p)
