@@ -18,10 +18,6 @@ Scenarios:
   centroid table and resolves cells with the pinned driver fold
   (plans/local_tier.probe_cells_fold) — the fold job disappears from
   the call. Evidence: per-call job count + the executed scored plan.
-- ngram_inter — ngram_jaccard_pairs' candidate join: r14 shuffles and
-  compares the shingle STRING; r15 joins on xxhash64(shingle) (8-byte
-  long keys through the df aggregation, semi-join and equi-join).
-  Evidence: the optimized plan (join key type) for the max_df path.
 - filter_total_nocache — Engine.query() with use_cache=False repeats
   of one filter spec: r14 served the memoized total anyway; r15 gates
   the memo read on use_cache, so a caches-off repeat runs its own
@@ -117,10 +113,9 @@ try:
 finally:
     shutil.rmtree(store, ignore_errors=True)
 
-# ---- ngram_inter -----------------------------------------------------
-docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-ng = dd.ngram_jaccard_pairs(docs.limit(2000), "doc_id", "text", max_df=50)
-write("ngram_inter", fmt(ng))
+# (an ngram_inter scenario existed while the hash-key join variant was
+# live; it was reverted after the sf10 A/B measured no win — see
+# docs/baseline/ab_ngram_sf10_r15.jsonl and the operator docstring)
 
 # ---- RDF scenarios over a tier-less engine ---------------------------
 graph = from_string_quads(string_quads(spark, SF_DIR)).cache()
@@ -128,22 +123,33 @@ graph.triples.count()
 graph.terms.count()
 eng = Engine(graph, local_tier_rows=0)  # force distributed serving
 
-# filter_total_nocache: 3 repeats caches-off, then 3 cache-allowed
-opts_nc = {
-    "filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}],
-    "size": 10,
-    "use_cache": False,
-}
-lines = []
-eng.query(dict(opts_nc))  # warmup / second-sighting builds
-for rep in range(3):
-    _, n, dt = jobs_for(f"ftnc-{rep}", lambda: eng.query(dict(opts_nc)))
-    lines.append(f"use_cache=False rep {rep}: jobs={n} ({dt:.3f}s)")
-opts_c = dict(opts_nc, use_cache=True)
-for rep in range(3):
-    _, n, dt = jobs_for(f"ftc-{rep}", lambda: eng.query(dict(opts_c)))
-    lines.append(f"use_cache=True  rep {rep}: jobs={n} ({dt:.3f}s)")
-write("filter_total_nocache", "\n".join(lines) + "\n")
+# filter_total_nocache: 3 repeats caches-off, then 3 cache-allowed.
+# The fast-page caps are forced low so the spec takes the DISTRIBUTED
+# page path — the one whose total the memo/fold serves (at sf0.1 every
+# bench filter is fast-path-sized and never reaches it).
+import bikidata_spark.plans.query as _q  # noqa: E402
+
+_saved = (_q._FAST_PAGE_ROWS, _q._FAST_PAGE_DICT_ROWS)
+_q._FAST_PAGE_ROWS = _q._FAST_PAGE_DICT_ROWS = 10
+try:
+    opts_nc = {
+        "filters": [{"p": "<p/mktsegment>", "o": '"BUILDING"'}],
+        "size": 10,
+        "use_cache": False,
+    }
+    lines = []
+    eng.query(dict(opts_nc))  # warmup / second-sighting builds
+    eng.query(dict(opts_nc))
+    for rep in range(3):
+        _, n, dt = jobs_for(f"ftnc-{rep}", lambda: eng.query(dict(opts_nc)))
+        lines.append(f"use_cache=False rep {rep}: jobs={n} ({dt:.3f}s)")
+    opts_c = dict(opts_nc, use_cache=True)
+    for rep in range(3):
+        _, n, dt = jobs_for(f"ftc-{rep}", lambda: eng.query(dict(opts_c)))
+        lines.append(f"use_cache=True  rep {rep}: jobs={n} ({dt:.3f}s)")
+    write("filter_total_nocache", "\n".join(lines) + "\n")
+finally:
+    _q._FAST_PAGE_ROWS, _q._FAST_PAGE_DICT_ROWS = _saved
 
 # order_page_dist: the tier-less steady ordered page
 opts_o = {
