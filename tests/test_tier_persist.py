@@ -1037,6 +1037,16 @@ def test_total_count_folds_into_page_job(spark, monkeypatch):
     control = Engine(eng.graph, local_tier_rows=0)
     assert r3 == control.query(dict(opts))
 
+    # the fold must also observe correctly when the broadcast gate
+    # rejects (small=False) and the page runs under AQE — the metric
+    # node sits below adaptive query stages there
+    monkeypatch.setattr(q, "_HOP_BROADCAST_ROWS", 10)
+    aqe_opts = dict(opts, order=[{"by": "label", "dir": "desc"}], start=3)
+    want = control.query(dict(aqe_opts))
+    for _ in range(3):
+        assert eng.query(dict(aqe_opts)) == want
+    assert want["total"] == 400
+
 
 def test_order_warm_stale_stamp_rejected(spark, tmp_path_factory, monkeypatch):
     """r15: an engine that keeps serving across an EXTERNAL store
