@@ -577,8 +577,16 @@ def main() -> None:
         "nt_parity": nt_parity,
         "host_noise": host_noise,
     }
+    # stop the session BEFORE printing: the JVM's unified logging can
+    # emit GC warnings on STDOUT (observed on this host mid-round —
+    # one swallowed a tool's JSON line), and a warning printed after
+    # the final line would break the driver's last-line parse
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(json.dumps(detail))
-    print(json.dumps(compact))
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
